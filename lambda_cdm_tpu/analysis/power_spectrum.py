@@ -1,0 +1,291 @@
+"""On-device power-spectrum analyzer: mass assignment, FFT, spherical
+binning, shot noise, sigma8-from-P(k).
+
+TPU-native rebuild of the reference's PowerSpectrumAnalyzer
+(include/analysis/power_spectrum.hpp:26-115, src/analysis/power_spectrum.cu:
+53-332): CIC/NGP (plus TSC, which the reference declares but never
+implements) mass assignment with periodic wrap, R2C FFT (jnp.fft.rfftn --
+replacing the FFTW/cuFFT dual path), spherical k-binning with Hermitian
+multiplicity, volume normalization, shot-noise subtraction, and window
+deconvolution (an accuracy upgrade the reference lacks).
+
+Everything is jit-friendly with static shapes; the binned sums use
+segment-sum over precomputed bin indices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.initial_conditions import fourier_grid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PowerSpectrumData:
+    """Binned P(k) (reference: PowerSpectrumData,
+    include/analysis/power_spectrum.hpp:15-24)."""
+    k: jax.Array            # [nbins] bin-averaged k [h/Mpc]
+    power: jax.Array        # [nbins] P(k) [(Mpc/h)^3], shot-noise subtracted
+    power_raw: jax.Array    # [nbins] before shot-noise subtraction
+    counts: jax.Array       # [nbins] number of modes per bin
+    shot_noise: jax.Array   # [] V/N
+    box_size: jax.Array     # []
+    num_particles: jax.Array  # []
+
+
+# ---------------------------------------------------------------------------
+# Mass assignment
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ng",))
+def ngp_deposit(positions, ng: int, box_size, weights=None):
+    """Nearest-grid-point deposit (reference: assign_particles_to_grid_ngp,
+    power_spectrum.cu:137-159)."""
+    n = positions.shape[0]
+    w = jnp.ones((n,), positions.dtype) if weights is None else weights
+    cell = jnp.floor(positions / box_size * ng).astype(jnp.int32) % ng
+    flat = (cell[:, 0] * ng + cell[:, 1]) * ng + cell[:, 2]
+    grid = jnp.zeros((ng * ng * ng,), positions.dtype)
+    grid = grid.at[flat].add(w)
+    return grid.reshape(ng, ng, ng)
+
+
+@partial(jax.jit, static_argnames=("ng",))
+def cic_deposit(positions, ng: int, box_size, weights=None):
+    """Cloud-in-cell (trilinear) deposit with periodic wrap
+    (reference: assign_particles_to_grid_cic, power_spectrum.cu:86-134).
+
+    Scatter-add over the 8 corners; on TPU XLA lowers .at[].add to sorted
+    segment updates -- for the PM hot path see ops.deposit for the
+    sort-based variant.
+    """
+    n = positions.shape[0]
+    w = jnp.ones((n,), positions.dtype) if weights is None else weights
+    u = positions / box_size * ng          # grid coordinates
+    i0 = jnp.floor(u - 0.5).astype(jnp.int32)  # cell-centred convention
+    frac = (u - 0.5) - i0
+    grid = jnp.zeros((ng * ng * ng,), positions.dtype)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
+        ix = (i0[:, 0] + dx) % ng
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
+            iy = (i0[:, 1] + dy) % ng
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - frac[:, 2], frac[:, 2])
+                iz = (i0[:, 2] + dz) % ng
+                flat = (ix * ng + iy) * ng + iz
+                grid = grid.at[flat].add(w * wx * wy * wz)
+    return grid.reshape(ng, ng, ng)
+
+
+@partial(jax.jit, static_argnames=("ng",))
+def tsc_deposit(positions, ng: int, box_size, weights=None):
+    """Triangular-shaped-cloud deposit (27-point). The reference *declares*
+    TSC (initial_conditions.hpp window enum) but never implements it."""
+    n = positions.shape[0]
+    w = jnp.ones((n,), positions.dtype) if weights is None else weights
+    u = positions / box_size * ng
+    ic = jnp.floor(u).astype(jnp.int32)    # center cell
+    d = u - (ic.astype(u.dtype) + 0.5)     # offset from cell center [-0.5,0.5)
+    grid = jnp.zeros((ng * ng * ng,), positions.dtype)
+
+    def w1d(dist):
+        ad = jnp.abs(dist)
+        return jnp.where(ad < 0.5, 0.75 - ad * ad,
+                         jnp.where(ad < 1.5, 0.5 * (1.5 - ad) ** 2, 0.0))
+
+    for dx in (-1, 0, 1):
+        wx = w1d(d[:, 0] - dx)
+        ix = (ic[:, 0] + dx) % ng
+        for dy in (-1, 0, 1):
+            wy = w1d(d[:, 1] - dy)
+            iy = (ic[:, 1] + dy) % ng
+            for dz in (-1, 0, 1):
+                wz = w1d(d[:, 2] - dz)
+                iz = (ic[:, 2] + dz) % ng
+                flat = (ix * ng + iy) * ng + iz
+                grid = grid.at[flat].add(w * wx * wy * wz)
+    return grid.reshape(ng, ng, ng)
+
+
+DEPOSITS = {"ngp": ngp_deposit, "cic": cic_deposit, "tsc": tsc_deposit}
+_WINDOW_POWER = {"ngp": 1, "cic": 2, "tsc": 3}
+
+
+def density_contrast(grid):
+    """delta = rho/rho_bar - 1 (reference: compute_density_contrast,
+    power_spectrum.cu:161-180)."""
+    mean = jnp.mean(grid)
+    return grid / jnp.maximum(mean, 1e-30) - 1.0
+
+
+def assignment_window(ng: int, box_size, assignment: str = "cic"):
+    """Fourier-space mass-assignment window W(k) for deconvolution:
+    W = prod_i sinc(k_i dx / 2)^p, p = 1 (NGP), 2 (CIC), 3 (TSC)."""
+    kx, ky, kz, _ = fourier_grid(ng, box_size)
+    half_dx = box_size / ng / 2.0
+
+    def sinc(x):
+        x = x * half_dx
+        return jnp.where(jnp.abs(x) < 1e-12, 1.0, jnp.sin(x) / x)
+
+    p = _WINDOW_POWER[assignment]
+    return (sinc(kx) * sinc(ky) * sinc(kz)) ** p
+
+
+# ---------------------------------------------------------------------------
+# Binning
+# ---------------------------------------------------------------------------
+
+def _hermitian_multiplicity(ng: int):
+    """rfftn stores only kz>=0; every mode with 0 < kz < ng/2 represents
+    itself and its conjugate (reference applies the same x2,
+    power_spectrum.cu:243-249). -> [ng, ng, ng//2+1] weights."""
+    nz = ng // 2 + 1
+    mult = jnp.full((nz,), 2.0)
+    mult = mult.at[0].set(1.0)
+    if ng % 2 == 0:
+        mult = mult.at[nz - 1].set(1.0)
+    return jnp.broadcast_to(mult[None, None, :], (ng, ng, nz))
+
+
+@partial(jax.jit, static_argnames=("ng", "num_bins", "assignment",
+                                   "deconvolve", "log_bins"))
+def power_from_delta(delta, *, ng: int, box_size, num_particles,
+                     num_bins: int = 64, k_min=None, k_max=None,
+                     assignment: str = "cic", deconvolve: bool = True,
+                     log_bins: bool = True) -> PowerSpectrumData:
+    """Spherically binned P(k) from a real-space density-contrast grid
+    (reference: bin_power_spectrum, power_spectrum.cu:207-285)."""
+    volume = box_size ** 3
+    delta_k = jnp.fft.rfftn(delta)
+    if deconvolve:
+        delta_k = delta_k / assignment_window(ng, box_size, assignment)
+    # |delta_k|^2 * V / ng^6 is the standard P(k) estimator
+    pk3d = (delta_k.real ** 2 + delta_k.imag ** 2) * (volume / float(ng) ** 6)
+
+    _, _, _, k2 = fourier_grid(ng, box_size)
+    kmag = jnp.sqrt(k2)
+    mult = _hermitian_multiplicity(ng)
+
+    kf = 2.0 * jnp.pi / box_size
+    knyq = jnp.pi * ng / box_size
+    k_lo = kf if k_min is None else k_min
+    k_hi = knyq if k_max is None else k_max
+
+    if log_bins:
+        edges = jnp.logspace(jnp.log10(k_lo), jnp.log10(k_hi), num_bins + 1)
+    else:
+        edges = jnp.linspace(k_lo, k_hi, num_bins + 1)
+    bin_idx = jnp.searchsorted(edges, kmag.ravel(), side="right") - 1
+    valid = (bin_idx >= 0) & (bin_idx < num_bins) & (kmag.ravel() > 0)
+    bin_idx = jnp.where(valid, bin_idx, num_bins)  # overflow bucket
+
+    wts = jnp.where(valid, mult.ravel(), 0.0)
+    psum = jax.ops.segment_sum(wts * pk3d.ravel(), bin_idx,
+                               num_segments=num_bins + 1)[:num_bins]
+    ksum = jax.ops.segment_sum(wts * kmag.ravel(), bin_idx,
+                               num_segments=num_bins + 1)[:num_bins]
+    counts = jax.ops.segment_sum(wts, bin_idx,
+                                 num_segments=num_bins + 1)[:num_bins]
+
+    safe = jnp.maximum(counts, 1e-30)
+    p_raw = psum / safe
+    k_avg = ksum / safe
+    shot = volume / jnp.maximum(
+        jnp.asarray(num_particles, jnp.float32), 1.0)
+    p_sub = jnp.where(counts > 0, p_raw - shot, 0.0)
+    return PowerSpectrumData(
+        k=k_avg, power=p_sub, power_raw=p_raw, counts=counts,
+        shot_noise=jnp.asarray(shot),
+        box_size=jnp.asarray(box_size),
+        num_particles=jnp.asarray(num_particles))
+
+
+def measure_power_spectrum(positions, box_size, ng: int = 128,
+                           weights=None, num_bins: int = 64,
+                           assignment: str = "cic",
+                           subtract_shot_noise: bool = True,
+                           deconvolve: bool = True,
+                           k_min=None, k_max=None) -> PowerSpectrumData:
+    """Particles -> P(k) in one call (reference:
+    PowerSpectrumAnalyzer::compute_power_spectrum,
+    power_spectrum.cu:53-84)."""
+    grid = DEPOSITS[assignment](positions, ng, box_size, weights)
+    delta = density_contrast(grid)
+    data = power_from_delta(
+        delta, ng=ng, box_size=box_size,
+        num_particles=positions.shape[0], num_bins=num_bins,
+        assignment=assignment, deconvolve=deconvolve,
+        k_min=k_min, k_max=k_max)
+    if not subtract_shot_noise:
+        data = dataclasses.replace(data, power=data.power_raw)
+    return data
+
+
+def cross_power_spectrum(positions_a, positions_b, box_size, ng: int = 128,
+                         num_bins: int = 64, assignment: str = "cic"):
+    """Cross-spectrum P_ab(k) (declared-only in the reference,
+    power_spectrum.hpp:57-60)."""
+    da = density_contrast(DEPOSITS[assignment](positions_a, ng, box_size))
+    db = density_contrast(DEPOSITS[assignment](positions_b, ng, box_size))
+    volume = box_size ** 3
+    fa = jnp.fft.rfftn(da)
+    fb = jnp.fft.rfftn(db)
+    if assignment in _WINDOW_POWER:
+        w = assignment_window(ng, box_size, assignment)
+        fa, fb = fa / w, fb / w
+    pk3d = (fa * jnp.conj(fb)).real * (volume / float(ng) ** 6)
+
+    _, _, _, k2 = fourier_grid(ng, box_size)
+    kmag = jnp.sqrt(k2)
+    mult = _hermitian_multiplicity(ng)
+    kf = 2.0 * jnp.pi / box_size
+    knyq = jnp.pi * ng / box_size
+    edges = jnp.logspace(jnp.log10(kf), jnp.log10(knyq), num_bins + 1)
+    bin_idx = jnp.searchsorted(edges, kmag.ravel(), side="right") - 1
+    valid = (bin_idx >= 0) & (bin_idx < num_bins) & (kmag.ravel() > 0)
+    bin_idx = jnp.where(valid, bin_idx, num_bins)
+    wts = jnp.where(valid, mult.ravel(), 0.0)
+    psum = jax.ops.segment_sum(wts * pk3d.ravel(), bin_idx, num_bins + 1)
+    ksum = jax.ops.segment_sum(wts * kmag.ravel(), bin_idx, num_bins + 1)
+    counts = jax.ops.segment_sum(wts, bin_idx, num_bins + 1)
+    safe = jnp.maximum(counts[:num_bins], 1e-30)
+    return (ksum[:num_bins] / safe, psum[:num_bins] / safe,
+            counts[:num_bins])
+
+
+def sigma8_from_power(data: PowerSpectrumData):
+    """sigma8 from binned P(k) via top-hat integral (reference:
+    compute_sigma8, power_spectrum.cu:318-332)."""
+    from ..physics.power_spectra import _tophat_window
+    k, p, c = data.k, data.power, data.counts
+    good = c > 0
+    w = _tophat_window(k * 8.0)
+    integrand = jnp.where(good, k ** 2 * p * w * w, 0.0)
+    # trapezoid over the (irregular) bin centers
+    dk = jnp.diff(k)
+    tr = 0.5 * (integrand[1:] + integrand[:-1]) * dk
+    s2 = jnp.sum(jnp.where(good[1:] & good[:-1], tr, 0.0)) / (
+        2.0 * jnp.pi ** 2)
+    return jnp.sqrt(jnp.maximum(s2, 0.0))
+
+
+def save_power_spectrum(path: str, data: PowerSpectrumData) -> None:
+    """ASCII dump (reference: save_to_file, power_spectrum.cu:301-316)."""
+    import numpy as np
+    k = np.asarray(data.k)
+    p = np.asarray(data.power)
+    c = np.asarray(data.counts)
+    with open(path, "w") as f:
+        f.write("# k[h/Mpc]  P(k)[(Mpc/h)^3]  modes\n")
+        f.write(f"# shot_noise = {float(data.shot_noise):.6e}\n")
+        for i in range(k.shape[0]):
+            if c[i] > 0:
+                f.write(f"{k[i]:.6e} {p[i]:.6e} {c[i]:.0f}\n")

@@ -1,0 +1,462 @@
+"""SimulationEngine + SimulationBuilder: the unified, actually-wired engine.
+
+The reference ships two disconnected stacks (SURVEY.md section 1): a
+"framework" engine whose compute_forces/integrate_step/update_cosmology are
+empty TODOs (src/core/simulation_engine.cpp:275-288) and a working CUDA
+physics facade the examples drive directly. This engine unifies them: the
+same lifecycle state machine, builder, observer and statistics surface
+(include/core/simulation_engine.hpp:13-220), but step() really dispatches to
+the pluggable force solver and integrator.
+
+TPU-native hot loop: `run()` advances the simulation in jitted chunks --
+`lax.scan` over the fused KDK step with exactly one force evaluation per
+step, no host round-trips inside a chunk (the reference synchronizes the
+device every step, lambda_cdm_impl.cu:209-210). Observers/analysis run
+host-side between chunks at the configured output cadence.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .config import SimulationConfig
+from .observers import Observer, ObserverBus
+from .state import SimState
+from ..utils.profiling import Profiler
+
+
+class LifecycleState(enum.Enum):
+    """Engine lifecycle (reference: SimulationState enum,
+    include/core/simulation_engine.hpp:13-20)."""
+    UNINITIALIZED = "uninitialized"
+    INITIALIZED = "initialized"
+    RUNNING = "running"
+    PAUSED = "paused"
+    FINISHED = "finished"
+    ERROR = "error"
+
+
+@dataclass
+class SimulationStatistics:
+    """Run statistics (reference: SimulationStatistics,
+    include/core/simulation_engine.hpp:22-45 -- which was never populated;
+    this one is)."""
+    total_steps: int = 0
+    total_time_s: float = 0.0
+    compile_time_s: float = 0.0
+    force_time_s: float = 0.0          # populated in detailed-timing mode
+    integration_time_s: float = 0.0
+    analysis_time_s: float = 0.0
+    io_time_s: float = 0.0
+    steps_per_second: float = 0.0
+    particle_updates_per_second: float = 0.0
+    current_scale_factor: float = 0.0
+    current_redshift: float = 0.0
+    energy_error: float = 0.0
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+class SimulationEngine:
+    """Config-driven Lambda-CDM simulation engine.
+
+    Reference surface: SimulationEngine (simulation_engine.hpp:47-194) --
+    initialize/run/step/pause/resume/reset, snapshot + checkpoint API,
+    energy diagnostics, statistics, observer management.
+    """
+
+    def __init__(self, config: SimulationConfig | None = None,
+                 observers=None):
+        self.config = config or SimulationConfig()
+        self.lifecycle = LifecycleState.UNINITIALIZED
+        self.observers = ObserverBus(observers)
+        self.profiler = Profiler(enabled=self.config.profiling.enabled)
+        self.statistics = SimulationStatistics()
+        self.last_energy_error: float | None = None
+        self._state: SimState | None = None
+        self._acc = None                  # cached accelerations at state.pos
+        self._accel_fn: Callable | None = None
+        self._chunk_runners: dict[int, Callable] = {}
+        self._energy_fn = None
+        self._dt = None
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def state(self) -> SimState:
+        if self._state is None:
+            raise RuntimeError("engine not initialized")
+        return self._state
+
+    @state.setter
+    def state(self, new_state: SimState) -> None:
+        self._state = new_state
+        self._acc = None
+
+    @property
+    def accel_fn(self) -> Callable:
+        if self._accel_fn is None:
+            raise RuntimeError("engine not initialized")
+        return self._accel_fn
+
+    # -- lifecycle ----------------------------------------------------------
+    def initialize(self, state: SimState | None = None) -> None:
+        """Validate config, generate/accept initial conditions, build the
+        force solver (reference: SimulationEngine::initialize,
+        simulation_engine.cpp:35-70, whose component wiring was a TODO)."""
+        try:
+            self.config.validate()
+            from ..forces import create_force_computer
+            self._accel_fn = create_force_computer(self.config)
+
+            if state is None:
+                from ..physics.initial_conditions import generate_state
+                state = generate_state(self.config)
+            self._state = state
+            self._acc = None
+            self._dt = jnp.asarray(self.config.time.initial_timestep,
+                                   state.positions.dtype)
+
+            if self.config.validation.check_initial_conditions:
+                self._validate_state()
+            self.lifecycle = LifecycleState.INITIALIZED
+        except Exception as exc:
+            self.lifecycle = LifecycleState.ERROR
+            self.observers.notify("on_error", self, exc)
+            raise
+
+    def _validate_state(self) -> None:
+        """IC sanity (reference: validate_initial_conditions,
+        initial_conditions.cpp:823-853)."""
+        st = self._state
+        box = self.config.particles.box_size
+        pos = st.positions
+        if bool(jnp.any(~jnp.isfinite(pos))):
+            raise ValueError("non-finite positions in initial conditions")
+        if self.config.particles.periodic_boundaries and (
+                bool(jnp.any(pos < 0)) or bool(jnp.any(pos >= box))):
+            raise ValueError("positions outside [0, box)")
+        if bool(jnp.any(st.masses <= 0)):
+            raise ValueError("non-positive particle masses")
+
+    # -- hot loop -----------------------------------------------------------
+    def _make_chunk_runner(self, chunk_len: int) -> Callable:
+        """jit(scan(fused KDK)) over `chunk_len` steps."""
+        from ..physics.integrators import kdk_step_fused
+        cfg = self.config
+        params = cfg.cosmology_params()
+        box = cfg.particles.box_size
+        cosmological = cfg.cosmology.model != "Newtonian"
+        step_kw = dict(
+            h0_internal=cfg.units.H0_internal,
+            # Newtonian mode: frozen scale factor AND no comoving factors
+            kick_mode=(cfg.integration.kick_mode if cosmological
+                       else "newtonian"),
+            sf_method=cfg.integration.scale_factor_update,
+            periodic=cfg.particles.periodic_boundaries,
+            cosmological=cosmological,
+        )
+        accel_fn = self._accel_fn
+
+        def chunk(state: SimState, acc, dt):
+            def body(carry, _):
+                st, ac = carry
+                st, ac = kdk_step_fused(st, ac, accel_fn, params, dt, box,
+                                        **step_kw)
+                return (st, ac), None
+
+            (state, acc), _ = jax.lax.scan(body, (state, acc), None,
+                                           length=chunk_len)
+            return state, acc
+
+        # buffer donation halves peak HBM for the state; CPU backend would
+        # only warn, so restrict it to TPU
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        donate = (0, 1) if (cfg.compute.tpu.donate_state and on_tpu) else ()
+        return jax.jit(chunk, donate_argnums=donate)
+
+    def _get_chunk_runner(self, chunk_len: int) -> Callable:
+        if chunk_len not in self._chunk_runners:
+            t0 = time.perf_counter()
+            self._chunk_runners[chunk_len] = self._make_chunk_runner(
+                chunk_len)
+            self.statistics.compile_time_s += time.perf_counter() - t0
+        return self._chunk_runners[chunk_len]
+
+    def _ensure_acc(self) -> None:
+        if self._acc is None:
+            self._acc = self._accel_fn(self._state)
+
+    def step(self, num_steps: int = 1) -> SimState:
+        """Advance `num_steps` in one jitted chunk (reference:
+        SimulationEngine::step, simulation_engine.cpp:118-154)."""
+        if self.lifecycle == LifecycleState.UNINITIALIZED:
+            raise RuntimeError("initialize() first")
+        self._ensure_acc()
+        runner = self._get_chunk_runner(num_steps)
+        self._state, self._acc = runner(self._state, self._acc, self._dt)
+        self.statistics.total_steps += num_steps
+        return self._state
+
+    def run(self, num_steps: int | None = None) -> SimState:
+        """Main loop (reference: SimulationEngine::run,
+        simulation_engine.cpp:82-116): advance in output-cadence chunks,
+        firing observers between chunks, until the stop condition."""
+        if self.lifecycle == LifecycleState.UNINITIALIZED:
+            self.initialize()
+        cfg = self.config
+        a_final = 1.0 / (1.0 + cfg.cosmology.final_redshift)
+        max_steps = (num_steps if num_steps is not None
+                     else cfg.time.max_steps)
+        cadence = max(1, cfg.simulation.output_frequency)
+
+        self.lifecycle = LifecycleState.RUNNING
+        self.observers.notify("on_simulation_start", self)
+        t_start = time.perf_counter()
+        steps_done = 0
+        try:
+            self._ensure_acc()
+            while steps_done < max_steps:
+                if self.lifecycle != LifecycleState.RUNNING:
+                    break
+                a = float(self._state.scale_factor)
+                if a >= a_final:
+                    break
+                if float(self._state.time) >= cfg.time.final_time:
+                    break
+                n = min(cadence, max_steps - steps_done)
+                self.observers.notify("on_step_start", self,
+                                      int(self._state.step))
+                with self.profiler.timer("run.chunk"):
+                    runner = self._get_chunk_runner(n)
+                    self._state, self._acc = runner(self._state, self._acc,
+                                                    self._dt)
+                    jax.block_until_ready(self._state.positions)
+                steps_done += n
+                self.statistics.total_steps += n
+                if cfg.integration.adaptive_timestep:
+                    self._update_dt()
+                self.observers.notify("on_step_end", self,
+                                      int(self._state.step))
+                if (cfg.simulation.checkpoint_frequency > 0
+                        and self.statistics.total_steps
+                        % cfg.simulation.checkpoint_frequency == 0):
+                    self._periodic_checkpoint()
+            self.lifecycle = LifecycleState.FINISHED
+        except Exception as exc:
+            self.lifecycle = LifecycleState.ERROR
+            self.observers.notify("on_error", self, exc)
+            raise
+        finally:
+            wall = time.perf_counter() - t_start
+            st = self.statistics
+            st.total_time_s += wall
+            st.steps_per_second = steps_done / max(wall, 1e-9)
+            st.particle_updates_per_second = (
+                st.steps_per_second * self._state.num_particles)
+            st.current_scale_factor = float(self._state.scale_factor)
+            st.current_redshift = float(self._state.redshift)
+            if self.last_energy_error is not None:
+                st.energy_error = self.last_energy_error
+            self.observers.notify("on_simulation_end", self)
+            if cfg.profiling.enabled and cfg.profiling.output_file:
+                try:
+                    self.profiler.write_report(
+                        cfg.profiling.output_file,
+                        extra={"statistics": st.to_dict()})
+                except OSError:
+                    pass
+        return self._state
+
+    def _update_dt(self) -> None:
+        from ..physics.integrators import adaptive_dt
+        cfg = self.config
+        self._dt = adaptive_dt(
+            self._acc, cfg.forces.softening_length,
+            jnp.asarray(cfg.time.initial_timestep),
+            cfg.integration.min_timestep, cfg.integration.max_timestep)
+
+    def pause(self) -> None:
+        if self.lifecycle == LifecycleState.RUNNING:
+            self.lifecycle = LifecycleState.PAUSED
+
+    def resume(self) -> None:
+        if self.lifecycle == LifecycleState.PAUSED:
+            self.lifecycle = LifecycleState.RUNNING
+
+    def reset(self) -> None:
+        """Back to UNINITIALIZED (reference: simulation_engine.hpp:75)."""
+        self._state = None
+        self._acc = None
+        self._chunk_runners.clear()
+        self.statistics = SimulationStatistics()
+        self.lifecycle = LifecycleState.UNINITIALIZED
+
+    # -- diagnostics ---------------------------------------------------------
+    def compute_energy(self) -> dict:
+        """KE/PE/total (reference: LambdaCDMSimulation::compute_energy,
+        lambda_cdm_impl.cu:222-241; engine stubs simulation_engine.cpp:355-378
+        returned 0 -- this one is real)."""
+        from ..forces.direct import kinetic_energy, potential_energy
+        cfg = self.config
+        st = self.state
+        ke = kinetic_energy(st.velocities, st.masses)
+        pe = potential_energy(st.positions, st.masses,
+                              cfg.particles.box_size,
+                              cfg.forces.softening_length, cfg.units.G)
+        return {"kinetic": ke, "potential": pe, "total": ke + pe}
+
+    def momentum(self) -> jax.Array:
+        """Total momentum (diagnostics.momentum_conservation capability)."""
+        st = self.state
+        return jnp.sum(st.masses[:, None] * st.velocities, axis=0)
+
+    def angular_momentum(self) -> jax.Array:
+        st = self.state
+        box = self.config.particles.box_size
+        rel = st.positions - box / 2.0
+        return jnp.sum(st.masses[:, None]
+                       * jnp.cross(rel, st.velocities), axis=0)
+
+    # -- snapshots / checkpoints ---------------------------------------------
+    def save_snapshot(self, path: str | None = None) -> str:
+        from ..utils import checkpoint as ckpt
+        cfg = self.config
+        if path is None:
+            pattern = cfg.io.snapshots.filename_pattern
+            path = pattern.format(step=int(self.state.step),
+                                  redshift=float(self.state.redshift))
+        return ckpt.save_snapshot(path, self.state, self.config)
+
+    def save_checkpoint(self, path: str) -> str:
+        from ..utils import checkpoint as ckpt
+        out = ckpt.save_checkpoint(path, self.state, self.config,
+                                   self.statistics.to_dict())
+        self.observers.notify("on_checkpoint", self, out)
+        return out
+
+    def load_checkpoint(self, path: str) -> None:
+        from ..utils import checkpoint as ckpt
+        state, _cfg_dict, stats = ckpt.load_checkpoint(path)
+        if self._accel_fn is None:
+            self.initialize(state=state)
+        else:
+            self.state = state
+        if stats:
+            for k, v in stats.items():
+                if hasattr(self.statistics, k):
+                    setattr(self.statistics, k, v)
+        self.lifecycle = LifecycleState.INITIALIZED
+
+    def _periodic_checkpoint(self) -> None:
+        import os
+        cfg = self.config
+        outdir = cfg.simulation.output_directory
+        os.makedirs(outdir, exist_ok=True)
+        path = os.path.join(
+            outdir, f"checkpoint_{self.statistics.total_steps:06d}")
+        self.save_checkpoint(path)
+
+    # -- observers ------------------------------------------------------------
+    def add_observer(self, observer: Observer) -> None:
+        self.observers.add(observer)
+
+    def remove_observer(self, observer: Observer) -> None:
+        self.observers.remove(observer)
+
+
+class SimulationBuilder:
+    """Fluent builder (reference: SimulationBuilder,
+    include/core/simulation_engine.hpp:196-220,
+    src/core/simulation_engine.cpp:381-459)."""
+
+    def __init__(self):
+        self._config = SimulationConfig()
+        self._observers: list[Observer] = []
+        self._state: SimState | None = None
+
+    def with_config_file(self, path: str) -> "SimulationBuilder":
+        self._config = SimulationConfig.from_file(path)
+        return self
+
+    def with_config(self, config: SimulationConfig) -> "SimulationBuilder":
+        self._config = config
+        return self
+
+    def with_particles(self, n: int) -> "SimulationBuilder":
+        self._config.particles.num_particles = int(n)
+        return self
+
+    def with_box_size(self, box: float) -> "SimulationBuilder":
+        self._config.particles.box_size = float(box)
+        return self
+
+    def with_time_step(self, dt: float) -> "SimulationBuilder":
+        self._config.time.initial_timestep = float(dt)
+        return self
+
+    def with_force_computer(self, type_name: str, **params
+                            ) -> "SimulationBuilder":
+        self._config.forces.type = type_name
+        for k, v in params.items():
+            setattr(self._config.forces, k, v)
+        return self
+
+    def with_integrator(self, type_name: str = "LeapfrogIntegrator",
+                        **params) -> "SimulationBuilder":
+        self._config.integration.type = type_name
+        for k, v in params.items():
+            setattr(self._config.integration, k, v)
+        return self
+
+    def with_cosmology(self, **params) -> "SimulationBuilder":
+        for k, v in params.items():
+            setattr(self._config.cosmology, k, v)
+        return self
+
+    def with_initial_conditions(self, type_name: str, **params
+                                ) -> "SimulationBuilder":
+        ic = self._config.particles.initial_conditions
+        ic.type = type_name
+        for k, v in params.items():
+            setattr(ic, k, v)
+        return self
+
+    def with_initial_state(self, state: SimState) -> "SimulationBuilder":
+        self._state = state
+        return self
+
+    def with_observer(self, observer: Observer) -> "SimulationBuilder":
+        self._observers.append(observer)
+        return self
+
+    def with_units(self, system: str = "cosmological", G: float | None = None,
+                   H0_internal: float | None = None) -> "SimulationBuilder":
+        u = self._config.units
+        u.system = system
+        if system == "box":
+            u.G = 1.0 if G is None else G
+            u.H0_internal = 0.1 if H0_internal is None else H0_internal
+        if G is not None:
+            u.G = G
+        if H0_internal is not None:
+            u.H0_internal = H0_internal
+        return self
+
+    def enable_mesh(self, enabled: bool = True, **axes) -> "SimulationBuilder":
+        self._config.compute.mesh.enabled = enabled
+        if axes:
+            self._config.compute.mesh.axes = axes
+        return self
+
+    def build(self) -> SimulationEngine:
+        engine = SimulationEngine(self._config, self._observers)
+        engine.initialize(state=self._state)
+        return engine

@@ -1,0 +1,220 @@
+"""End-to-end engine tests: builder, lifecycle, run loop, observers,
+energy conservation, checkpoint/resume bit-exactness.
+
+This reproduces the reference's de-facto test, cuda_nbody_test
+(examples/cuda_nbody_test.cpp:9-101) -- N-body KDK steps with energy
+tracking -- as a real pytest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lambda_cdm_tpu import (EnergyMonitor, LifecycleState, SimulationBuilder,
+                            SimulationConfig, SimulationEngine)
+from lambda_cdm_tpu.core.state import random_state
+
+
+def small_config(n=128, solver="direct_reference"):
+    cfg = SimulationConfig()
+    cfg.particles.num_particles = n
+    cfg.particles.box_size = 50.0
+    cfg.particles.initial_conditions.type = "uniform_random"
+    cfg.forces.type = solver
+    cfg.forces.softening_length = 0.5
+    cfg.time.initial_timestep = 1e-4
+    cfg.time.final_time = 1e9
+    cfg.cosmology.initial_redshift = 49.0
+    cfg.simulation.output_frequency = 5
+    cfg.simulation.checkpoint_frequency = 0
+    cfg.profiling.output_file = ""
+    cfg.units.system = "box"
+    cfg.units.G = 1.0
+    cfg.units.H0_internal = 0.1
+    return cfg
+
+
+class TestLifecycle:
+    def test_state_machine(self):
+        eng = SimulationEngine(small_config())
+        assert eng.lifecycle == LifecycleState.UNINITIALIZED
+        eng.initialize()
+        assert eng.lifecycle == LifecycleState.INITIALIZED
+        eng.run(num_steps=10)
+        assert eng.lifecycle == LifecycleState.FINISHED
+        assert eng.statistics.total_steps == 10
+        eng.reset()
+        assert eng.lifecycle == LifecycleState.UNINITIALIZED
+
+    def test_step_before_init_raises(self):
+        eng = SimulationEngine(small_config())
+        with pytest.raises(RuntimeError):
+            eng.step()
+
+    def test_error_state_on_bad_config(self):
+        cfg = small_config()
+        cfg.particles.num_particles = -5
+        eng = SimulationEngine(cfg)
+        with pytest.raises(ValueError):
+            eng.initialize()
+        assert eng.lifecycle == LifecycleState.ERROR
+
+
+class TestBuilder:
+    def test_fluent_build(self):
+        eng = (SimulationBuilder()
+               .with_particles(64)
+               .with_box_size(25.0)
+               .with_time_step(1e-4)
+               .with_force_computer("direct_reference", softening_length=0.3)
+               .with_cosmology(initial_redshift=9.0)
+               .with_initial_conditions("uniform_random")
+               .with_units("box", G=1.0, H0_internal=0.1)
+               .build())
+        assert eng.lifecycle == LifecycleState.INITIALIZED
+        assert eng.state.num_particles == 64
+        assert float(eng.state.scale_factor) == pytest.approx(0.1)
+
+    def test_initial_state_passthrough(self):
+        st = random_state(jax.random.PRNGKey(3), 32, 25.0)
+        eng = (SimulationBuilder()
+               .with_particles(32).with_box_size(25.0)
+               .with_initial_state(st)
+               .with_force_computer("direct_reference")
+               .build())
+        np.testing.assert_array_equal(np.asarray(eng.state.positions),
+                                      np.asarray(st.positions))
+
+
+class TestRunLoop:
+    def test_steps_advance_state(self):
+        eng = SimulationEngine(small_config())
+        eng.initialize()
+        a0 = float(eng.state.scale_factor)
+        eng.run(num_steps=20)
+        assert int(eng.state.step) == 20
+        assert float(eng.state.scale_factor) > a0
+
+    def test_observer_hooks_fire(self):
+        from lambda_cdm_tpu.core.observers import Observer
+
+        calls = []
+
+        class Spy(Observer):
+            def on_simulation_start(self, engine):
+                calls.append("start")
+
+            def on_step_end(self, engine, step):
+                calls.append(f"step{step}")
+
+            def on_simulation_end(self, engine):
+                calls.append("end")
+
+        eng = SimulationEngine(small_config(), observers=[Spy()])
+        eng.initialize()
+        eng.run(num_steps=10)
+        assert calls[0] == "start" and calls[-1] == "end"
+        assert any(c.startswith("step") for c in calls)
+
+    def test_stops_at_final_redshift(self):
+        cfg = small_config()
+        cfg.cosmology.initial_redshift = 1.0
+        cfg.cosmology.final_redshift = 0.9
+        cfg.units.H0_internal = 100.0
+        cfg.time.initial_timestep = 1e-5
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        eng.run(num_steps=100000)
+        z = float(eng.state.redshift)
+        assert z <= 0.9 + 1e-3
+        assert eng.statistics.total_steps < 100000
+
+    def test_energy_conservation_quiet_start(self):
+        """Cold uniform particles, tiny dt, Newtonian-ish: dE/E < 1e-3
+        (reference claims <0.1%; CLAUDE.md:256)."""
+        cfg = small_config(n=256)
+        cfg.cosmology.model = "Newtonian"
+        monitor = EnergyMonitor()
+        eng = SimulationEngine(cfg, observers=[monitor])
+        eng.initialize()
+        # give particles small velocities
+        st = eng.state
+        vel = 0.01 * jax.random.normal(jax.random.PRNGKey(1),
+                                       st.velocities.shape)
+        eng.state = st.replace(velocities=vel)
+        eng.run(num_steps=50)
+        assert monitor.history[-1]["relative_error"] < 1e-3
+
+    def test_momentum_conserved(self):
+        cfg = small_config(n=128)
+        cfg.cosmology.model = "Newtonian"
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        eng.run(num_steps=30)
+        p = np.asarray(eng.momentum())
+        assert np.max(np.abs(p)) < 1e-2
+
+
+class TestEnergyAPI:
+    def test_compute_energy_real(self):
+        eng = SimulationEngine(small_config())
+        eng.initialize()
+        e = eng.compute_energy()
+        assert float(e["kinetic"]) >= 0
+        assert float(e["potential"]) < 0
+        assert np.isfinite(float(e["total"]))
+
+
+class TestCheckpoint:
+    def test_roundtrip_bit_exact(self, tmp_path):
+        eng = SimulationEngine(small_config())
+        eng.initialize()
+        eng.run(num_steps=10)
+        path = str(tmp_path / "ckpt")
+        eng.save_checkpoint(path)
+
+        eng2 = SimulationEngine(small_config())
+        eng2.load_checkpoint(path)
+        np.testing.assert_array_equal(np.asarray(eng2.state.positions),
+                                      np.asarray(eng.state.positions))
+        np.testing.assert_array_equal(np.asarray(eng2.state.velocities),
+                                      np.asarray(eng.state.velocities))
+        assert int(eng2.state.step) == int(eng.state.step)
+
+    def test_resume_continues_identically(self, tmp_path):
+        """checkpoint at step 10, run to 20 -> identical to straight 20."""
+        cfg = small_config()
+        eng_a = SimulationEngine(cfg)
+        eng_a.initialize()
+        eng_a.run(num_steps=10)
+        path = str(tmp_path / "mid")
+        eng_a.save_checkpoint(path)
+        eng_a.run(num_steps=10)
+
+        eng_b = SimulationEngine(small_config())
+        eng_b.load_checkpoint(path)
+        eng_b.run(num_steps=10)
+        np.testing.assert_allclose(np.asarray(eng_b.state.positions),
+                                   np.asarray(eng_a.state.positions),
+                                   atol=1e-6)
+
+    def test_snapshot_fields(self, tmp_path):
+        from lambda_cdm_tpu.utils.checkpoint import load_snapshot
+        eng = SimulationEngine(small_config())
+        eng.initialize()
+        path = eng.save_snapshot(str(tmp_path / "snap"))
+        st, meta = load_snapshot(path)
+        assert st.positions.shape == eng.state.positions.shape
+        assert "config" in meta
+
+
+class TestStatistics:
+    def test_populated(self):
+        eng = SimulationEngine(small_config())
+        eng.initialize()
+        eng.run(num_steps=10)
+        st = eng.statistics
+        assert st.total_steps == 10
+        assert st.particle_updates_per_second > 0
+        assert st.current_scale_factor > 0
