@@ -88,8 +88,10 @@ class ForceConfig:
     name: str = "MainForceComputer"
     softening_length: float = 0.01
     opening_angle: float = 0.5          # accepted for config compat (tree)
-    pm_grid_size: int = 0               # 0 -> auto (cbrt(N/8) heuristic)
-    cutoff_cells: int = 3               # treepm short-range radius in mesh cells
+    pm_grid_size: int = 0               # 0 -> auto (cbrt(N*2) heuristic)
+    split_factor: float = 1.25          # treepm rs in PM cells
+    cut_factor: float = 4.5             # treepm r_cut in units of rs
+    bucket_capacity: int = 0            # 0 -> auto (4x mean occupancy)
     force_kernel: str = "newtonian"     # newtonian | modified_gravity
     modified_gravity_strength: float = 0.0
     precision: str = "float32"          # pallas accumulate precision

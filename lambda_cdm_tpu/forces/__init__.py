@@ -53,12 +53,29 @@ def create_force_computer(config: SimulationConfig) -> Callable[[SimState], obje
     if name not in _REGISTRY:
         fallback = config.forces.fallback
         if fallback in _REGISTRY:
+            import logging
+            logging.getLogger("lambda_cdm_tpu").warning(
+                "force computer %r not registered; falling back to %r",
+                name, fallback)
             name = fallback
         else:
             raise KeyError(
                 f"unknown force computer {config.forces.type!r}; "
                 f"available: {available_force_computers()}")
     return _REGISTRY[name](config)
+
+
+def auto_pm_grid(config: SimulationConfig) -> int:
+    """PM mesh size: configured value or ~2 cells per particle dimension
+    (power-of-two >= cbrt(2N); cf. get_recommended_parameters PM heuristic,
+    force_computer_factory.cpp:97-104)."""
+    if config.forces.pm_grid_size > 0:
+        return int(config.forces.pm_grid_size)
+    n = config.particles.num_particles
+    ng = 16
+    while ng ** 3 < 8 * n and ng < 1024:   # ng ~ 2 * N^(1/3)
+        ng *= 2
+    return ng
 
 
 def select_optimal_method(num_particles: int, has_tpu: bool = True) -> str:
@@ -128,4 +145,32 @@ def _build_direct(config: SimulationConfig):
         return _direct.direct_accelerations_chunked(
             state.positions, state.masses, box, soft, g, mg,
             chunk_size=chunk)
+    return accel_fn
+
+
+@register_force_computer("pm")
+def _build_pm(config: SimulationConfig):
+    box, soft, g, mg = _common(config)
+    ng = auto_pm_grid(config)
+
+    def accel_fn(state: SimState):
+        from .pm import pm_accelerations
+        return (1.0 + mg) * pm_accelerations(
+            state.positions, state.masses, ng, box, g)
+    return accel_fn
+
+
+@register_force_computer("treepm")
+def _build_treepm(config: SimulationConfig):
+    box, soft, g, mg = _common(config)
+    f = config.forces
+    ng = auto_pm_grid(config)
+
+    def accel_fn(state: SimState):
+        from .treepm import treepm_accelerations
+        return (1.0 + mg) * treepm_accelerations(
+            state.positions, state.masses, box, pm_grid=ng,
+            softening=soft, g_const=g,
+            split_factor=f.split_factor, cut_factor=f.cut_factor,
+            capacity=f.bucket_capacity)
     return accel_fn

@@ -1,0 +1,123 @@
+"""Particle-mesh (PM) gravity solver: CIC deposit -> FFT Poisson ->
+spectral gradient -> CIC gather. Pure JAX, fully on-device.
+
+This delivers the reference's O(N log N) long-range capability (the role of
+its GPU Barnes-Hut LBVH, src/forces/barnes_hut_tree.cu, and the PM computer
+it declared but never implemented, include/forces/force_computer_factory.hpp:
+14-16) the TPU way: FFTs and gathers map onto XLA's fused dataflow instead
+of pointer-chasing tree traversals (SURVEY.md section 7 design stance).
+
+Physics: periodic Poisson equation
+    lap(phi) = 4 pi G (rho - rho_bar)
+    phi_k    = -4 pi G rho_k / k^2      (DC mode zeroed)
+    acc      = -grad(phi),  acc_k = -i k phi_k
+with optional Gaussian force-split filter exp(-k^2 rs^2) for the TreePM
+long-range part (Gadget-style split), and optional CIC-window
+deconvolution (applied twice: deposit + gather).
+
+Accuracy vs direct summation is validated in tests (the accuracy-harness
+pattern of examples/barnes_hut_test.cu:148-202).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..analysis.power_spectrum import cic_deposit, assignment_window
+from ..physics.initial_conditions import fourier_grid
+
+
+def poisson_greens_function(ng: int, box_size: float, *, split_scale=0.0,
+                            deconvolve_cic: bool = True):
+    """-4 pi / k^2 (unit G) times optional Gaussian split and CIC^-2
+    window. Returns [ng, ng, ng//2+1] float32."""
+    kx, ky, kz, k2 = fourier_grid(ng, box_size)
+    inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    green = -4.0 * jnp.pi * inv_k2
+    if split_scale and split_scale > 0:
+        green = green * jnp.exp(-k2 * split_scale * split_scale)
+    if deconvolve_cic:
+        w = assignment_window(ng, box_size, "cic")
+        green = green / (w * w)
+    return green.astype(jnp.float32)
+
+
+def cic_gather(field, positions, ng: int, box_size):
+    """Trilinear interpolation of a grid field at particle positions --
+    the exact adjoint of cic_deposit (same cell-centred convention), which
+    guarantees momentum conservation (no self-force) in the PM force."""
+    u = positions / box_size * ng
+    i0 = jnp.floor(u - 0.5).astype(jnp.int32)
+    frac = (u - 0.5) - i0
+    out = jnp.zeros(positions.shape[:1], field.dtype)
+    flat = field.ravel()
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
+        ix = (i0[:, 0] + dx) % ng
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
+            iy = (i0[:, 1] + dy) % ng
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - frac[:, 2], frac[:, 2])
+                iz = (i0[:, 2] + dz) % ng
+                idx = (ix * ng + iy) * ng + iz
+                out = out + flat[idx] * (wx * wy * wz)
+    return out
+
+
+@partial(jax.jit, static_argnames=("ng", "split_scale", "deconvolve_cic"))
+def pm_accelerations(positions, masses, ng: int, box_size,
+                     g_const=1.0, *, split_scale=0.0,
+                     deconvolve_cic: bool = True):
+    """PM accelerations [N, 3].
+
+    positions in [0, box); `split_scale` > 0 gives only the long-range
+    (Gaussian-filtered) force for TreePM composition.
+    """
+    box_size = jnp.asarray(box_size, jnp.float32)
+    cell_volume = (box_size / ng) ** 3
+
+    # mass -> density grid
+    grid = cic_deposit(positions, ng, box_size, weights=masses)
+    rho_k = jnp.fft.rfftn(grid / cell_volume)
+
+    green = poisson_greens_function(
+        ng, box_size, split_scale=split_scale,
+        deconvolve_cic=deconvolve_cic)
+    phi_k = green * rho_k
+
+    kx, ky, kz, _ = fourier_grid(ng, box_size)
+    acc = []
+    for kvec in (kx, ky, kz):
+        acc_k = -1j * kvec * phi_k        # acc = -grad phi
+        acc_grid = jnp.fft.irfftn(acc_k, s=(ng, ng, ng))
+        acc.append(cic_gather(acc_grid, positions, ng, box_size))
+    return g_const * jnp.stack(acc, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("ng",))
+def pm_potential(positions, masses, ng: int, box_size, g_const=1.0):
+    """Gravitational potential at particle positions (PM estimate) --
+    feeds the lensing raytracer and energy diagnostics."""
+    box_size = jnp.asarray(box_size, jnp.float32)
+    cell_volume = (box_size / ng) ** 3
+    grid = cic_deposit(positions, ng, box_size, weights=masses)
+    rho_k = jnp.fft.rfftn(grid / cell_volume)
+    green = poisson_greens_function(ng, box_size)
+    phi = jnp.fft.irfftn(green * rho_k, s=(ng, ng, ng))
+    return g_const * cic_gather(phi, positions, ng, box_size)
+
+
+def potential_grid(positions, masses, ng: int, box_size, g_const=1.0,
+                   *, deconvolve_cic: bool = True):
+    """Peculiar-potential grid phi [ng,ng,ng] (for raytracing lens planes)."""
+    box_size = jnp.asarray(box_size, jnp.float32)
+    cell_volume = (box_size / ng) ** 3
+    grid = cic_deposit(positions, ng, box_size, weights=masses)
+    rho_k = jnp.fft.rfftn(grid / cell_volume)
+    green = poisson_greens_function(ng, box_size,
+                                    deconvolve_cic=deconvolve_cic)
+    return g_const * jnp.fft.irfftn(green * rho_k, s=(ng, ng, ng))

@@ -1,0 +1,183 @@
+"""TreePM gravity: PM long-range + cell-bucketed short-range pairwise.
+
+This replaces the reference's Barnes-Hut tree family (GPU LBVH
+src/forces/barnes_hut_tree.cu, CPU octree src/forces/tree_force_computer.cpp)
+with the TPU-idiomatic O(N) short-range + O(ng^3 log ng) long-range split
+(SURVEY.md section 7: pointer-chasing trees are explicitly not ported; their
+capability -- better-than-O(N^2) scaling with direct-sum-level accuracy --
+is delivered by this solver).
+
+Force split (Gadget-style Gaussian):
+    long:  Green's function x exp(-k^2 rs^2)      (forces/pm.py)
+    short: a_ij = G m_j dx/r^3 * S(r),
+           S(r) = erfc(r/2rs) + (r/(rs sqrt(pi))) exp(-r^2/4rs^2)
+    S is negligible beyond r_cut ~ 4.5-5 rs, so short-range pairs are
+    confined to 27 neighbor cells of size >= r_cut.
+
+Static-shape machinery (XLA requirement; SURVEY.md section 5 "fixed-capacity
+buckets with masking"):
+    sort particles by cell id -> rank-in-cell -> scatter into
+    [ncell^3, CAPACITY] buckets (overflow counted, not silently dropped) ->
+    27 rolled-neighbor pairwise passes, scanned over x-slabs to bound
+    memory -> gather per-particle accelerations back through the bucket
+    permutation. Overflowing particles (beyond CAPACITY) fall back to the
+    PM-only force for that step; the overflow count is returned so callers
+    can re-bucket with a bigger capacity.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pm import pm_accelerations
+from .direct import min_image
+
+
+def short_range_factor(r, rs):
+    """S(r): the erfc short-range truncation of the Gaussian split."""
+    x = r / (2.0 * rs)
+    return jax.lax.erfc(x) + (r / (rs * jnp.sqrt(jnp.pi))) * jnp.exp(-x * x)
+
+
+def treepm_plan(num_particles: int, box_size: float, pm_grid: int,
+                *, split_factor: float = 1.25, cut_factor: float = 4.5,
+                capacity: int = 0) -> dict:
+    """Static geometry for the short-range pass (computed at trace time).
+
+    rs = split_factor * (box/pm_grid); r_cut = cut_factor * rs; cells of
+    size >= r_cut. cf. get_recommended_parameters heuristics
+    (force_computer_factory.cpp:81-113).
+    """
+    rs = split_factor * box_size / pm_grid
+    r_cut = cut_factor * rs
+    ncell = max(int(math.floor(box_size / r_cut)), 1)
+    # guard: at least 3 cells per axis for the 27-stencil to make sense
+    if ncell < 3:
+        ncell = 1
+    if capacity <= 0:
+        mean_occ = num_particles / max(ncell ** 3, 1)
+        capacity = int(max(32, math.ceil(4.0 * mean_occ)))
+        capacity = ((capacity + 7) // 8) * 8
+    return {"rs": rs, "r_cut": r_cut, "ncell": ncell, "capacity": capacity}
+
+
+@partial(jax.jit, static_argnames=("ncell", "capacity"))
+def bucket_particles(positions, masses, box_size, *, ncell: int,
+                     capacity: int):
+    """Sort particles into [ncell^3, capacity] cell buckets.
+
+    Returns (bucket_pos [C,K,3], bucket_mass [C,K], particle_slot [N],
+    overflow_count). particle_slot[p] = flat bucket slot holding particle p,
+    or -1 if it overflowed. Padding has mass 0 (so it contributes no force).
+    """
+    n = positions.shape[0]
+    ncells = ncell ** 3
+    cell = jnp.floor(positions / box_size * ncell).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, ncell - 1)
+    cid = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
+
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+    pos_s = positions[order]
+    mass_s = masses[order]
+
+    # rank within own cell = index - first index of that cid (sorted)
+    start = jnp.searchsorted(cid_s, cid_s, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - start.astype(jnp.int32)
+    ok = rank < capacity
+    slot = jnp.where(ok, cid_s * capacity + rank, ncells * capacity)
+
+    bpos = jnp.zeros((ncells * capacity, 3), positions.dtype)
+    bmass = jnp.zeros((ncells * capacity,), masses.dtype)
+    bpos = bpos.at[slot].set(pos_s, mode="drop")
+    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop")
+
+    # map original particle index -> its slot (-1 on overflow)
+    pslot = jnp.full((n,), -1, jnp.int32)
+    pslot = pslot.at[order].set(
+        jnp.where(ok, slot, -1).astype(jnp.int32))
+    overflow = jnp.sum(~ok)
+    return (bpos.reshape(ncells, capacity, 3),
+            bmass.reshape(ncells, capacity), pslot, overflow)
+
+
+@partial(jax.jit, static_argnames=("ncell", "capacity"))
+def short_range_bucketed(bucket_pos, bucket_mass, box_size, rs, softening,
+                         *, ncell: int, capacity: int):
+    """Short-range accelerations for every bucket slot -> [C, K, 3].
+
+    27 neighbor passes via jnp.roll on the [nc,nc,nc,K,...] lattice,
+    scanned over x-slabs so the pairwise temp is [nc^2 * K, K] per slab.
+    """
+    nc, k = ncell, capacity
+    bp = bucket_pos.reshape(nc, nc, nc, k, 3)
+    bm = bucket_mass.reshape(nc, nc, nc, k)
+    soft2 = softening * softening
+    acc = jnp.zeros_like(bp)
+
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                np_pos = jnp.roll(bp, shift=(-ox, -oy, -oz), axis=(0, 1, 2))
+                np_mass = jnp.roll(bm, shift=(-ox, -oy, -oz), axis=(0, 1, 2))
+
+                def slab(carry, xs):
+                    cp, cm_nb_pos, nb_mass = xs
+                    # cp: [nc,nc,K,3] center positions for this x-slab
+                    # cm_nb_pos: [nc,nc,K,3] neighbor positions
+                    dx = min_image(cm_nb_pos[:, :, None, :, :]
+                                   - cp[:, :, :, None, :], box_size)
+                    r2 = jnp.sum(dx * dx, axis=-1) + soft2
+                    r = jnp.sqrt(r2)
+                    s = short_range_factor(r, rs)
+                    w = nb_mass[:, :, None, :] * s / (r2 * r)
+                    return carry, jnp.sum(w[..., None] * dx, axis=3)
+
+                _, a = jax.lax.scan(
+                    slab, None, (bp, np_pos, np_mass))
+                acc = acc + a
+    return acc.reshape(nc ** 3, k, 3)
+
+
+def treepm_accelerations(positions, masses, box_size, *, pm_grid: int,
+                         softening=0.01, g_const=1.0,
+                         split_factor: float = 1.25,
+                         cut_factor: float = 4.5, capacity: int = 0,
+                         return_diagnostics: bool = False):
+    """Full TreePM accelerations [N,3] = PM(long) + bucketed short-range.
+
+    For boxes too small to host a 3^3 cell lattice the solver degrades to
+    pure PM with an unsplit Green's function (exact same API).
+    """
+    n = positions.shape[0]
+    plan = treepm_plan(n, float(box_size), pm_grid,
+                       split_factor=split_factor, cut_factor=cut_factor,
+                       capacity=capacity)
+    ncell, cap, rs = plan["ncell"], plan["capacity"], plan["rs"]
+
+    if ncell == 1:
+        acc = pm_accelerations(positions, masses, pm_grid, box_size,
+                               g_const, split_scale=0.0)
+        return (acc, {"overflow": jnp.zeros((), jnp.int32), **plan}) \
+            if return_diagnostics else acc
+
+    acc_long = pm_accelerations(positions, masses, pm_grid, box_size,
+                                g_const, split_scale=rs)
+
+    bpos, bmass, pslot, overflow = bucket_particles(
+        positions, masses, box_size, ncell=ncell, capacity=cap)
+    acc_short_b = short_range_bucketed(
+        bpos, bmass, box_size, rs, softening, ncell=ncell, capacity=cap)
+
+    flat = acc_short_b.reshape(-1, 3)
+    safe_slot = jnp.maximum(pslot, 0)
+    acc_short = jnp.where((pslot >= 0)[:, None], flat[safe_slot], 0.0)
+    acc = acc_long + g_const * acc_short
+
+    if return_diagnostics:
+        return acc, {"overflow": overflow, **plan}
+    return acc

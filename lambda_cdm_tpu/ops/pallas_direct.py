@@ -1,0 +1,168 @@
+"""Pallas TPU kernel: tiled O(N^2) softened pairwise gravity.
+
+This is the TPU-native replacement for the reference's CUDA force kernels
+(compute_forces_tiled's 256-wide shared-memory tiles,
+src/physics/lambda_cdm_kernels.cu:144-221, and the TensorRT NBodyForce
+plugin's fused fp16 kernel, src/tensorrt/nbody_plugins.cu:53-129): one
+compiled kernel that streams j-particle tiles from HBM through VMEM with
+double-buffered async DMA while an i-resident tile accumulates
+accelerations on the VPU.
+
+Layout notes (why this isn't a CUDA translation):
+  * particles are stored as a [4, Np] structure-of-arrays (x, y, z, m) so
+    the particle index lands on the 128-wide lane dimension;
+  * the pairwise interaction matrix is computed componentwise as
+    [TILE_I, TILE_J] VPU tiles via rank-broadcasting ([TI,1] vs [1,TJ]),
+    never materializing an [N, N, 3] tensor;
+  * periodic minimum-image wrapping is fused into the tile computation;
+  * padding particles carry zero mass, so no bounds masking is needed in
+    the inner loop (their contribution is exactly 0), and the softened
+    r^2 >= eps^2 > 0 keeps the self-interaction term finite with
+    dx = 0 contributing nothing.
+
+Accumulation is fp32 (the 1e-3-vs-fp64 fidelity bar; SURVEY.md section 7
+"Hard parts"). Inputs may be bf16 for HBM-bandwidth savings at large N --
+coordinates are upcast in VMEM before squaring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# i-tile resident rows (sublanes) and j-tile streamed lanes per DMA chunk
+TILE_I = 256
+TILE_J = 2048
+
+
+def _direct_kernel(pts_hbm, out_ref, *, box_size, softening2, n_j_tiles,
+                   periodic):
+    """One grid instance: accelerations for an i-tile of TILE_I particles.
+
+    pts_hbm: [4, Np] (x,y,z,m) in ANY/HBM -- j-tiles DMA'd on demand.
+    out_ref: [4, TILE_I] VMEM block (rows ax, ay, az, unused).
+    """
+    i = pl.program_id(0)
+    inv_box = 1.0 / box_size
+
+    def body(jbuf, ibuf, acc, sem):
+        # bring the i-tile into VMEM once, then transpose to column layout
+        idma = pltpu.make_async_copy(
+            pts_hbm.at[:, pl.ds(i * TILE_I, TILE_I)], ibuf, sem.at[2])
+        idma.start()
+        idma.wait()
+        xi = jnp.transpose(ibuf[0:1, :])        # [TILE_I, 1]
+        yi = jnp.transpose(ibuf[1:2, :])
+        zi = jnp.transpose(ibuf[2:3, :])
+
+        def get_dma(slot, jc):
+            return pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(jc * TILE_J, TILE_J)],
+                jbuf.at[slot], sem.at[slot])
+
+        get_dma(0, 0).start()
+        acc[...] = jnp.zeros_like(acc)
+
+        def j_step(jc, _):
+            slot = jc % 2
+            nxt = (jc + 1) % 2
+
+            @pl.when(jc + 1 < n_j_tiles)
+            def _():
+                get_dma(nxt, jc + 1).start()
+
+            get_dma(slot, jc).wait()
+
+            xj = jbuf[slot, 0:1, :].astype(jnp.float32)   # [1, TILE_J]
+            yj = jbuf[slot, 1:2, :].astype(jnp.float32)
+            zj = jbuf[slot, 2:3, :].astype(jnp.float32)
+            mj = jbuf[slot, 3:4, :].astype(jnp.float32)
+
+            dx = xj - xi                                   # [TI, TJ]
+            dy = yj - yi
+            dz = zj - zi
+            if periodic:
+                # minimum image (reference wraps identically,
+                # lambda_cdm_kernels.cu:30-37)
+                dx = dx - box_size * jnp.round(dx * inv_box)
+                dy = dy - box_size * jnp.round(dy * inv_box)
+                dz = dz - box_size * jnp.round(dz * inv_box)
+            r2 = dx * dx + dy * dy + dz * dz + softening2
+            inv_r = jax.lax.rsqrt(r2)
+            w = mj * (inv_r * inv_r * inv_r)               # m_j / r^3
+            acc[:, 0:1] += jnp.sum(w * dx, axis=1, keepdims=True)
+            acc[:, 1:2] += jnp.sum(w * dy, axis=1, keepdims=True)
+            acc[:, 2:3] += jnp.sum(w * dz, axis=1, keepdims=True)
+            return ()
+
+        jax.lax.fori_loop(0, n_j_tiles, j_step, ())
+
+        out_ref[0:3, :] = jnp.transpose(acc[:, 0:3])
+        out_ref[3:4, :] = jnp.zeros((1, TILE_I), jnp.float32)
+
+    pl.run_scoped(
+        body,
+        jbuf=pltpu.VMEM((2, 4, TILE_J), pts_hbm.dtype),
+        ibuf=pltpu.VMEM((4, TILE_I), pts_hbm.dtype),
+        acc=pltpu.VMEM((TILE_I, 8), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "box_size", "softening", "periodic", "interpret"))
+def pallas_direct_accelerations(positions, masses, box_size, softening=0.01,
+                                g_const=1.0, *, periodic: bool = True,
+                                interpret: bool = False):
+    """Softened pairwise accelerations [N,3] via the tiled Pallas kernel.
+
+    Drop-in replacement for forces.direct.direct_accelerations (same
+    minimum-image PBC convention); this is the production single-chip path
+    the `direct` force computer dispatches to on TPU. `box_size` and
+    `softening` are compile-time constants (fixed per simulation), folded
+    straight into the kernel. Requires softening > 0 (keeps the fused
+    self-interaction term finite).
+    """
+    box_size = float(box_size)
+    softening = float(softening)
+    if softening <= 0.0:
+        raise ValueError("pallas direct kernel requires softening > 0")
+    n = positions.shape[0]
+    tile = max(TILE_I, TILE_J)
+    n_pad = ((n + tile - 1) // tile) * tile
+
+    pts = jnp.zeros((4, n_pad), jnp.float32)
+    pts = pts.at[0:3, :n].set(positions.T.astype(jnp.float32))
+    pts = pts.at[3, :n].set(masses.astype(jnp.float32))
+
+    n_i_tiles = n_pad // TILE_I
+    n_j_tiles = n_pad // TILE_J
+
+    kernel = functools.partial(
+        _direct_kernel, box_size=box_size,
+        softening2=softening * softening, n_j_tiles=n_j_tiles,
+        periodic=periodic)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_i_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((4, TILE_I), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad * n_pad * 22,
+            bytes_accessed=n_pad * 16 * (n_i_tiles + 1),
+            transcendentals=n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(pts)
+
+    return g_const * out[0:3, :n].T

@@ -1,0 +1,209 @@
+"""Capacity-bounded particle migration + ghost-zone exchange over ICI.
+
+TPU-native rebuild of the reference's MPI particle plumbing:
+  * `migrate_particles`  <- ClusterCommunicator::exchange_particles
+    (ownership test -> per-rank export lists -> MPI_Alltoall counts ->
+    MPI_Alltoallv bytes, src/mpi/cluster_comm.cpp:90-164)
+  * `exchange_ghosts`    <- exchange_ghost_particles (expanded-box ghost
+    predicate -> MPI_Sendrecv per neighbor, cluster_comm.cpp:166-206)
+  * `find_owner`         <- find_owner_rank (cluster_comm.cpp:280-312)
+
+TPU collectives need static shapes, so variable-length Alltoallv becomes
+fixed-capacity bucket exchange with masking (SURVEY.md section 5): each
+device fills a [n_dev, capacity] send buffer (zero-mass padding), one
+`all_to_all` moves buckets, and overflow is *counted and reported*, never
+silently dropped -- callers grow capacity and retry (the engine sizes
+capacity with compute.mesh.migrate_capacity_factor headroom).
+
+Ownership is a 1D x-slab decomposition: device d owns x in
+[d, d+1) * box/n_dev, matching the mesh/grid slab sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import SHARD_AXIS
+
+
+def pad_particles(positions, velocities, masses, *, n_dev: int,
+                  factor: float = 1.5):
+    """Over-allocate local rows so slab occupancy can fluctuate without
+    migration overflow: returns arrays with
+    N_alloc = ceil(factor * N / n_dev) * n_dev rows, zero-mass padding
+    (compute.mesh.migrate_capacity_factor headroom knob). Padding rows are
+    inert everywhere: zero mass -> zero force contribution, excluded from
+    diagnostics and exchanges."""
+    n = positions.shape[0]
+    import math
+    n_alloc = int(math.ceil(factor * n / n_dev)) * n_dev
+    pad = n_alloc - n
+    if pad == 0:
+        return positions, velocities, masses
+    return (jnp.pad(positions, ((0, pad), (0, 0))),
+            jnp.pad(velocities, ((0, pad), (0, 0))),
+            jnp.pad(masses, (0, pad)))
+
+
+def find_owner(positions, box_size, n_dev: int):
+    """Owning device id per particle (x-slab decomposition)."""
+    d = jnp.floor(positions[:, 0] / box_size * n_dev).astype(jnp.int32)
+    return jnp.clip(d, 0, n_dev - 1)
+
+
+def _bucket_by_owner(pos, vel, mass, owner, my_id, n_dev, capacity):
+    """Fill [n_dev, capacity] send buffers from local arrays.
+
+    Slot assignment via rank-within-destination (sort-free: cumsum of
+    one-hot). Overflow slots (rank >= capacity) are counted.
+    """
+    n = pos.shape[0]
+    onehot = (owner[:, None] == jnp.arange(n_dev)[None, :]).astype(jnp.int32)
+    rank = jnp.cumsum(onehot, axis=0) - 1          # [n, n_dev]
+    my_rank = jnp.take_along_axis(rank, owner[:, None], axis=1)[:, 0]
+    ok = my_rank < capacity
+    slot = jnp.where(ok, owner * capacity + my_rank, n_dev * capacity)
+
+    def scatter(buf, vals):
+        return buf.at[slot].set(vals, mode="drop")
+
+    bpos = scatter(jnp.zeros((n_dev * capacity, 3), pos.dtype), pos)
+    bvel = scatter(jnp.zeros((n_dev * capacity, 3), vel.dtype), vel)
+    bmass = scatter(jnp.zeros((n_dev * capacity,), mass.dtype),
+                    jnp.where(ok, mass, 0.0))
+    overflow = jnp.sum(~ok & (mass > 0))
+    return (bpos.reshape(n_dev, capacity, 3),
+            bvel.reshape(n_dev, capacity, 3),
+            bmass.reshape(n_dev, capacity), overflow)
+
+
+@partial(jax.jit, static_argnames=("capacity", "mesh", "axis_name",
+                                   "box_size"))
+def migrate_particles(positions, velocities, masses, *, box_size,
+                      capacity: int, mesh: Mesh,
+                      axis_name: str = SHARD_AXIS):
+    """Re-home particles to their owning x-slab device.
+
+    Inputs are [N, ...] sharded along N (N/n_dev local rows per device,
+    zero-mass rows = empty slots). Returns (positions, velocities, masses,
+    overflow_total) with the same static shapes: each device's local rows
+    afterwards hold ONLY particles it owns (zero-mass padding elsewhere).
+    Local capacity per device is n_loc = N/n_dev; `capacity` bounds the
+    per-destination bucket (reference headroom knob:
+    compute.mesh.migrate_capacity_factor).
+    """
+    n_dev = mesh.shape[axis_name]
+
+    def local(pos, vel, mass):
+        my_id = jax.lax.axis_index(axis_name)
+        owner = find_owner(pos, box_size, n_dev)
+        # empty padding rows (mass 0) stay home
+        owner = jnp.where(mass > 0, owner, my_id)
+        bpos, bvel, bmass, ovf = _bucket_by_owner(
+            pos, vel, mass, owner, my_id, n_dev, capacity)
+
+        # all_to_all: dim 0 is the destination-device dim
+        rpos = jax.lax.all_to_all(bpos, axis_name, 0, 0, tiled=False)
+        rvel = jax.lax.all_to_all(bvel, axis_name, 0, 0, tiled=False)
+        rmass = jax.lax.all_to_all(bmass, axis_name, 0, 0, tiled=False)
+        # received: [n_dev, capacity, ...] -> compact into local rows
+        rpos = rpos.reshape(n_dev * capacity, 3)
+        rvel = rvel.reshape(n_dev * capacity, 3)
+        rmass = rmass.reshape(n_dev * capacity)
+
+        n_loc = pos.shape[0]
+        # stable compaction of nonempty received slots into n_loc rows
+        filled = rmass > 0
+        order = jnp.argsort(~filled, stable=True)   # nonempty first
+        take = order[:n_loc]
+        out_pos = jnp.where(filled[take][:, None], rpos[take], 0.0)
+        out_vel = jnp.where(filled[take][:, None], rvel[take], 0.0)
+        out_mass = jnp.where(filled[take], rmass[take], 0.0)
+        # particles beyond n_loc local rows are overflow too
+        recv_overflow = jnp.maximum(jnp.sum(filled) - n_loc, 0)
+        total_ovf = jax.lax.psum(ovf + recv_overflow, axis_name)
+        return out_pos, out_vel, out_mass, total_ovf
+
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()))(
+            positions, velocities, masses)
+    return out
+
+
+@partial(jax.jit, static_argnames=("capacity", "mesh", "axis_name",
+                                   "box_size", "ghost_width"))
+def exchange_ghosts(positions, masses, *, box_size, ghost_width: float,
+                    capacity: int, mesh: Mesh,
+                    axis_name: str = SHARD_AXIS):
+    """Gather ghost particles from the +/-x neighbor slabs.
+
+    Each device receives copies of neighbor particles within `ghost_width`
+    of its slab faces (periodic wrap), as fixed-capacity padded buffers:
+    returns (ghost_pos [2*capacity, 3], ghost_mass [2*capacity],
+    overflow_total). cf. exchange_ghost_particles,
+    cluster_comm.cpp:166-206 (width 0.1 default there).
+    """
+    n_dev = mesh.shape[axis_name]
+    slab = box_size / n_dev
+
+    def local(pos, mass):
+        my_id = jax.lax.axis_index(axis_name)
+        lo = my_id * slab
+        hi = lo + slab
+        # candidates for my right neighbor: x in [hi - w, hi)
+        send_right = (pos[:, 0] >= hi - ghost_width) & (mass > 0)
+        # candidates for my left neighbor: x in [lo, lo + w)
+        send_left = (pos[:, 0] < lo + ghost_width) & (mass > 0)
+
+        def pack(sel):
+            rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            ok = sel & (rank < capacity)
+            slot = jnp.where(ok, rank, capacity)
+            bpos = jnp.zeros((capacity + 1, 3), pos.dtype
+                             ).at[slot].set(jnp.where(ok[:, None], pos, 0.0),
+                                            mode="drop")[:capacity]
+            bm = jnp.zeros((capacity + 1,), mass.dtype
+                           ).at[slot].set(jnp.where(ok, mass, 0.0),
+                                          mode="drop")[:capacity]
+            ovf = jnp.sum(sel & ~ok)
+            return bpos, bm, ovf
+
+        rp, rm, ovf_r = pack(send_right)
+        lp, lm, ovf_l = pack(send_left)
+
+        fwd = [(s, (s + 1) % n_dev) for s in range(n_dev)]
+        bwd = [(s, (s - 1) % n_dev) for s in range(n_dev)]
+        # what I send right arrives as the left-ghosts of my right neighbor
+        from_left_pos = jax.lax.ppermute(rp, axis_name, fwd)
+        from_left_m = jax.lax.ppermute(rm, axis_name, fwd)
+        from_right_pos = jax.lax.ppermute(lp, axis_name, bwd)
+        from_right_m = jax.lax.ppermute(lm, axis_name, bwd)
+
+        gpos = jnp.concatenate([from_left_pos, from_right_pos], axis=0)
+        gmass = jnp.concatenate([from_left_m, from_right_m], axis=0)
+        total_ovf = jax.lax.psum(ovf_r + ovf_l, axis_name)
+        return gpos, gmass, total_ovf
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P()))(positions, masses)
+
+
+def load_imbalance(masses, *, mesh: Mesh, axis_name: str = SHARD_AXIS):
+    """(max-min)/max of per-device live-particle counts -- the reference's
+    rebalance trigger (LoadBalancer::needs_rebalancing > 0.2 spread,
+    cluster_comm.cpp:314-349)."""
+    def local(mass):
+        count = jnp.sum(mass > 0).astype(jnp.float32)
+        cmax = jax.lax.pmax(count, axis_name)
+        cmin = jax.lax.pmin(count, axis_name)
+        return (cmax - cmin) / jnp.maximum(cmax, 1.0)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(axis_name),),
+                         out_specs=P())(masses)

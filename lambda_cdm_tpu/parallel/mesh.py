@@ -1,0 +1,63 @@
+"""Device-mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's MPI topology layer
+(ClusterCommunicator's MPI_Dims_create 3D grid + rank bookkeeping,
+src/mpi/cluster_comm.cpp:25-88, and DomainDecomposer's MPI_Cart_create,
+src/mpi/domain_decomposition.cpp:10-112): a `jax.sharding.Mesh` over ICI
+plays the role of the Cartesian communicator; named axes replace ranks.
+
+The default topology is a 1D 'shard' axis (slab decomposition): particle
+arrays shard along N, mesh arrays shard along their leading (x) axis --
+collectives ride ICI exactly where MPI_Alltoallv/Sendrecv/Allreduce did
+(SURVEY.md section 2.6 mapping table).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SHARD_AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = SHARD_AXIS,
+              devices=None) -> Mesh:
+    """1D device mesh over all (or the first n) devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def particle_sharding(mesh: Mesh, axis_name: str = SHARD_AXIS):
+    """[N, ...] arrays sharded along N."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def grid_sharding(mesh: Mesh, axis_name: str = SHARD_AXIS):
+    """[ng, ng, ng] mesh arrays sharded along x-slabs."""
+    return NamedSharding(mesh, P(axis_name, None, None))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_state(state, mesh: Mesh, axis_name: str = SHARD_AXIS):
+    """Place a SimState on the mesh: particle arrays sharded along N,
+    scalars replicated. N must divide the device count."""
+    ps = particle_sharding(mesh, axis_name)
+    rep = replicated(mesh)
+    return state.replace(
+        positions=jax.device_put(state.positions, ps),
+        velocities=jax.device_put(state.velocities, ps),
+        masses=jax.device_put(state.masses, ps),
+        scale_factor=jax.device_put(state.scale_factor, rep),
+        time=jax.device_put(state.time, rep),
+        step=jax.device_put(state.step, rep),
+        rng_key=jax.device_put(state.rng_key, rep),
+    )
