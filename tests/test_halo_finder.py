@@ -1,0 +1,175 @@
+"""Halo finder + theory tests: synthetic clusters with known membership,
+SO radii on analytic profiles, mass-function sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lambda_cdm_tpu.analysis import halo_finder as hf
+from lambda_cdm_tpu.analysis import theory
+from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+
+PARAMS = CosmologyParams()
+
+
+def make_clusters(key, box=100.0, centers=((20, 20, 20), (70, 70, 70),
+                                           (20, 70, 40)),
+                  n_each=60, radius=1.5, n_field=120):
+    """Tight Gaussian blobs + sparse uniform field particles."""
+    keys = jax.random.split(key, len(centers) + 1)
+    parts = []
+    for c, k in zip(centers, keys[:-1]):
+        blob = jnp.asarray(c, jnp.float32) + radius * jax.random.normal(
+            k, (n_each, 3))
+        parts.append(blob)
+    field = jax.random.uniform(keys[-1], (n_field, 3), maxval=box)
+    pos = jnp.mod(jnp.concatenate(parts + [field]), box)
+    n = pos.shape[0]
+    vel = jnp.zeros((n, 3))
+    mass = jnp.ones((n,))
+    return pos, vel, mass
+
+
+class TestFoF:
+    def test_finds_all_clusters(self):
+        pos, vel, mass = make_clusters(jax.random.PRNGKey(0))
+        cat = hf.find_halos(pos, vel, mass, 100.0,
+                            linking_length_factor=0.3, min_particles=20,
+                            max_halos=32)
+        assert int(cat.num_halos) == 3
+        # each found halo has ~60 members
+        counts = np.asarray(cat.n_particles)[:3]
+        assert np.all(counts >= 45)
+
+    def test_halo_centers_match(self):
+        pos, vel, mass = make_clusters(jax.random.PRNGKey(1))
+        cat = hf.find_halos(pos, vel, mass, 100.0,
+                            linking_length_factor=0.3, min_particles=20)
+        found = np.sort(np.asarray(cat.center)[:3], axis=0)
+        expected = np.sort(np.array([[20, 20, 20], [70, 70, 70],
+                                     [20, 70, 40]], np.float32), axis=0)
+        np.testing.assert_allclose(found, expected, atol=0.5)
+
+    def test_periodic_halo_across_boundary(self):
+        """A blob straddling the box corner is one halo, not eight."""
+        key = jax.random.PRNGKey(2)
+        blob = 1.0 * jax.random.normal(key, (100, 3))  # around origin
+        pos = jnp.mod(blob, 50.0)
+        vel = jnp.zeros((100, 3))
+        mass = jnp.ones((100,))
+        cat = hf.find_halos(pos, vel, mass, 50.0,
+                            linking_length_factor=0.5, min_particles=20)
+        assert int(cat.num_halos) == 1
+        assert int(cat.n_particles[0]) == 100
+        # CoM near the corner (mod box)
+        c = np.asarray(cat.center[0])
+        d = np.minimum(c, 50.0 - c)
+        assert np.all(d < 1.0)
+
+    def test_field_particles_unlabeled(self):
+        pos, vel, mass = make_clusters(jax.random.PRNGKey(3), n_field=120)
+        cat = hf.find_halos(pos, vel, mass, 100.0,
+                            linking_length_factor=0.3, min_particles=20)
+        labels = np.asarray(cat.particle_label)
+        # field particles (last 120) are mostly unassigned
+        assert np.mean(labels[-120:] < 0) > 0.9
+        # cluster particles are assigned
+        assert np.mean(labels[:180] >= 0) > 0.9
+
+    def test_min_particles_threshold(self):
+        pos, vel, mass = make_clusters(jax.random.PRNGKey(4), n_each=10,
+                                       n_field=100)
+        cat = hf.find_halos(pos, vel, mass, 100.0,
+                            linking_length_factor=0.3, min_particles=20)
+        assert int(cat.num_halos) == 0
+
+    def test_labels_are_connected_components(self):
+        """Chain of particles spaced < b links into one group."""
+        n = 32
+        x = 10.0 + 0.5 * jnp.arange(n, dtype=jnp.float32)
+        pos = jnp.stack([x, jnp.full((n,), 25.0), jnp.full((n,), 25.0)], -1)
+        plan = hf.fof_plan(n, 50.0, 0.7)
+        labels, ovf = hf.fof_labels(pos, 50.0, 0.7, ncell=plan["ncell"],
+                                    capacity=plan["capacity"])
+        assert int(ovf) == 0
+        assert len(np.unique(np.asarray(labels))) == 1
+
+    def test_spin_and_vmax_finite(self):
+        pos, vel, mass = make_clusters(jax.random.PRNGKey(5))
+        vel = 0.1 * jax.random.normal(jax.random.PRNGKey(6), vel.shape)
+        cat = hf.find_halos(pos, vel, mass, 100.0,
+                            linking_length_factor=0.3, min_particles=20)
+        nh = int(cat.num_halos)
+        assert np.all(np.isfinite(np.asarray(cat.spin)[:nh]))
+        assert np.all(np.asarray(cat.v_max)[:nh] > 0)
+        assert np.all(np.asarray(cat.radius)[:nh] > 0)
+
+
+class TestMassFunctionMeasurement:
+    def test_counts_sum(self):
+        pos, vel, mass = make_clusters(jax.random.PRNGKey(7))
+        cat = hf.find_halos(pos, vel, mass, 100.0,
+                            linking_length_factor=0.3, min_particles=20)
+        centers, dn, counts = hf.mass_function(cat, 100.0, num_bins=8)
+        assert float(jnp.sum(counts)) == float(cat.num_halos)
+
+
+class TestTheory:
+    def test_sigma_m_decreasing(self):
+        m = jnp.logspace(1, 5, 10)
+        s = np.asarray(theory.sigma_m(PARAMS, m))
+        assert np.all(np.diff(s) < 0)
+
+    def test_mass_function_integral_sane(self):
+        """Total mass in halos < total matter density."""
+        m = jnp.logspace(0, 5.5, 64)
+        dndlnm = theory.mass_function(PARAMS, m)
+        lnm = jnp.log(m)
+        rho_halo = float(jnp.trapezoid(dndlnm * m, lnm))
+        rho_bar = theory.RHO_CRIT * 0.31
+        assert 0.05 * rho_bar < rho_halo < 1.05 * rho_bar
+
+    def test_st_vs_ps_high_mass(self):
+        """ST predicts more very massive halos than PS."""
+        m = jnp.asarray([1e5])  # 1e15 Msun/h
+        st = float(theory.mass_function(PARAMS, m, kind="sheth_tormen")[0])
+        ps = float(theory.mass_function(PARAMS, m, kind="press")[0])
+        assert st > ps
+
+    def test_bias_increases_with_mass(self):
+        m = jnp.logspace(2, 5, 8)
+        b = np.asarray(theory.linear_bias(PARAMS, m))
+        assert np.all(np.diff(b) > 0)
+        # massive clusters are biased > 1
+        assert b[-1] > 2.0
+
+    def test_nfw_enclosed_mass_consistency(self):
+        rho_s, r_s = theory.nfw_params_from_m_c(100.0, 1.0, 10.0)
+        # full mass recovered at r = R_delta
+        m = float(theory.nfw_enclosed_mass(1.0, rho_s, r_s))
+        assert m == pytest.approx(100.0, rel=1e-5)
+
+    def test_nfw_fit_recovers_concentration(self):
+        c_true = 8.0
+        rho_s, r_s = theory.nfw_params_from_m_c(100.0, 1.0, c_true)
+        r = jnp.linspace(0.05, 1.0, 32)
+        m_enc = theory.nfw_enclosed_mass(r, rho_s, r_s)
+        c_fit = float(theory.fit_nfw_concentration(r, m_enc, 1.0, 100.0))
+        assert c_fit == pytest.approx(c_true, abs=0.5)
+
+    def test_duffy_concentration_range(self):
+        c = float(theory.concentration_duffy08(1e2))  # 1e12 Msun/h
+        assert 3.0 < c < 10.0
+
+    def test_hod_monotonic(self):
+        m = jnp.logspace(0, 4, 16)
+        ncen = np.asarray(theory.hod_central(m, log_m_min=1.0))
+        assert np.all(np.diff(ncen) >= -1e-6)
+        assert ncen[-1] == pytest.approx(1.0, abs=1e-3)
+        nsat = np.asarray(theory.hod_satellites(m))
+        assert nsat[-1] > nsat[0]
+
+    def test_galaxy_density_positive(self):
+        n = float(theory.galaxy_number_density(PARAMS))
+        assert 1e-6 < n < 1.0
