@@ -176,6 +176,7 @@ class PowerSpectrumAnalysisConfig:
 @dataclass
 class HaloFinderAnalysisConfig:
     enabled: bool = False
+    frequency: int = 10
     algorithm: str = "FoF"
     linking_length: float = 0.2
     min_particles: int = 20

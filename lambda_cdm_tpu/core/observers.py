@@ -110,6 +110,12 @@ class EnergyMonitor(Observer):
         self.initial_energy: float | None = None
         self.history: list[dict[str, float]] = []
 
+    def on_simulation_start(self, engine):
+        # baseline BEFORE any step (cuda_nbody_test measures the initial
+        # energy up front, examples/cuda_nbody_test.cpp:50-55)
+        if self.initial_energy is None:
+            self.initial_energy = float(engine.compute_energy()["total"])
+
     def on_step_end(self, engine, step):
         e = engine.compute_energy()
         total = float(e["total"])

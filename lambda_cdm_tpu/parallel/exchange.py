@@ -93,8 +93,11 @@ def migrate_particles(positions, velocities, masses, *, box_size,
     overflow_total) with the same static shapes: each device's local rows
     afterwards hold ONLY particles it owns (zero-mass padding elsewhere).
     Local capacity per device is n_loc = N/n_dev; `capacity` bounds the
-    per-destination bucket (reference headroom knob:
-    compute.mesh.migrate_capacity_factor).
+    per-(source, destination) bucket. NOTE: once particles are homed, a
+    subsequent migration routes nearly all live local rows into the
+    self-destination bucket, so steady-state callers must use
+    capacity >= n_loc (the engine does); smaller capacities only suit
+    first-time scatter from shuffled input.
     """
     n_dev = mesh.shape[axis_name]
 
