@@ -43,6 +43,33 @@ def short_range_factor(r, rs):
     return jax.lax.erfc(x) + (r / (rs * jnp.sqrt(jnp.pi))) * jnp.exp(-x * x)
 
 
+def _fit_short_poly(degree: int = 10, x_max: float = 3.0):
+    """Least-squares polynomial fit of S(x) = erfc(x) + (2x/sqrt(pi))e^-x^2
+    on [0, x_max] (host-side, at import). Replaces two transcendentals per
+    pair interaction with `degree` FMAs on the VPU; max abs error ~1e-5."""
+    import math
+
+    import numpy as np
+    x = np.linspace(0.0, x_max, 4001)
+    s = np.array([math.erfc(v) + (2.0 * v / math.sqrt(math.pi))
+                  * math.exp(-v * v) for v in x])
+    coeffs = np.polyfit(x, s, degree)
+    err = float(np.max(np.abs(np.polyval(coeffs, x) - s)))
+    assert err < 5e-4, f"short-range poly fit error {err}"
+    return jnp.asarray(coeffs.astype(np.float32)), x_max
+
+
+_S_POLY_COEFFS, _S_POLY_XMAX = _fit_short_poly()
+
+
+def short_range_factor_poly(r, rs):
+    """Polynomial S(r) (hot-loop variant): exact-fit on x in [0, 3],
+    hard zero beyond (S(3) = 2e-5)."""
+    x = r / (2.0 * rs)
+    s = jnp.polyval(_S_POLY_COEFFS, jnp.minimum(x, _S_POLY_XMAX))
+    return jnp.where(x < _S_POLY_XMAX, jnp.maximum(s, 0.0), 0.0)
+
+
 def treepm_plan(num_particles: int, box_size: float, pm_grid: int,
                 *, split_factor: float = 1.25, cut_factor: float = 4.5,
                 capacity: int = 0) -> dict:
@@ -79,16 +106,22 @@ def bucket_particles(positions, masses, box_size, *, ncell: int,
     cell = jnp.floor(positions / box_size * ncell).astype(jnp.int32)
     cell = jnp.clip(cell, 0, ncell - 1)
     cid = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
+    # dead (zero-mass padding) slots go to a virtual overflow cell so they
+    # never consume real-cell capacity (lets bucketing re-run on padded
+    # bucket layouts)
+    live = masses > 0
+    cid = jnp.where(live, cid, ncells)
 
     order = jnp.argsort(cid)
     cid_s = cid[order]
     pos_s = positions[order]
     mass_s = masses[order]
+    live_s = live[order]
 
     # rank within own cell = index - first index of that cid (sorted)
     start = jnp.searchsorted(cid_s, cid_s, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - start.astype(jnp.int32)
-    ok = rank < capacity
+    ok = (rank < capacity) & live_s
     slot = jnp.where(ok, cid_s * capacity + rank, ncells * capacity)
 
     bpos = jnp.zeros((ncells * capacity, 3), positions.dtype)
@@ -96,18 +129,19 @@ def bucket_particles(positions, masses, box_size, *, ncell: int,
     bpos = bpos.at[slot].set(pos_s, mode="drop")
     bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop")
 
-    # map original particle index -> its slot (-1 on overflow)
+    # map original particle index -> its slot (-1 on overflow/dead)
     pslot = jnp.full((n,), -1, jnp.int32)
     pslot = pslot.at[order].set(
         jnp.where(ok, slot, -1).astype(jnp.int32))
-    overflow = jnp.sum(~ok)
+    overflow = jnp.sum(~ok & live_s)
     return (bpos.reshape(ncells, capacity, 3),
             bmass.reshape(ncells, capacity), pslot, overflow)
 
 
-@partial(jax.jit, static_argnames=("ncell", "capacity"))
+@partial(jax.jit, static_argnames=("ncell", "capacity", "use_poly"))
 def short_range_bucketed(bucket_pos, bucket_mass, box_size, rs, softening,
-                         *, ncell: int, capacity: int):
+                         *, ncell: int, capacity: int,
+                         use_poly: bool = False):
     """Short-range accelerations for every bucket slot -> [C, K, 3].
 
     27 neighbor passes via jnp.roll on the [nc,nc,nc,K,...] lattice,
@@ -118,6 +152,7 @@ def short_range_bucketed(bucket_pos, bucket_mass, box_size, rs, softening,
     bm = bucket_mass.reshape(nc, nc, nc, k)
     soft2 = softening * softening
     acc = jnp.zeros_like(bp)
+    s_fn = short_range_factor_poly if use_poly else short_range_factor
 
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
@@ -132,9 +167,11 @@ def short_range_bucketed(bucket_pos, bucket_mass, box_size, rs, softening,
                     dx = min_image(cm_nb_pos[:, :, None, :, :]
                                    - cp[:, :, :, None, :], box_size)
                     r2 = jnp.sum(dx * dx, axis=-1) + soft2
-                    r = jnp.sqrt(r2)
-                    s = short_range_factor(r, rs)
-                    w = nb_mass[:, :, None, :] * s / (r2 * r)
+                    inv_r = jax.lax.rsqrt(r2)
+                    r = r2 * inv_r
+                    s = s_fn(r, rs)
+                    w = (nb_mass[:, :, None, :] * s
+                         * (inv_r * inv_r * inv_r))
                     return carry, jnp.sum(w[..., None] * dx, axis=3)
 
                 _, a = jax.lax.scan(

@@ -39,8 +39,19 @@ def state_from_host(arrays: dict) -> SimState:
 
 def save_snapshot(path: str, state: SimState, config=None,
                   fields=None) -> str:
-    """Write a particle snapshot (.npz). `fields` filters which arrays are
-    stored (io.snapshots.fields capability)."""
+    """Write a particle snapshot. `fields` filters which arrays are stored
+    (io.snapshots.fields capability). A `.lcdm` extension selects the
+    native checksummed binary codec (lambda_cdm_tpu.native); default npz."""
+    if path.endswith(".lcdm"):
+        from ..native import write_snapshot_native
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        write_snapshot_native(
+            path, np.asarray(state.positions), np.asarray(state.velocities),
+            np.asarray(state.masses), float(state.scale_factor),
+            float(state.time), int(state.step))
+        return path
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = state_to_host(state)
@@ -60,6 +71,15 @@ def save_snapshot(path: str, state: SimState, config=None,
 
 
 def load_snapshot(path: str) -> tuple[SimState, dict]:
+    if path.endswith(".lcdm"):
+        from ..native import read_snapshot_native
+        pos, vel, mass, a, t, step = read_snapshot_native(path)
+        state = SimState(
+            positions=jnp.asarray(pos), velocities=jnp.asarray(vel),
+            masses=jnp.asarray(mass), scale_factor=jnp.asarray(a),
+            time=jnp.asarray(t), step=jnp.asarray(step, jnp.int32),
+            rng_key=jax.random.PRNGKey(0))
+        return state, {}
     if not path.endswith(".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
