@@ -37,32 +37,30 @@ def block_geometry(ng: int, ncell: int, margin: int = 1):
     return ppc, ppc + 2 * margin + 2
 
 
-def _cic_factors(bpos, bmass, *, ncell: int, ng: int, box_size,
-                 margin: int):
-    """Per-axis one-hot CIC factor matrices.
-
-    Returns (X, Y, Zm [C,K,L], drop_count) where Zm carries the mass and
-    the validity mask (drift beyond margin -> weight 0, counted).
-    """
+def _block_origins(ncell: int, ppc: int, margin: int):
+    """Block origin in global PM coords per cell -> [C, 3] int32.
+    Cell id decomposition matches bucket_particles: ((cx*c)+cy)*c+cz."""
     c = ncell
-    k = bpos.shape[1]
-    ppc, ell = block_geometry(ng, c, margin)
-
-    # block origin in global PM coords, per cell and axis
-    cell_idx = jnp.arange(c)
-    # cell id decomposition matches bucket_particles: ((cx*c)+cy)*c+cz
     cid = jnp.arange(c ** 3)
     cx = cid // (c * c)
     cy = (cid // c) % c
     cz = cid % c
-    origin = jnp.stack([cx, cy, cz], axis=-1) * ppc - (margin + 1)  # [C,3]
+    return (jnp.stack([cx, cy, cz], axis=-1) * ppc
+            - (margin + 1)).astype(jnp.int32)
 
-    u = bpos / box_size * ng                  # global PM coords [C,K,3]
+
+def _cic_factors(bpos, bmass, origin, *, ng: int, box_size, ell: int):
+    """Per-axis one-hot CIC factor matrices for a batch of cells.
+
+    bpos [B, K, 3], bmass [B, K], origin [B, 3]. Returns
+    (X, Y, Zm [B,K,L], drop_count); Zm carries the mass and the validity
+    mask (drift beyond margin -> weight 0, counted)."""
+    u = bpos / box_size * ng                  # global PM coords [B,K,3]
     i0 = jnp.floor(u - 0.5).astype(jnp.int32)
     frac = (u - 0.5) - i0
-    il = i0 - origin[:, None, :]              # local lower corner [C,K,3]
+    il = i0 - origin[:, None, :]              # local lower corner [B,K,3]
 
-    ok = jnp.all((il >= 0) & (il <= ell - 2), axis=-1)       # [C,K]
+    ok = jnp.all((il >= 0) & (il <= ell - 2), axis=-1)       # [B,K]
     live = bmass > 0
     dropped = jnp.sum(live & ~ok)
     ilc = jnp.clip(il, 0, ell - 2)
@@ -70,7 +68,7 @@ def _cic_factors(bpos, bmass, *, ncell: int, ng: int, box_size,
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ell), 2)
 
     def onehot(axis):
-        i_ax = ilc[..., axis][..., None]      # [C,K,1]
+        i_ax = ilc[..., axis][..., None]      # [B,K,1]
         f_ax = frac[..., axis][..., None]
         return (jnp.where(iota == i_ax, 1.0 - f_ax, 0.0)
                 + jnp.where(iota == i_ax + 1, f_ax, 0.0))
@@ -81,34 +79,72 @@ def _cic_factors(bpos, bmass, *, ncell: int, ng: int, box_size,
     return x, y, zm, dropped
 
 
+def _fold_axis(arr, block_axis, local_axis, *, c, ppc, ghost):
+    """Resolve one axis's block overlap: local extent L -> ppc by adding
+    the ghost segments into the +-1 neighbor blocks along `block_axis`."""
+    ell = arr.shape[local_axis]
+    idx_main = [slice(None)] * arr.ndim
+    idx_main[local_axis] = slice(ghost, ghost + ppc)
+    out = arr[tuple(idx_main)]
+
+    idx_lo = [slice(None)] * arr.ndim
+    idx_lo[local_axis] = slice(0, ghost)
+    lo = arr[tuple(idx_lo)]                      # lands in block-1, tail
+    pad_lo = jnp.zeros_like(out)
+    place_lo = [slice(None)] * arr.ndim
+    place_lo[local_axis] = slice(ppc - ghost, ppc)
+    pad_lo = pad_lo.at[tuple(place_lo)].set(lo)
+    out = out + jnp.roll(pad_lo, -1, axis=block_axis)
+
+    idx_hi = [slice(None)] * arr.ndim
+    idx_hi[local_axis] = slice(ghost + ppc, ell)
+    hi = arr[tuple(idx_hi)]                      # lands in block+1, head
+    pad_hi = jnp.zeros_like(out)
+    place_hi = [slice(None)] * arr.ndim
+    place_hi[local_axis] = slice(0, ell - ghost - ppc)
+    pad_hi = pad_hi.at[tuple(place_hi)].set(hi)
+    out = out + jnp.roll(pad_hi, 1, axis=block_axis)
+    return out
+
+
+def _unfold_axis(arr, block_axis, local_axis, *, c, ppc, ghost, ell):
+    """Inverse of _fold_axis: ppc -> L by gathering neighbor ghosts."""
+    shape = list(arr.shape)
+    shape[local_axis] = ell
+    out = jnp.zeros(shape, arr.dtype)
+    place = [slice(None)] * arr.ndim
+    place[local_axis] = slice(ghost, ghost + ppc)
+    out = out.at[tuple(place)].set(arr)
+
+    take_lo = [slice(None)] * arr.ndim
+    take_lo[local_axis] = slice(ppc - ghost, ppc)
+    lo = jnp.roll(arr, 1, axis=block_axis)[tuple(take_lo)]
+    place_lo = [slice(None)] * arr.ndim
+    place_lo[local_axis] = slice(0, ghost)
+    out = out.at[tuple(place_lo)].set(lo)
+
+    take_hi = [slice(None)] * arr.ndim
+    take_hi[local_axis] = slice(0, ell - ghost - ppc)
+    hi = jnp.roll(arr, -1, axis=block_axis)[tuple(take_hi)]
+    place_hi = [slice(None)] * arr.ndim
+    place_hi[local_axis] = slice(ghost + ppc, ell)
+    out = out.at[tuple(place_hi)].set(hi)
+    return out
+
+
 def _assemble(local, *, ncell: int, ng: int, margin: int):
-    """[C, L, L, L] local blocks -> [ng, ng, ng] global grid via 27 dense
-    segment moves (overlapping ghost planes roll into neighbor blocks)."""
+    """[C, L, L, L] local blocks -> [ng, ng, ng] global grid.
+
+    Axis-separable overlap resolution: fold z, then y, then x (9 dense
+    segment moves of shrinking arrays instead of 27 full-size ones)."""
     c = ncell
     ppc, ell = block_geometry(ng, c, margin)
     ghost = margin + 1
-    loc = local.reshape(c, c, c, ell, ell, ell)
-    out = jnp.zeros((c, c, c, ppc, ppc, ppc), local.dtype)
-
-    # segment s: local l range and intra-block placement for g = l - ghost
-    segs = {
-        -1: (slice(0, ghost), slice(ppc - ghost, ppc)),
-        0: (slice(ghost, ghost + ppc), slice(0, ppc)),
-        1: (slice(ghost + ppc, ell), slice(0, ell - ghost - ppc)),
-    }
-    for sx, (lx, gx) in segs.items():
-        for sy, (ly, gy) in segs.items():
-            for sz, (lz, gz) in segs.items():
-                piece = loc[:, :, :, lx, ly, lz]
-                pad = jnp.zeros_like(out)
-                pad = pad.at[:, :, :, gx, gy, gz].set(piece)
-                if sx or sy or sz:
-                    # block c's segment s lands in block c+s: out[c+s] +=
-                    # piece[c]  <=>  out += roll(piece-padded, +s)
-                    pad = jnp.roll(pad, (sx, sy, sz), axis=(0, 1, 2))
-                out = out + pad
-    # [c,c,c,ppc,ppc,ppc] -> [ng,ng,ng]
-    return out.transpose(0, 3, 1, 4, 2, 5).reshape(ng, ng, ng)
+    a = local.reshape(c, c, c, ell, ell, ell)
+    a = _fold_axis(a, 2, 5, c=c, ppc=ppc, ghost=ghost)   # z
+    a = _fold_axis(a, 1, 4, c=c, ppc=ppc, ghost=ghost)   # y
+    a = _fold_axis(a, 0, 3, c=c, ppc=ppc, ghost=ghost)   # x
+    return a.transpose(0, 3, 1, 4, 2, 5).reshape(ng, ng, ng)
 
 
 def _extract(grid, *, ncell: int, ng: int, margin: int):
@@ -116,22 +152,11 @@ def _extract(grid, *, ncell: int, ng: int, margin: int):
     c = ncell
     ppc, ell = block_geometry(ng, c, margin)
     ghost = margin + 1
-    blocks6 = grid.reshape(c, ppc, c, ppc, c, ppc).transpose(0, 2, 4, 1, 3, 5)
-    loc = jnp.zeros((c, c, c, ell, ell, ell), grid.dtype)
-    segs = {
-        -1: (slice(0, ghost), slice(ppc - ghost, ppc)),
-        0: (slice(ghost, ghost + ppc), slice(0, ppc)),
-        1: (slice(ghost + ppc, ell), slice(0, ell - ghost - ppc)),
-    }
-    for sx, (lx, gx) in segs.items():
-        for sy, (ly, gy) in segs.items():
-            for sz, (lz, gz) in segs.items():
-                src = blocks6
-                if sx or sy or sz:
-                    src = jnp.roll(src, (-sx, -sy, -sz), axis=(0, 1, 2))
-                loc = loc.at[:, :, :, lx, ly, lz].set(
-                    src[:, :, :, gx, gy, gz])
-    return loc.reshape(c ** 3, ell, ell, ell)
+    a = grid.reshape(c, ppc, c, ppc, c, ppc).transpose(0, 2, 4, 1, 3, 5)
+    a = _unfold_axis(a, 0, 3, c=c, ppc=ppc, ghost=ghost, ell=ell)   # x
+    a = _unfold_axis(a, 1, 4, c=c, ppc=ppc, ghost=ghost, ell=ell)   # y
+    a = _unfold_axis(a, 2, 5, c=c, ppc=ppc, ghost=ghost, ell=ell)   # z
+    return a.reshape(c ** 3, ell, ell, ell)
 
 
 def _cell_chunks(cc: int, target: int = 2048) -> int:
@@ -147,60 +172,73 @@ def _cell_chunks(cc: int, target: int = 2048) -> int:
 def deposit_from_buckets(bpos, bmass, *, ncell: int, ng: int, box_size,
                          margin: int = 1):
     """CIC mass deposit [ng,ng,ng] from bucketed particles -- two batched
-    matmuls + dense assembly; returns (grid, dropped_count)."""
+    matmuls + dense assembly; returns (grid, dropped_count).
+
+    Factor construction, outer product and GEMM all happen inside the
+    per-chunk map so the [B,K,L^2] intermediates never round-trip HBM."""
     cc = ncell ** 3
     k = bpos.shape[1]
     ppc, ell = block_geometry(ng, ncell, margin)
-    x, y, zm, dropped = _cic_factors(
-        bpos, bmass, ncell=ncell, ng=ng, box_size=box_size, margin=margin)
-
+    origins = _block_origins(ncell, ppc, margin)
     chunk = _cell_chunks(cc)
 
     def chunk_local(args):
-        xc, yc, zc = args
+        bp, bm, org = args
+        xc, yc, zc, drop = _cic_factors(bp, bm, org, ng=ng,
+                                        box_size=box_size, ell=ell)
         # M1[c, k, a*L+b] = X[c,k,a] Y[c,k,b]   (VPU outer product)
         m1 = (xc[:, :, :, None] * yc[:, :, None, :]).reshape(
             chunk, k, ell * ell)
         # local[c, ab, z] = sum_k M1[c,k,ab] Zm[c,k,z]  (MXU batched GEMM)
-        return jnp.einsum("cka,ckz->caz", m1, zc,
-                          preferred_element_type=jnp.float32)
+        loc = jnp.einsum("cka,ckz->caz", m1, zc,
+                         preferred_element_type=jnp.float32)
+        return loc, drop
 
-    xs = (x.reshape(-1, chunk, k, ell), y.reshape(-1, chunk, k, ell),
-          zm.reshape(-1, chunk, k, ell))
-    local = jax.lax.map(chunk_local, xs).reshape(cc, ell, ell, ell)
-    grid = _assemble(local, ncell=ncell, ng=ng, margin=margin)
-    return grid, dropped
+    xs = (bpos.reshape(-1, chunk, k, 3), bmass.reshape(-1, chunk, k),
+          origins.reshape(-1, chunk, 3))
+    local, drops = jax.lax.map(chunk_local, xs)
+    grid = _assemble(local.reshape(cc, ell, ell, ell),
+                     ncell=ncell, ng=ng, margin=margin)
+    return grid, jnp.sum(drops)
 
 
 @partial(jax.jit, static_argnames=("ncell", "ng", "margin"))
 def gather_to_buckets(grid, bpos, bmass, *, ncell: int, ng: int, box_size,
                       margin: int = 1):
-    """Trilinear interpolation of `grid` at every bucketed particle ->
-    [C, K] values (the cic_gather adjoint, scatter/gather-free)."""
+    """Trilinear interpolation of `grid` (or a [F, ng, ng, ng] stack of
+    fields) at every bucketed particle -> [C, K] (or [C, K, F]) values --
+    the cic_gather adjoint, scatter/gather-free. Factor construction is
+    fused into the per-chunk contraction."""
+    squeeze = grid.ndim == 3
+    grids = grid[None] if squeeze else grid
+    nf = grids.shape[0]
     cc = ncell ** 3
     k = bpos.shape[1]
     ppc, ell = block_geometry(ng, ncell, margin)
-    # unit-mass factors: fold validity into Z by passing mass=1 where live
-    ones = jnp.where(bmass > 0, 1.0, 0.0)
-    x, y, z1, _ = _cic_factors(
-        bpos, ones, ncell=ncell, ng=ng, box_size=box_size, margin=margin)
+    origins = _block_origins(ncell, ppc, margin)
 
-    local = _extract(grid, ncell=ncell, ng=ng, margin=margin)
+    local = jnp.stack([
+        _extract(grids[f], ncell=ncell, ng=ng, margin=margin)
+        for f in range(nf)], axis=1)            # [C, F, L, L, L]
     chunk = _cell_chunks(cc)
 
     def chunk_vals(args):
-        xc, yc, zc, loc = args
-        # T1[c,k,(b,z)] = sum_a X[c,k,a] local[c,a,(b,z)] (MXU GEMM)
-        t1 = jnp.einsum("cka,cabz->ckbz", xc, loc,
+        bp, bm, org, loc = args
+        ones = jnp.where(bm > 0, 1.0, 0.0)
+        xc, yc, zc, _ = _cic_factors(bp, ones, org, ng=ng,
+                                     box_size=box_size, ell=ell)
+        # T1[c,k,f,(b,z)] = sum_a X[c,k,a] local[c,f,a,(b,z)] (MXU GEMM)
+        t1 = jnp.einsum("cka,cfabz->ckfbz", xc, loc,
                         preferred_element_type=jnp.float32)
         # contract b then z on the VPU
-        t2 = jnp.sum(t1 * yc[:, :, :, None], axis=2)   # [chunk,K,L]
-        return jnp.sum(t2 * zc, axis=2)                # [chunk,K]
+        t2 = jnp.sum(t1 * yc[:, :, None, :, None], axis=3)  # [B,K,F,L]
+        return jnp.sum(t2 * zc[:, :, None, :], axis=3)      # [B,K,F]
 
-    xs = (x.reshape(-1, chunk, k, ell), y.reshape(-1, chunk, k, ell),
-          z1.reshape(-1, chunk, k, ell),
-          local.reshape(-1, chunk, ell, ell, ell))
-    return jax.lax.map(chunk_vals, xs).reshape(cc, k)
+    xs = (bpos.reshape(-1, chunk, k, 3), bmass.reshape(-1, chunk, k),
+          origins.reshape(-1, chunk, 3),
+          local.reshape(-1, chunk, nf, ell, ell, ell))
+    vals = jax.lax.map(chunk_vals, xs).reshape(cc, k, nf)
+    return vals[..., 0] if squeeze else vals
 
 
 # ---------------------------------------------------------------------------
@@ -235,24 +273,21 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
     green = _greens(ng, box_size, split_scale)
     phi_k = green * rho_k
 
-    acc = []
     if gradient == "spectral":
         kx, ky, kz, _ = fourier_grid(ng, box_size)
-        for kvec in (kx, ky, kz):
-            g = jnp.fft.irfftn(-1j * kvec * phi_k, s=(ng, ng, ng))
-            acc.append(gather_to_buckets(
-                g, bpos, bmass, ncell=ncell, ng=ng, box_size=box_size,
-                margin=margin))
+        fields = jnp.stack([
+            jnp.fft.irfftn(-1j * kvec * phi_k, s=(ng, ng, ng))
+            for kvec in (kx, ky, kz)])
     elif gradient == "fd4":
         phi = jnp.fft.irfftn(phi_k, s=(ng, ng, ng))
         h = box_size / ng
-        for axis in range(3):
-            d = (8.0 * (jnp.roll(phi, -1, axis) - jnp.roll(phi, 1, axis))
-                 - (jnp.roll(phi, -2, axis) - jnp.roll(phi, 2, axis))) \
-                / (12.0 * h)
-            acc.append(gather_to_buckets(
-                -d, bpos, bmass, ncell=ncell, ng=ng, box_size=box_size,
-                margin=margin))
+        fields = jnp.stack([
+            -(8.0 * (jnp.roll(phi, -1, ax) - jnp.roll(phi, 1, ax))
+              - (jnp.roll(phi, -2, ax) - jnp.roll(phi, 2, ax)))
+            / (12.0 * h)
+            for ax in range(3)])
     else:
         raise ValueError(f"unknown gradient {gradient!r}")
-    return g_const * jnp.stack(acc, axis=-1), dropped
+    acc = gather_to_buckets(fields, bpos, bmass, ncell=ncell, ng=ng,
+                            box_size=box_size, margin=margin)
+    return g_const * acc, dropped

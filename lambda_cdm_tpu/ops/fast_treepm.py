@@ -56,24 +56,38 @@ class FastState:
 def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
               split_factor: float = 1.25, cut_factor: float = 4.5,
               capacity: int = 0, margin: int = 1,
-              occupancy_headroom: float = 2.5) -> dict:
-    """Static geometry: ncell must divide pm_grid AND give cells >= r_cut."""
+              occupancy_headroom: float = 1.75) -> dict:
+    """Static geometry: ncell must divide pm_grid AND give cells >= r_cut.
+
+    Capacity is rounded to a multiple of 128 (the Pallas short-range
+    kernel's DMA tiling); among the admissible ncell divisors, pick the
+    one minimizing padded short-range work ncell^3 * 27 * capacity^2."""
     rs = split_factor * box_size / pm_grid
     r_cut = cut_factor * rs
-    # largest power-of-two-ish divisor of pm_grid with cell >= r_cut
-    ncell = 1
-    d = 1
+
+    def cap_for(nc):
+        if capacity > 0:
+            return ((capacity + 127) // 128) * 128
+        mean_occ = num_particles / max(nc ** 3, 1)
+        c = int(math.ceil(occupancy_headroom * mean_occ))
+        return max(128, ((c + 127) // 128) * 128)
+
+    best = None
+    d = 2
     while d <= pm_grid:
-        if pm_grid % d == 0 and box_size / d >= r_cut:
-            ncell = d
-        d *= 2
-    ncell = max(ncell, 1)
-    if capacity <= 0:
-        mean_occ = num_particles / max(ncell ** 3, 1)
-        capacity = int(max(8, math.ceil(occupancy_headroom * mean_occ)))
-        capacity = ((capacity + 7) // 8) * 8
+        if pm_grid % d == 0 and box_size / d >= r_cut and d >= 3:
+            cap = cap_for(d)
+            cost = d ** 3 * 27 * cap * cap
+            if best is None or cost < best[0]:
+                best = (cost, d, cap)
+        d += 1
+    if best is None:
+        # box too small for a 3^3 stencil: single-cell degenerate plan
+        return {"rs": rs, "r_cut": r_cut, "ncell": 1,
+                "capacity": cap_for(1), "margin": margin}
+    _, ncell, cap = best
     return {"rs": rs, "r_cut": r_cut, "ncell": ncell,
-            "capacity": capacity, "margin": margin}
+            "capacity": cap, "margin": margin}
 
 
 def build_fast_state(positions, velocities, masses, scale_factor, *,
@@ -101,16 +115,28 @@ def flatten_fast_state(fstate: FastState):
             fstate.bmass.reshape(-1))
 
 
+def _use_pallas() -> bool:
+    import jax as _jax
+    return any(d.platform == "tpu" for d in _jax.devices())
+
+
 def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
            rs, softening, g_const, gradient):
     acc_long, dropped = pm_accelerations_bucketed(
         fstate.bpos, fstate.bmass, ncell=ncell, ng=ng, box_size=box_size,
         g_const=g_const, split_scale=rs, margin=margin, gradient=gradient)
-    acc_short = short_range_bucketed(
-        fstate.bpos.reshape(ncell ** 3, capacity, 3),
-        fstate.bmass.reshape(ncell ** 3, capacity),
-        box_size, rs, softening, ncell=ncell, capacity=capacity,
-        use_poly=True)
+    bpos = fstate.bpos.reshape(ncell ** 3, capacity, 3)
+    bmass = fstate.bmass.reshape(ncell ** 3, capacity)
+    if ncell >= 3 and _use_pallas():
+        from .pallas_short_range import pallas_short_range
+        acc_short = pallas_short_range(
+            bpos, bmass, ncell=ncell, capacity=capacity,
+            box_size=float(box_size), rs=float(rs),
+            softening=float(softening))
+    else:
+        acc_short = short_range_bucketed(
+            bpos, bmass, box_size, rs, softening, ncell=ncell,
+            capacity=capacity, use_poly=True)
     return acc_long.reshape(fstate.bpos.shape) \
         + g_const * acc_short.reshape(fstate.bpos.shape), dropped
 

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: TreePM short-range pairwise forces on cell buckets.
+
+The jnp roll-based short-range pass (forces/treepm.short_range_bucketed)
+is HBM-bound: XLA materializes the [K, K, 3] pair tensors per cell slab,
+costing ~350 ms at 1M particles on v5e. This kernel keeps every pair tile
+in VMEM (the componentwise rank-broadcast trick of ops/pallas_direct) and
+streams neighbor data as contiguous z-rods:
+
+  * buckets stored as [4, C*K] SoA (x, y, z, m), cells z-major;
+  * one grid instance per (cx, cy) rod: DMA the 9 neighbor (dx, dy) rods
+    once into per-component VMEM buffers [9, nc+2, K] (z halo included for
+    periodic wrap), then sweep the rod's nc cells, each interacting with
+    27 [K, K] neighbor tiles -- Mosaic lane slicing stays aligned because
+    cells index the *leading* buffer dimensions;
+  * the erfc force split is an unrolled 10th-degree polynomial
+    (compile-time coefficients; rsqrt is the only transcendental);
+  * zero-mass padding slots contribute exactly zero.
+
+Replaces the role of the reference's shared-memory tree-walk force kernels
+(barnes_hut_tree.cu:280-338) at TPU-native efficiency.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..forces.treepm import _fit_short_poly
+
+# polynomial coefficients as plain python floats -> unrolled FMA chain
+_COEFFS, _X_MAX = _fit_short_poly()
+_COEFFS_F = [float(c) for c in _COEFFS]
+
+
+def _poly_s(x):
+    s = jnp.full_like(x, _COEFFS_F[0])
+    for c in _COEFFS_F[1:]:
+        s = s * x + c
+    return jnp.where(x < _X_MAX, jnp.maximum(s, 0.0), 0.0)
+
+
+def _short_kernel(pts_hbm, out_ref, *, nc, cap, box_size, rs, softening2):
+    i = pl.program_id(0)
+    cx = i // nc
+    cy = i % nc
+    inv_2rs = 1.0 / (2.0 * rs)
+
+    def body(rods, sem):
+        # rods: [9, 4, nc+2, cap] VMEM; pts_hbm arrives pre-shaped
+        # [4, nc*nc, nc, cap] so DMA slices index leading dims only.
+        src = pts_hbm
+        dmas = []
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id], rods.at[idx, :, pl.ds(1, nc)],
+                    sem.at[idx, 0]))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id, pl.ds(nc - 1, 1)],
+                    rods.at[idx, :, pl.ds(0, 1)], sem.at[idx, 1]))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id, pl.ds(0, 1)],
+                    rods.at[idx, :, pl.ds(nc + 1, 1)], sem.at[idx, 2]))
+                idx += 1
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+        # periodic unwrap ONCE per rod instead of min-image per pair tile
+        # (saves 9 VPU ops per interaction): x/y shifts when the (dx, dy)
+        # neighbor wrapped around the box; z halo rows always wrap.
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                # cx/cy are traced (program_id): use where on scalars
+                shift_x = jnp.where(cx + dx < 0, -box_size,
+                                    jnp.where(cx + dx >= nc, box_size, 0.0))
+                shift_y = jnp.where(cy + dy < 0, -box_size,
+                                    jnp.where(cy + dy >= nc, box_size, 0.0))
+                rods[idx, 0] = rods[idx, 0] + shift_x
+                rods[idx, 1] = rods[idx, 1] + shift_y
+                rods[idx, 2, 0:1, :] = rods[idx, 2, 0:1, :] - box_size
+                rods[idx, 2, nc + 1:nc + 2, :] = \
+                    rods[idx, 2, nc + 1:nc + 2, :] + box_size
+                idx += 1
+
+        # whole-rod tiles: all nc cells of the center rod interact at once
+        # with the sc-shifted window of each neighbor rod. fori_loop over
+        # rods keeps one reusable set of [nc, cap, cap] temporaries.
+        xi = rods[4, 0, 1:nc + 1, :]        # [nc, cap]
+        yi = rods[4, 1, 1:nc + 1, :]
+        zi = rods[4, 2, 1:nc + 1, :]
+
+        def rod_step(r, acc):
+            ax, ay, az = acc
+            for sc in range(3):
+                xj = rods[r, 0, sc:sc + nc, :]      # [nc, cap]
+                yj = rods[r, 1, sc:sc + nc, :]
+                zj = rods[r, 2, sc:sc + nc, :]
+                mj = rods[r, 3, sc:sc + nc, :]
+                dxt = xj[:, None, :] - xi[:, :, None]   # [nc, cap, cap]
+                dyt = yj[:, None, :] - yi[:, :, None]
+                dzt = zj[:, None, :] - zi[:, :, None]
+                r2 = dxt * dxt + dyt * dyt + dzt * dzt + softening2
+                inv_r = jax.lax.rsqrt(r2)
+                x_split = (r2 * inv_r) * inv_2rs
+                s = _poly_s(x_split)
+                w = mj[:, None, :] * s * (inv_r * inv_r * inv_r)
+                ax += jnp.sum(w * dxt, axis=2)
+                ay += jnp.sum(w * dyt, axis=2)
+                az += jnp.sum(w * dzt, axis=2)
+            return ax, ay, az
+
+        zero = jnp.zeros((nc, cap), jnp.float32)
+        ax, ay, az = jax.lax.fori_loop(0, 9, rod_step, (zero, zero, zero))
+        out_ref[0] = ax
+        out_ref[1] = ay
+        out_ref[2] = az
+        out_ref[3] = zero
+
+    pl.run_scoped(
+        body,
+        rods=pltpu.VMEM((9, 4, nc + 2, cap), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((9, 3)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ncell", "capacity", "box_size", "rs", "softening", "interpret"))
+def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
+                       box_size: float, rs: float, softening: float,
+                       interpret: bool = False):
+    """Short-range accelerations for every bucket slot -> [C, K, 3].
+
+    bpos [C, K, 3], bmass [C, K] in the treepm bucket layout
+    (C = ncell^3, z-major cell ids). Requires ncell >= 3 (the 27-stencil),
+    capacity a multiple of 8, and softening > 0.
+    """
+    if ncell < 3:
+        raise ValueError("pallas_short_range needs ncell >= 3")
+    if softening <= 0:
+        raise ValueError("softening must be > 0")
+    if capacity % 8:
+        raise ValueError("capacity must be a multiple of 8")
+    cc = ncell ** 3
+    cap = capacity
+    pts = jnp.concatenate(
+        [bpos.reshape(cc * cap, 3).T.astype(jnp.float32),
+         bmass.reshape(1, cc * cap).astype(jnp.float32)], axis=0)
+    pts = pts.reshape(4, ncell * ncell, ncell, cap)
+
+    kernel = functools.partial(
+        _short_kernel, nc=ncell, cap=cap, box_size=float(box_size),
+        rs=float(rs), softening2=float(softening) ** 2)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncell * ncell,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((4, ncell, cap), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, cc, cap), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=cc * cap * 27 * cap * 40,
+            bytes_accessed=cc * cap * 16 * 10,
+            transcendentals=cc * cap * 27 * cap,
+        ),
+        interpret=interpret,
+    )(pts)
+    return out[0:3].transpose(1, 2, 0)

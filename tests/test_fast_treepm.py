@@ -1,0 +1,218 @@
+"""Tests for the scatter-free bucketed PM ops and the fast TreePM stepper:
+exact agreement with the scatter-based reference implementations, drift
+accounting, re-bucketing invariants, and the Pallas short-range kernel in
+interpreter mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lambda_cdm_tpu.analysis.power_spectrum import cic_deposit
+from lambda_cdm_tpu.forces.pm import cic_gather, pm_accelerations
+from lambda_cdm_tpu.forces.treepm import (bucket_particles,
+                                          short_range_bucketed,
+                                          short_range_factor,
+                                          short_range_factor_poly,
+                                          treepm_accelerations)
+from lambda_cdm_tpu.ops import bucketed_pm as bp
+from lambda_cdm_tpu.ops.fast_treepm import (build_fast_state, fast_plan,
+                                            fast_run, flatten_fast_state,
+                                            initialize_fast)
+from lambda_cdm_tpu.ops.pallas_short_range import pallas_short_range
+from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+
+PARAMS = CosmologyParams()
+
+
+@pytest.fixture(scope="module")
+def bucketed():
+    key = jax.random.PRNGKey(0)
+    n, box, ng, ncell = 4096, 64.0, 32, 8
+    pos = jax.random.uniform(key, (n, 3), maxval=box)
+    m = jax.random.uniform(jax.random.PRNGKey(1), (n,), minval=0.5,
+                           maxval=2.0)
+    bpos, bmass, pslot, ovf = bucket_particles(pos, m, box, ncell=ncell,
+                                               capacity=32)
+    assert int(ovf) == 0
+    return dict(pos=pos, m=m, box=box, ng=ng, ncell=ncell, cap=32,
+                bpos=bpos, bmass=bmass, pslot=pslot)
+
+
+class TestBucketedDeposit:
+    def test_matches_scatter_cic(self, bucketed):
+        b = bucketed
+        ref = cic_deposit(b["pos"], b["ng"], b["box"], b["m"])
+        grid, dropped = bp.deposit_from_buckets(
+            b["bpos"], b["bmass"], ncell=b["ncell"], ng=b["ng"],
+            box_size=b["box"])
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(grid), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_mass_conservation(self, bucketed):
+        b = bucketed
+        grid, _ = bp.deposit_from_buckets(
+            b["bpos"], b["bmass"], ncell=b["ncell"], ng=b["ng"],
+            box_size=b["box"])
+        assert float(grid.sum()) == pytest.approx(float(b["m"].sum()),
+                                                  rel=1e-5)
+
+    def test_drift_beyond_margin_counted(self, bucketed):
+        b = bucketed
+        # shift all particles by 2 PM cells (> margin=1): every live
+        # particle drops from the deposit
+        shift = 2.1 * b["box"] / b["ng"]
+        bpos = jnp.where((b["bmass"] > 0)[..., None],
+                         jnp.mod(b["bpos"] + shift, b["box"]), 0.0)
+        grid, dropped = bp.deposit_from_buckets(
+            bpos, b["bmass"], ncell=b["ncell"], ng=b["ng"],
+            box_size=b["box"])
+        assert int(dropped) > 0
+
+    def test_gather_matches_scatter(self, bucketed):
+        b = bucketed
+        field = jax.random.normal(jax.random.PRNGKey(2),
+                                  (b["ng"],) * 3)
+        ref = cic_gather(field, b["pos"], b["ng"], b["box"])
+        vals = bp.gather_to_buckets(field, b["bpos"], b["bmass"],
+                                    ncell=b["ncell"], ng=b["ng"],
+                                    box_size=b["box"])
+        np.testing.assert_allclose(
+            np.asarray(vals.reshape(-1)[b["pslot"]]), np.asarray(ref),
+            atol=1e-5)
+
+    def test_gather_multi_field(self, bucketed):
+        b = bucketed
+        fields = jax.random.normal(jax.random.PRNGKey(3),
+                                   (3, b["ng"], b["ng"], b["ng"]))
+        vals = bp.gather_to_buckets(fields, b["bpos"], b["bmass"],
+                                    ncell=b["ncell"], ng=b["ng"],
+                                    box_size=b["box"])
+        assert vals.shape[-1] == 3
+        one = bp.gather_to_buckets(fields[1], b["bpos"], b["bmass"],
+                                   ncell=b["ncell"], ng=b["ng"],
+                                   box_size=b["box"])
+        np.testing.assert_allclose(np.asarray(vals[..., 1]),
+                                   np.asarray(one), atol=1e-6)
+
+    def test_pm_bucketed_matches_scatter_pm(self, bucketed):
+        b = bucketed
+        ref = pm_accelerations(b["pos"], b["m"], b["ng"], b["box"],
+                               split_scale=2.0)
+        acc, _ = bp.pm_accelerations_bucketed(
+            b["bpos"], b["bmass"], ncell=b["ncell"], ng=b["ng"],
+            box_size=b["box"], split_scale=2.0, gradient="spectral")
+        scale = float(jnp.max(jnp.abs(ref)))
+        diff = np.asarray(acc.reshape(-1, 3)[b["pslot"]]) - np.asarray(ref)
+        assert np.max(np.abs(diff)) / scale < 1e-5
+
+    def test_fd4_close_to_spectral(self, bucketed):
+        b = bucketed
+        a1, _ = bp.pm_accelerations_bucketed(
+            b["bpos"], b["bmass"], ncell=b["ncell"], ng=b["ng"],
+            box_size=b["box"], split_scale=2.0, gradient="spectral")
+        a2, _ = bp.pm_accelerations_bucketed(
+            b["bpos"], b["bmass"], ncell=b["ncell"], ng=b["ng"],
+            box_size=b["box"], split_scale=2.0, gradient="fd4")
+        scale = float(jnp.max(jnp.abs(a1)))
+        assert float(jnp.max(jnp.abs(a1 - a2))) / scale < 0.05
+
+
+class TestShortRangePoly:
+    def test_poly_matches_exact(self):
+        r = jnp.linspace(1e-3, 5.9, 500)
+        rs = 1.0
+        exact = short_range_factor(r, rs)
+        poly = short_range_factor_poly(r, rs)
+        np.testing.assert_allclose(np.asarray(poly), np.asarray(exact),
+                                   atol=5e-4)
+
+    def test_pallas_kernel_interpret(self, bucketed):
+        b = bucketed
+        rs, soft = 2.0, 0.1
+        ref = short_range_bucketed(b["bpos"], b["bmass"], b["box"], rs,
+                                   soft, ncell=b["ncell"],
+                                   capacity=b["cap"], use_poly=True)
+        out = pallas_short_range(b["bpos"], b["bmass"], ncell=b["ncell"],
+                                 capacity=b["cap"], box_size=b["box"],
+                                 rs=rs, softening=soft, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref)))
+        # dead (zero-mass padding) slots carry don't-care values: the
+        # kernel's per-rod unwrap gives them different garbage than the
+        # jnp reference's min-image; both are masked downstream
+        live = (b["bmass"] > 0)[..., None]
+        diff = jnp.where(live, jnp.abs(out - ref), 0.0)
+        assert float(jnp.max(diff)) / scale < 1e-5
+
+
+class TestFastStepper:
+    def test_plan_constraints(self):
+        plan = fast_plan(1_000_000, 100.0, 256)
+        assert 256 % plan["ncell"] == 0
+        assert plan["capacity"] % 128 == 0
+        assert 100.0 / plan["ncell"] >= plan["r_cut"]
+
+    def test_force_agreement_with_stateless(self, bucketed):
+        b = bucketed
+        fstate, kw = initialize_fast(
+            b["pos"], jnp.zeros_like(b["pos"]), b["m"], 0.1,
+            box_size=b["box"], pm_grid=b["ng"], softening=0.1, g_const=1.0)
+        assert int(fstate.dropped) == 0
+        ref = treepm_accelerations(b["pos"], b["m"], b["box"],
+                                   pm_grid=b["ng"], softening=0.1,
+                                   g_const=1.0)
+        fpos, _, fmass = flatten_fast_state(fstate)
+        live = np.asarray(fmass) > 0
+
+        def keyed(p, a):
+            idx = np.lexsort(np.asarray(p).T)
+            return np.asarray(a)[idx]
+
+        a1 = keyed(b["pos"], ref)
+        a2 = keyed(np.asarray(fpos)[live],
+                   np.asarray(fstate.acc.reshape(-1, 3))[live])
+        assert np.max(np.abs(a1 - a2)) / np.max(np.abs(a1)) < 1e-3
+
+    def test_run_conserves_mass_and_rebuckets(self, bucketed):
+        b = bucketed
+        fstate, kw = initialize_fast(
+            b["pos"], jnp.zeros_like(b["pos"]), b["m"], 0.1,
+            box_size=b["box"], pm_grid=b["ng"], softening=0.1, g_const=1.0)
+        fs = fast_run(fstate, PARAMS, 1e-5, n_steps=20, rebucket_every=8,
+                      **kw)
+        assert float(fs.bmass.sum()) == pytest.approx(
+            float(b["m"].sum()), rel=1e-5)
+        assert int(fs.step) == 20
+        assert int(fs.overflow) == 0
+        assert int(fs.dropped) == 0
+        assert float(fs.scale_factor) > 0.1
+        assert bool(jnp.all(jnp.isfinite(fs.bpos)))
+
+    def test_matches_engine_trajectory(self, bucketed):
+        """fast_run == stateless-treepm engine loop on the same ICs
+        (statistically: total KE after N steps)."""
+        from lambda_cdm_tpu.physics.integrators import kdk_step_fused
+        from lambda_cdm_tpu.core.state import make_state
+        b = bucketed
+        n_steps, dt = 10, 1e-5
+
+        def accel(st):
+            return treepm_accelerations(st.positions, st.masses, b["box"],
+                                        pm_grid=b["ng"], softening=0.1,
+                                        g_const=1.0)
+
+        st = make_state(b["pos"], jnp.zeros_like(b["pos"]), b["m"],
+                        scale_factor=0.1)
+        acc = accel(st)
+        for _ in range(n_steps):
+            st, acc = kdk_step_fused(st, acc, accel, PARAMS, dt, b["box"])
+        ke_ref = float(jnp.sum(b["m"][:, None] * st.velocities ** 2))
+
+        fstate, kw = initialize_fast(
+            b["pos"], jnp.zeros_like(b["pos"]), b["m"], 0.1,
+            box_size=b["box"], pm_grid=b["ng"], softening=0.1, g_const=1.0)
+        fs = fast_run(fstate, PARAMS, dt, n_steps=n_steps,
+                      rebucket_every=100, **kw)
+        ke_fast = float(jnp.sum(fs.bmass[..., None] * fs.bvel ** 2))
+        assert ke_fast == pytest.approx(ke_ref, rel=5e-3)
