@@ -23,9 +23,9 @@ print(f"init {time.perf_counter()-t0:.0f}s; plan:",
       {k: kw[k] for k in ("ncell", "capacity", "rs")}, flush=True)
 
 t0 = time.perf_counter()
-fs = fast_run(fstate, params, 1e-6, n_steps=4, rebucket_every=16, **kw)
+fs = fast_run(fstate, params, 1e-6, n_steps=32, rebucket_every=16, **kw)
 sync(fs.bpos)
-print(f"compile+4: {time.perf_counter()-t0:.0f}s", flush=True)
+print(f"compile+16: {time.perf_counter()-t0:.0f}s", flush=True)
 
 t0 = time.perf_counter()
 fs = fast_run(fs, params, 1e-6, n_steps=32, rebucket_every=16, **kw)

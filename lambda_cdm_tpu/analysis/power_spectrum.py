@@ -261,6 +261,65 @@ def cross_power_spectrum(positions_a, positions_b, box_size, ng: int = 128,
             counts[:num_bins])
 
 
+def redshift_space_positions(positions, velocities, box_size, *,
+                             scale_factor, hubble_internal_rate,
+                             axis: int = 2):
+    """Map real-space positions to redshift space along a line-of-sight
+    axis: s = x + v_los / (a H) (plane-parallel approximation), periodic
+    wrap. `hubble_internal_rate` = H(a) in internal 1/time units; the
+    velocity convention matches the integrator's dx/dt variable.
+
+    (The reference declares compute_redshift_space_power_spectrum and
+    never implements it, power_spectrum.hpp:62-66.)"""
+    s = positions.at[:, axis].add(
+        velocities[:, axis] / (scale_factor * hubble_internal_rate))
+    return jnp.mod(s, box_size)
+
+
+@partial(jax.jit, static_argnames=("ng", "num_bins", "assignment", "axis"))
+def power_spectrum_multipoles(positions, box_size, *, ng: int = 128,
+                              weights=None, num_bins: int = 32,
+                              assignment: str = "cic", axis: int = 2):
+    """P_l(k) for l = 0, 2, 4 via Legendre-weighted binning in
+    mu = k_los/|k| (declared-only in the reference,
+    power_spectrum.hpp:68-74). Returns (k [B], P_l [3, B], counts [B])."""
+    grid = DEPOSITS[assignment](positions, ng, box_size, weights)
+    delta = density_contrast(grid)
+    volume = box_size ** 3
+    dk = jnp.fft.rfftn(delta)
+    dk = dk / assignment_window(ng, box_size, assignment)
+    pk3d = (dk.real ** 2 + dk.imag ** 2) * (volume / float(ng) ** 6)
+
+    kx, ky, kz, k2 = fourier_grid(ng, box_size)
+    kmag = jnp.sqrt(k2)
+    k_los = jnp.broadcast_to((kx, ky, kz)[axis], pk3d.shape)
+    mu2 = jnp.where(k2 > 0, (k_los ** 2) / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    leg2 = 0.5 * (3.0 * mu2 - 1.0)
+    leg4 = 0.125 * (35.0 * mu2 * mu2 - 30.0 * mu2 + 3.0)
+    mult = _hermitian_multiplicity(ng)
+
+    kf = 2.0 * jnp.pi / box_size
+    knyq = jnp.pi * ng / box_size
+    edges = jnp.logspace(jnp.log10(kf), jnp.log10(knyq), num_bins + 1)
+    bin_idx = jnp.searchsorted(edges, kmag.ravel(), side="right") - 1
+    valid = (bin_idx >= 0) & (bin_idx < num_bins) & (kmag.ravel() > 0)
+    bin_idx = jnp.where(valid, bin_idx, num_bins)
+    wts = jnp.where(valid, mult.ravel(), 0.0)
+
+    def binsum(vals):
+        return jax.ops.segment_sum(wts * vals.ravel(), bin_idx,
+                                   num_segments=num_bins + 1)[:num_bins]
+
+    counts = jax.ops.segment_sum(wts, bin_idx,
+                                 num_segments=num_bins + 1)[:num_bins]
+    safe = jnp.maximum(counts, 1e-30)
+    p0 = binsum(pk3d) / safe
+    p2 = 5.0 * binsum(pk3d * leg2) / safe
+    p4 = 9.0 * binsum(pk3d * leg4) / safe
+    k_avg = binsum(kmag) / safe
+    return k_avg, jnp.stack([p0, p2, p4]), counts
+
+
 def sigma8_from_power(data: PowerSpectrumData):
     """sigma8 from binned P(k) via top-hat integral (reference:
     compute_sigma8, power_spectrum.cu:318-332)."""

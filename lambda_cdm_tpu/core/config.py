@@ -92,6 +92,7 @@ class ForceConfig:
     split_factor: float = 1.25          # treepm rs in PM cells
     cut_factor: float = 4.5             # treepm r_cut in units of rs
     bucket_capacity: int = 0            # 0 -> auto (4x mean occupancy)
+    rebucket_every: int = 16            # treepm_fast cell-list refresh
     force_kernel: str = "newtonian"     # newtonian | modified_gravity
     modified_gravity_strength: float = 0.0
     precision: str = "float32"          # pallas accumulate precision
@@ -375,7 +376,8 @@ class SimulationConfig:
         if self.time.initial_timestep <= 0:
             raise ValueError("time.initial_timestep must be > 0")
         if self.forces.type not in (
-                "direct", "direct_reference", "pm", "treepm"):
+                "direct", "direct_reference", "pm", "treepm",
+                "treepm_fast"):
             raise ValueError(f"unknown forces.type '{self.forces.type}'")
         if self.forces.softening_length < 0:
             raise ValueError("softening_length must be >= 0")

@@ -82,6 +82,8 @@ class SimulationEngine:
         self.statistics = SimulationStatistics()
         self.last_energy_error: float | None = None
         self._state: SimState | None = None
+        self._fstate = None               # treepm_fast cell-list state
+        self._fast_kw: dict | None = None
         self._acc = None                  # cached accelerations at state.pos
         self._accel_fn: Callable | None = None
         self._chunk_runners: dict[int, Callable] = {}
@@ -99,6 +101,9 @@ class SimulationEngine:
     def state(self, new_state: SimState) -> None:
         self._state = new_state
         self._acc = None
+        if self._fstate is not None:
+            # re-bucket the externally supplied state into the fast layout
+            self._init_fast_path()
 
     @property
     def accel_fn(self) -> Callable:
@@ -113,8 +118,10 @@ class SimulationEngine:
         simulation_engine.cpp:35-70, whose component wiring was a TODO)."""
         try:
             self.config.validate()
-            from ..forces import create_force_computer
-            self._accel_fn = create_force_computer(self.config)
+            use_fast = self.config.forces.type == "treepm_fast"
+            if not use_fast:
+                from ..forces import create_force_computer
+                self._accel_fn = create_force_computer(self.config)
 
             if state is None:
                 from ..physics.initial_conditions import generate_state
@@ -123,6 +130,8 @@ class SimulationEngine:
             self._acc = None
             self._dt = jnp.asarray(self.config.time.initial_timestep,
                                    state.positions.dtype)
+            if use_fast:
+                self._init_fast_path()
 
             if self.config.validation.check_initial_conditions:
                 self._validate_state()
@@ -190,8 +199,53 @@ class SimulationEngine:
             self.statistics.compile_time_s += time.perf_counter() - t0
         return self._chunk_runners[chunk_len]
 
+    # -- treepm_fast path: persistent cell-list state ------------------------
+    def _init_fast_path(self) -> None:
+        """Wire the production cell-list stepper (ops/fast_treepm) behind
+        the engine API: SimState is the public face, FastState the
+        internal hot representation."""
+        from ..forces import auto_pm_grid
+        from ..ops.fast_treepm import initialize_fast
+        cfg = self.config
+        st = self._state
+        t0 = time.perf_counter()
+        self._fstate, self._fast_kw = initialize_fast(
+            st.positions, st.velocities, st.masses, st.scale_factor,
+            box_size=cfg.particles.box_size, pm_grid=auto_pm_grid(cfg),
+            softening=cfg.forces.softening_length, g_const=cfg.units.G,
+            split_factor=cfg.forces.split_factor,
+            cut_factor=cfg.forces.cut_factor,
+            capacity=cfg.forces.bucket_capacity)
+        self.statistics.compile_time_s += time.perf_counter() - t0
+        self._accel_fn = lambda s: (_ for _ in ()).throw(
+            RuntimeError("treepm_fast drives the loop directly"))
+
+    def _fast_chunk(self, n: int) -> None:
+        from ..ops.fast_treepm import fast_run
+        cfg = self.config
+        params = cfg.cosmology_params()
+        self._fstate = fast_run(
+            self._fstate, params, float(self._dt), n_steps=n,
+            rebucket_every=cfg.forces.rebucket_every, **self._fast_kw)
+        self._sync_state_from_fast()
+
+    def _sync_state_from_fast(self) -> None:
+        """Compact the bucket layout back into the public SimState (live
+        rows only; runs at observer cadence, host-side)."""
+        import numpy as np
+        from ..ops.fast_treepm import flatten_fast_state
+        fpos, fvel, fmass = flatten_fast_state(self._fstate)
+        live = np.asarray(fmass) > 0
+        self._state = self._state.replace(
+            positions=jnp.asarray(np.asarray(fpos)[live]),
+            velocities=jnp.asarray(np.asarray(fvel)[live]),
+            masses=jnp.asarray(np.asarray(fmass)[live]),
+            scale_factor=self._fstate.scale_factor,
+            time=self._fstate.time,
+            step=self._fstate.step)
+
     def _ensure_acc(self) -> None:
-        if self._acc is None:
+        if self._acc is None and getattr(self, "_fstate", None) is None:
             self._acc = self._accel_fn(self._state)
 
     def step(self, num_steps: int = 1) -> SimState:
@@ -199,9 +253,13 @@ class SimulationEngine:
         SimulationEngine::step, simulation_engine.cpp:118-154)."""
         if self.lifecycle == LifecycleState.UNINITIALIZED:
             raise RuntimeError("initialize() first")
-        self._ensure_acc()
-        runner = self._get_chunk_runner(num_steps)
-        self._state, self._acc = runner(self._state, self._acc, self._dt)
+        if getattr(self, "_fstate", None) is not None:
+            self._fast_chunk(num_steps)
+        else:
+            self._ensure_acc()
+            runner = self._get_chunk_runner(num_steps)
+            self._state, self._acc = runner(self._state, self._acc,
+                                            self._dt)
         self.statistics.total_steps += num_steps
         return self._state
 
@@ -235,13 +293,17 @@ class SimulationEngine:
                 self.observers.notify("on_step_start", self,
                                       int(self._state.step))
                 with self.profiler.timer("run.chunk"):
-                    runner = self._get_chunk_runner(n)
-                    self._state, self._acc = runner(self._state, self._acc,
-                                                    self._dt)
+                    if self._fstate is not None:
+                        self._fast_chunk(n)
+                    else:
+                        runner = self._get_chunk_runner(n)
+                        self._state, self._acc = runner(
+                            self._state, self._acc, self._dt)
                     jax.block_until_ready(self._state.positions)
                 steps_done += n
                 self.statistics.total_steps += n
-                if cfg.integration.adaptive_timestep:
+                if cfg.integration.adaptive_timestep \
+                        and self._acc is not None:
                     self._update_dt()
                 self.observers.notify("on_step_end", self,
                                       int(self._state.step))
@@ -295,6 +357,8 @@ class SimulationEngine:
         """Back to UNINITIALIZED (reference: simulation_engine.hpp:75)."""
         self._state = None
         self._acc = None
+        self._fstate = None
+        self._fast_kw = None
         self._chunk_runners.clear()
         self.statistics = SimulationStatistics()
         self.lifecycle = LifecycleState.UNINITIALIZED

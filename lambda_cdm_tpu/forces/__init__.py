@@ -45,6 +45,27 @@ def available_force_computers() -> list[str]:
     return sorted(_REGISTRY)
 
 
+def load_plugin(module_path: str) -> list[str]:
+    """Dynamic solver-plugin loading (the capability ComponentRegistry::
+    load_plugin stubbed as TODO, component_registry.cpp:224-234): import a
+    module whose import-time side effects call `register_force_computer`.
+    Returns the names newly registered. Python modules replace dlopen."""
+    import importlib
+    before = set(_REGISTRY)
+    importlib.import_module(module_path)
+    return sorted(set(_REGISTRY) - before)
+
+
+def load_plugins_from_env(var: str = "LCDM_FORCE_PLUGINS") -> list[str]:
+    """Load a colon-separated list of plugin modules from the environment
+    (the env-driven plugin discovery the reference's config promised)."""
+    import os
+    new: list[str] = []
+    for mod in filter(None, os.environ.get(var, "").split(":")):
+        new += load_plugin(mod)
+    return new
+
+
 def create_force_computer(config: SimulationConfig) -> Callable[[SimState], object]:
     """Factory entry point (ForceComputerFactory::create_computer,
     force_computer_factory.cpp:14-34), with the configured fallback chain

@@ -118,16 +118,22 @@ def bucket_particles(positions, masses, box_size, *, ncell: int,
     mass_s = masses[order]
     live_s = live[order]
 
-    # rank within own cell = index - first index of that cid (sorted)
-    start = jnp.searchsorted(cid_s, cid_s, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - start.astype(jnp.int32)
+    # rank within own cell = index - first index of that cid: run starts
+    # via a cummax (cheaper than searchsorted's extra binary-search pass)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool),
+                                cid_s[1:] != cid_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - run_start
     ok = (rank < capacity) & live_s
     slot = jnp.where(ok, cid_s * capacity + rank, ncells * capacity)
 
     bpos = jnp.zeros((ncells * capacity, 3), positions.dtype)
     bmass = jnp.zeros((ncells * capacity,), masses.dtype)
-    bpos = bpos.at[slot].set(pos_s, mode="drop")
-    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop")
+    # slots ascend with the sorted order (drop-slots excepted)
+    bpos = bpos.at[slot].set(pos_s, mode="drop", indices_are_sorted=True)
+    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop",
+                               indices_are_sorted=True)
 
     # map original particle index -> its slot (-1 on overflow/dead)
     pslot = jnp.full((n,), -1, jnp.int32)

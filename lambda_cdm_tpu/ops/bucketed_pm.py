@@ -49,12 +49,16 @@ def _block_origins(ncell: int, ppc: int, margin: int):
             - (margin + 1)).astype(jnp.int32)
 
 
-def _cic_factors(bpos, bmass, origin, *, ng: int, box_size, ell: int):
+def _cic_factors(bpos, bmass, origin, *, ng: int, box_size, ell: int,
+                 derivatives: bool = False):
     """Per-axis one-hot CIC factor matrices for a batch of cells.
 
     bpos [B, K, 3], bmass [B, K], origin [B, 3]. Returns
     (X, Y, Zm [B,K,L], drop_count); Zm carries the mass and the validity
-    mask (drift beyond margin -> weight 0, counted)."""
+    mask (drift beyond margin -> weight 0, counted). With
+    `derivatives=True` additionally returns (dX, dY, dZ): the spatial
+    derivatives of the per-axis weights (+-ng/box at the two corners),
+    for force-from-potential interpolation gradients."""
     u = bpos / box_size * ng                  # global PM coords [B,K,3]
     i0 = jnp.floor(u - 0.5).astype(jnp.int32)
     frac = (u - 0.5) - i0
@@ -76,7 +80,17 @@ def _cic_factors(bpos, bmass, origin, *, ng: int, box_size, ell: int):
     x = onehot(0)
     y = onehot(1)
     zm = onehot(2) * jnp.where(live & ok, bmass, 0.0)[..., None]
-    return x, y, zm, dropped
+    if not derivatives:
+        return x, y, zm, dropped
+
+    scale = ng / box_size                    # d(weight)/d(position)
+
+    def donehot(axis):
+        i_ax = ilc[..., axis][..., None]
+        return (jnp.where(iota == i_ax, -scale, 0.0)
+                + jnp.where(iota == i_ax + 1, scale, 0.0))
+
+    return x, y, zm, dropped, donehot(0), donehot(1), donehot(2)
 
 
 def _fold_axis(arr, block_axis, local_axis, *, c, ppc, ghost):
@@ -241,6 +255,47 @@ def gather_to_buckets(grid, bpos, bmass, *, ncell: int, ng: int, box_size,
     return vals[..., 0] if squeeze else vals
 
 
+@partial(jax.jit, static_argnames=("ncell", "ng", "margin"))
+def gather_gradient_to_buckets(phi, bpos, bmass, *, ncell: int, ng: int,
+                               box_size, margin: int = 1):
+    """Force = -grad of the CIC-interpolated potential -> [C, K, 3].
+
+    Differentiates the interpolation weights instead of the field
+    (the pmwd-style gradient): ONE block extraction of phi and TWO shared
+    batched GEMMs replace three gradient grids + three gathers + the FD
+    stencil. The interpolation-weight derivative is piecewise constant
+    (CIC is piecewise linear), matching the order of the FD4 + CIC combo
+    on the Gaussian-smoothed long-range potential."""
+    cc = ncell ** 3
+    k = bpos.shape[1]
+    ppc, ell = block_geometry(ng, ncell, margin)
+    origins = _block_origins(ncell, ppc, margin)
+    local = _extract(phi, ncell=ncell, ng=ng, margin=margin)
+    chunk = _cell_chunks(cc)
+
+    def chunk_vals(args):
+        bp, bm, org, loc = args
+        ones = jnp.where(bm > 0, 1.0, 0.0)
+        x, y, z1, _, dx, dy, dz = _cic_factors(
+            bp, ones, org, ng=ng, box_size=box_size, ell=ell,
+            derivatives=True)
+        # T1 (shared by F_y and F_z): contract a with X
+        t1 = jnp.einsum("cka,cabz->ckbz", x, loc,
+                        preferred_element_type=jnp.float32)
+        # T1d (for F_x): contract a with dX
+        t1d = jnp.einsum("cka,cabz->ckbz", dx, loc,
+                         preferred_element_type=jnp.float32)
+        fx = jnp.sum(jnp.sum(t1d * y[:, :, :, None], axis=2) * z1, axis=2)
+        fy = jnp.sum(jnp.sum(t1 * dy[:, :, :, None], axis=2) * z1, axis=2)
+        fz = jnp.sum(jnp.sum(t1 * y[:, :, :, None], axis=2) * dz, axis=2)
+        return jnp.stack([fx, fy, fz], axis=-1)
+
+    xs = (bpos.reshape(-1, chunk, k, 3), bmass.reshape(-1, chunk, k),
+          origins.reshape(-1, chunk, 3),
+          local.reshape(-1, chunk, ell, ell, ell))
+    return -jax.lax.map(chunk_vals, xs).reshape(cc, k, 3)
+
+
 # ---------------------------------------------------------------------------
 # PM accelerations on buckets
 # ---------------------------------------------------------------------------
@@ -273,6 +328,14 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
     green = _greens(ng, box_size, split_scale)
     phi_k = green * rho_k
 
+    if gradient == "interp":
+        # force = -grad of the interpolated potential: one irfftn, one
+        # block extraction, two shared GEMMs (see gather_gradient_to_buckets)
+        phi = jnp.fft.irfftn(phi_k, s=(ng, ng, ng))
+        acc = gather_gradient_to_buckets(
+            phi, bpos, bmass, ncell=ncell, ng=ng, box_size=box_size,
+            margin=margin)
+        return g_const * acc, dropped
     if gradient == "spectral":
         kx, ky, kz, _ = fourier_grid(ng, box_size)
         fields = jnp.stack([

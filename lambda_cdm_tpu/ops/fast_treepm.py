@@ -158,16 +158,43 @@ def _rebucket(fstate: FastState, *, box_size, ncell, capacity) -> FastState:
         overflow=fstate.overflow + ovf.astype(jnp.int32))
 
 
+def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
+             rebucket_every: int = 16, n_steps: int = 1,
+             **kw) -> FastState:
+    """Advance `n_steps` KDK steps: jitted `lax.scan` segments of
+    `rebucket_every` steps with a re-bucketing pass between segments.
+
+    Re-bucketing (a sort) lives OUTSIDE the scan: a lax.cond inside the
+    scan body gets cond->select-converted by XLA and would execute the
+    sort on EVERY step (measured: 275 -> 901 ms/step at 1M)."""
+    remaining = n_steps
+    while remaining > 0:
+        seg = min(rebucket_every, remaining)
+        fstate = _fast_segment(fstate, params, dt, n_steps=seg, **kw)
+        remaining -= seg
+        if remaining > 0:
+            fstate = _rebucket_jit(fstate, box_size=kw["box_size"],
+                                   ncell=kw["ncell"],
+                                   capacity=kw["capacity"])
+    return fstate
+
+
+@partial(jax.jit, static_argnames=("box_size", "ncell", "capacity"))
+def _rebucket_jit(fstate, *, box_size, ncell, capacity):
+    return _rebucket(fstate, box_size=box_size, ncell=ncell,
+                     capacity=capacity)
+
+
 @partial(jax.jit, static_argnames=(
     "box_size", "ng", "ncell", "capacity", "margin", "softening",
     "g_const", "gradient", "rs", "h0_internal", "kick_mode", "sf_method",
-    "rebucket_every", "n_steps"))
-def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
-             box_size: float, ng: int, ncell: int, capacity: int,
-             margin: int, rs: float, softening: float, g_const: float,
-             gradient: str = "fd4", h0_internal: float = 100.0,
-             kick_mode: str = "reference", sf_method: str = "rk4",
-             rebucket_every: int = 16, n_steps: int = 1) -> FastState:
+    "n_steps"))
+def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
+                  box_size: float, ng: int, ncell: int, capacity: int,
+                  margin: int, rs: float, softening: float, g_const: float,
+                  gradient: str = "fd4", h0_internal: float = 100.0,
+                  kick_mode: str = "reference", sf_method: str = "rk4",
+                  n_steps: int = 1) -> FastState:
     """Advance `n_steps` fused KDK steps entirely on device."""
     kw = dict(box_size=box_size, ng=ng, ncell=ncell, capacity=capacity,
               margin=margin, rs=rs, softening=softening, g_const=g_const,
@@ -186,13 +213,6 @@ def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
                         wrap_positions(pos, box_size), 0.0)
         fs = fs.replace(bpos=pos, bvel=vel, scale_factor=a1,
                         time=fs.time + dt, step=fs.step + 1)
-
-        # periodic re-bucketing keeps particles within block margins
-        fs = jax.lax.cond(
-            fs.step % rebucket_every == 0,
-            lambda s: _rebucket(s, box_size=box_size, ncell=ncell,
-                                capacity=capacity),
-            lambda s: s, fs)
 
         acc_new, dropped = _accel(fs, **kw)
         vel = fs.bvel + acc_new * (0.5 * dt) * kick_factor(a1, kick_mode)

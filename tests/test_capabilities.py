@@ -1,0 +1,116 @@
+"""Tests for TRT-parity AOT engine, plugin loading, and redshift-space
+statistics."""
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lambda_cdm_tpu.analysis.power_spectrum import (
+    power_spectrum_multipoles, redshift_space_positions)
+from lambda_cdm_tpu.utils.aot import CompiledForceEngine
+
+
+class TestCompiledForceEngine:
+    def test_matches_direct_solver(self):
+        from lambda_cdm_tpu.forces.direct import direct_accelerations
+        key = jax.random.PRNGKey(0)
+        pos = jax.random.uniform(key, (500, 3), maxval=20.0)
+        m = jnp.ones((500,))
+        eng = CompiledForceEngine(20.0, softening=0.1,
+                                  profiles=(1024, 4096))
+        out = eng.compute_forces(pos, m)
+        ref = direct_accelerations(pos, m, 20.0, 0.1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=1e-5)
+
+    def test_profile_padding_no_recompile(self):
+        eng = CompiledForceEngine(20.0, profiles=(256, 1024))
+        key = jax.random.PRNGKey(1)
+        for n in (100, 200, 256, 700):
+            pos = jax.random.uniform(key, (n, 3), maxval=20.0)
+            out = eng.compute_forces(pos, jnp.ones((n,)))
+            assert out.shape == (n, 3)
+        # only two profiles ever compiled
+        assert set(eng._exported) <= {256, 1024}
+
+    def test_exceeding_max_profile_raises(self):
+        eng = CompiledForceEngine(20.0, profiles=(256,))
+        with pytest.raises(ValueError):
+            eng.compute_forces(jnp.zeros((300, 3)), jnp.ones((300,)))
+
+    def test_save_load_roundtrip(self, tmp_path):
+        key = jax.random.PRNGKey(2)
+        pos = jax.random.uniform(key, (200, 3), maxval=10.0)
+        m = jnp.ones((200,))
+        eng = CompiledForceEngine(10.0, softening=0.05, profiles=(256,))
+        ref = eng.compute_forces(pos, m)
+        path = eng.save(str(tmp_path / "engine.lcdmx"))
+        eng2 = CompiledForceEngine.load(path)
+        out = eng2.compute_forces(pos, m)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6)
+
+
+class TestPluginLoading:
+    def test_load_plugin_module(self, tmp_path):
+        from lambda_cdm_tpu import forces
+        plugin = tmp_path / "lcdm_test_plugin.py"
+        plugin.write_text(
+            "from lambda_cdm_tpu.forces import register_force_computer\n"
+            "@register_force_computer('test_plugin_solver')\n"
+            "def _build(config):\n"
+            "    return lambda state: state.positions * 0.0\n")
+        sys.path.insert(0, str(tmp_path))
+        try:
+            new = forces.load_plugin("lcdm_test_plugin")
+            assert "test_plugin_solver" in new
+            assert "test_plugin_solver" in forces.available_force_computers()
+        finally:
+            sys.path.remove(str(tmp_path))
+            forces._REGISTRY.pop("test_plugin_solver", None)
+            sys.modules.pop("lcdm_test_plugin", None)
+
+
+class TestRedshiftSpace:
+    def test_rsd_shifts_along_los_only(self):
+        key = jax.random.PRNGKey(3)
+        pos = jax.random.uniform(key, (100, 3), maxval=50.0)
+        vel = jnp.ones((100, 3)) * 100.0
+        s = redshift_space_positions(pos, vel, 50.0, scale_factor=0.5,
+                                     hubble_internal_rate=200.0)
+        np.testing.assert_allclose(np.asarray(s[:, :2]),
+                                   np.asarray(pos[:, :2]))
+        expected = np.mod(np.asarray(pos[:, 2]) + 100.0 / (0.5 * 200.0),
+                          50.0)
+        np.testing.assert_allclose(np.asarray(s[:, 2]), expected,
+                                   rtol=1e-5)
+
+    def test_multipoles_isotropic_field(self):
+        """Random (isotropic) particles: P2, P4 consistent with zero."""
+        key = jax.random.PRNGKey(4)
+        pos = jax.random.uniform(key, (20000, 3), maxval=50.0)
+        k, pl_, counts = power_spectrum_multipoles(pos, 50.0, ng=32,
+                                                   num_bins=10)
+        sel = np.asarray(counts) > 100
+        p0 = np.asarray(pl_[0])[sel]
+        p2 = np.asarray(pl_[1])[sel]
+        # quadrupole consistent with 0 relative to the monopole (noise)
+        assert np.mean(np.abs(p2)) < 0.5 * np.mean(np.abs(p0))
+
+    def test_multipoles_rsd_enhance_quadrupole(self):
+        """Squashing along the LOS produces a nonzero quadrupole."""
+        key = jax.random.PRNGKey(5)
+        pos = jax.random.uniform(key, (20000, 3), maxval=50.0)
+        squashed = pos.at[:, 2].multiply(0.8)
+        k, pl_iso, c = power_spectrum_multipoles(pos, 50.0, ng=32,
+                                                 num_bins=10)
+        k, pl_rsd, c = power_spectrum_multipoles(squashed, 50.0, ng=32,
+                                                 num_bins=10)
+        sel = np.asarray(c) > 100
+        q_iso = np.mean(np.abs(np.asarray(pl_iso[1])[sel]))
+        q_rsd = np.mean(np.abs(np.asarray(pl_rsd[1])[sel]))
+        assert q_rsd > 2.0 * q_iso
