@@ -49,10 +49,36 @@ def pad_particles(positions, velocities, masses, *, n_dev: int,
             jnp.pad(masses, (0, pad)))
 
 
-def find_owner(positions, box_size, n_dev: int):
-    """Owning device id per particle (x-slab decomposition)."""
-    d = jnp.floor(positions[:, 0] / box_size * n_dev).astype(jnp.int32)
-    return jnp.clip(d, 0, n_dev - 1)
+def find_owner(positions, box_size, n_dev: int, bounds=None):
+    """Owning device id per particle: uniform x-slabs, or adaptive slab
+    `bounds` [n_dev+1] (cf. find_owner_rank, cluster_comm.cpp:280-312)."""
+    if bounds is None:
+        d = jnp.floor(positions[:, 0] / box_size * n_dev).astype(jnp.int32)
+        return jnp.clip(d, 0, n_dev - 1)
+    d = jnp.searchsorted(bounds[1:-1], positions[:, 0], side="right")
+    return jnp.clip(d.astype(jnp.int32), 0, n_dev - 1)
+
+
+def adaptive_slab_bounds(positions, masses, n_dev: int, box_size, *,
+                         resolution: int = 512):
+    """Equal-load slab boundaries from the particle x-distribution
+    (the reference's LoadBalancer::rebalance + adaptive decomposition,
+    cluster_comm.cpp:330-349 / domain_decomposition.cpp:114-264, reduced
+    to the 1D slab topology). Returns bounds [n_dev+1] with
+    bounds[0] = 0 and bounds[-1] = box_size."""
+    live = masses > 0
+    xbin = jnp.clip((positions[:, 0] / box_size * resolution).astype(
+        jnp.int32), 0, resolution - 1)
+    hist = jax.ops.segment_sum(jnp.where(live, 1.0, 0.0), xbin,
+                               num_segments=resolution)
+    cum = jnp.cumsum(hist)
+    total = cum[-1]
+    targets = total * jnp.arange(1, n_dev) / n_dev
+    # boundary bin for each internal cut
+    cuts = jnp.searchsorted(cum, targets, side="left").astype(jnp.float32)
+    inner = (cuts + 1.0) * (box_size / resolution)
+    return jnp.concatenate([jnp.zeros((1,)), inner,
+                            jnp.full((1,), box_size)])
 
 
 def _bucket_by_owner(pos, vel, mass, owner, my_id, n_dev, capacity):
@@ -85,7 +111,7 @@ def _bucket_by_owner(pos, vel, mass, owner, my_id, n_dev, capacity):
                                    "box_size"))
 def migrate_particles(positions, velocities, masses, *, box_size,
                       capacity: int, mesh: Mesh,
-                      axis_name: str = SHARD_AXIS):
+                      axis_name: str = SHARD_AXIS, bounds=None):
     """Re-home particles to their owning x-slab device.
 
     Inputs are [N, ...] sharded along N (N/n_dev local rows per device,
@@ -101,9 +127,10 @@ def migrate_particles(positions, velocities, masses, *, box_size,
     """
     n_dev = mesh.shape[axis_name]
 
-    def local(pos, vel, mass):
+    def local(pos, vel, mass, bnd):
         my_id = jax.lax.axis_index(axis_name)
-        owner = find_owner(pos, box_size, n_dev)
+        owner = find_owner(pos, box_size, n_dev,
+                           bounds=None if bnd is None else bnd)
         # empty padding rows (mass 0) stay home
         owner = jnp.where(mass > 0, owner, my_id)
         bpos, bvel, bmass, ovf = _bucket_by_owner(
@@ -131,11 +158,20 @@ def migrate_particles(positions, velocities, masses, *, box_size,
         total_ovf = jax.lax.psum(ovf + recv_overflow, axis_name)
         return out_pos, out_vel, out_mass, total_ovf
 
-    out = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()))(
-            positions, velocities, masses)
+    if bounds is None:
+        def local2(pos, vel, mass):
+            return local(pos, vel, mass, None)
+        out = jax.shard_map(
+            local2, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name), P(axis_name), P()))(
+                positions, velocities, masses)
+    else:
+        out = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+            out_specs=(P(axis_name), P(axis_name), P(axis_name), P()))(
+                positions, velocities, masses, bounds)
     return out
 
 

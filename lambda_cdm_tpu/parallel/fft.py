@@ -1,0 +1,117 @@
+"""Explicit slab-decomposed distributed 3D FFT over the device mesh.
+
+The transpose-based distributed FFT of SURVEY.md section 7 M5 (the ICI
+analogue of sequence parallelism, section 5): the reference never sharded
+its FFT mesh (power_spectrum.cu:182-205 is single-device). Here:
+
+  forward:  grid sharded in x-slabs [ng/D, ng, ng] per device
+            -> local rfft over (y, z)
+            -> all_to_all transpose (x <-> y): shard moves to the y axis
+            -> local fft over x (now fully resident per device)
+            -> k-grid sharded in ky-slabs
+  inverse:  exact reverse.
+
+One all_to_all each way, riding ICI. GSPMD generates an equivalent
+schedule automatically for `jnp.fft.rfftn` under sharding constraints
+(parallel/sharded.py uses that); this explicit version exists because the
+hand-written transpose placement is inspectable, deterministic, and usable
+where GSPMD's choice is poor.
+
+Layout contract: forward returns the HALF spectrum transposed to
+[ky (sharded), kx, kz_r] -- use `k_vectors_transposed` for matching
+wavevectors when multiplying Green's functions in this layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import SHARD_AXIS
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name"))
+def distributed_rfftn(grid, *, mesh: Mesh, axis_name: str = SHARD_AXIS):
+    """Forward real FFT of [ng, ng, ng] sharded on axis 0.
+
+    Returns the half-spectrum in TRANSPOSED layout [ng, ng, ng//2+1]
+    complex64, sharded on axis 0 = ky (i.e. array[b, a, c] = F[a, b, c])."""
+    n_dev = mesh.shape[axis_name]
+
+    def local(g):                      # g: [ng/D, ng, ng]
+        gk = jnp.fft.rfftn(g, axes=(1, 2))          # local y,z transform
+        # split y into D chunks, exchange so each device gets all x for
+        # its y-chunk: [D, ng/D, ng/D, nz] -> all_to_all over dim 0
+        nx_loc = gk.shape[0]
+        ng_full = gk.shape[1]
+        nz = gk.shape[2]
+        chunks = gk.reshape(nx_loc, n_dev, ng_full // n_dev, nz)
+        chunks = jnp.moveaxis(chunks, 1, 0)          # [D, nx_loc, ny_loc, nz]
+        recv = jax.lax.all_to_all(chunks, axis_name, 0, 0, tiled=False)
+        # recv[d] = x-chunk d of my y-slab -> concatenate along x
+        full_x = recv.reshape(n_dev * nx_loc, ng_full // n_dev, nz)
+        # transform along x (now fully local); transpose to [y, x, z]
+        fx = jnp.fft.fft(full_x, axis=0)
+        return jnp.moveaxis(fx, 0, 1)                # [ny_loc, ng, nz]
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(axis_name),),
+                         out_specs=P(axis_name))(grid)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "ng"))
+def distributed_irfftn(gk_t, *, ng: int, mesh: Mesh,
+                       axis_name: str = SHARD_AXIS):
+    """Inverse of distributed_rfftn: input [ng, ng, ng//2+1] complex,
+    TRANSPOSED layout sharded on ky; returns [ng, ng, ng] real sharded
+    on x."""
+    n_dev = mesh.shape[axis_name]
+
+    def local(gt):                     # gt: [ny_loc, ng, nz]
+        fx = jnp.moveaxis(gt, 1, 0)                  # [ng(x), ny_loc, nz]
+        full_x = jnp.fft.ifft(fx, axis=0)            # inverse x transform
+        ny_loc = gt.shape[0]
+        nz = gt.shape[2]
+        chunks = full_x.reshape(n_dev, ng // n_dev, ny_loc, nz)
+        recv = jax.lax.all_to_all(chunks, axis_name, 0, 0, tiled=False)
+        # recv[d] = my x-slab's y-chunk d -> reassemble y
+        gk = jnp.moveaxis(recv, 0, 1)                # [nx_loc, D, ny_loc, nz]
+        gk = gk.reshape(ng // n_dev, n_dev * ny_loc, nz)
+        return jnp.fft.irfftn(gk, s=(ng, ng), axes=(1, 2))
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(axis_name),),
+                         out_specs=P(axis_name))(gk_t)
+
+
+def k_vectors_transposed(ng: int, box_size, dtype=jnp.float32):
+    """(kx, ky, kz, k2) matching the TRANSPOSED half-spectrum layout
+    [ky, kx, kz] of distributed_rfftn."""
+    two_pi = 2.0 * jnp.pi
+    kf = jnp.fft.fftfreq(ng, d=1.0 / ng).astype(dtype) * (two_pi / box_size)
+    kr = jnp.fft.rfftfreq(ng, d=1.0 / ng).astype(dtype) * (two_pi / box_size)
+    ky = kf[:, None, None]
+    kx = kf[None, :, None]
+    kz = kr[None, None, :]
+    return kx, ky, kz, kx * kx + ky * ky + kz * kz
+
+
+@partial(jax.jit, static_argnames=("ng", "mesh", "axis_name",
+                                   "split_scale"))
+def distributed_poisson_solve(grid, *, ng: int, box_size, mesh: Mesh,
+                              axis_name: str = SHARD_AXIS,
+                              split_scale=0.0):
+    """Sharded PM Poisson potential: density slab -> potential slab via the
+    explicit distributed FFT (lap phi = 4 pi rho-contrast, unit G)."""
+    gk = distributed_rfftn(grid, mesh=mesh, axis_name=axis_name)
+    kx, ky, kz, k2 = k_vectors_transposed(ng, box_size)
+    inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    green = -4.0 * jnp.pi * inv_k2
+    if split_scale and split_scale > 0:
+        green = green * jnp.exp(-k2 * split_scale * split_scale)
+    green = jax.lax.with_sharding_constraint(
+        jnp.broadcast_to(green, gk.shape),
+        jax.sharding.NamedSharding(mesh, P(axis_name)))
+    return distributed_irfftn(gk * green, ng=ng, mesh=mesh,
+                              axis_name=axis_name)

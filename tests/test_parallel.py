@@ -198,3 +198,83 @@ class TestShardState:
             particle_sharding(mesh), 2)
         np.testing.assert_allclose(np.asarray(sst.positions),
                                    np.asarray(st.positions))
+
+
+class TestDistributedFFT:
+    """Explicit slab-transpose FFT vs single-device jnp.fft."""
+
+    def test_forward_matches_rfftn(self, mesh):
+        from lambda_cdm_tpu.parallel.fft import distributed_rfftn
+        ng = 32
+        grid = jax.random.normal(jax.random.PRNGKey(0), (ng, ng, ng))
+        ref = jnp.fft.rfftn(grid)
+        out_t = distributed_rfftn(grid, mesh=mesh)   # [ky, kx, kz]
+        out = jnp.moveaxis(out_t, 0, 1)              # -> [kx, ky, kz]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_roundtrip(self, mesh):
+        from lambda_cdm_tpu.parallel.fft import (distributed_irfftn,
+                                                 distributed_rfftn)
+        ng = 32
+        grid = jax.random.normal(jax.random.PRNGKey(1), (ng, ng, ng))
+        gk = distributed_rfftn(grid, mesh=mesh)
+        back = distributed_irfftn(gk, ng=ng, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(grid),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_poisson_matches_single_device(self, mesh):
+        from lambda_cdm_tpu.parallel.fft import distributed_poisson_solve
+        from lambda_cdm_tpu.forces.pm import poisson_greens_function
+        ng, box = 32, 50.0
+        rho = jax.random.normal(jax.random.PRNGKey(2), (ng, ng, ng))
+        rho = rho - jnp.mean(rho)
+        green = poisson_greens_function(ng, box, deconvolve_cic=False)
+        ref = jnp.fft.irfftn(green * jnp.fft.rfftn(rho), s=(ng, ng, ng))
+        out = distributed_poisson_solve(rho, ng=ng, box_size=box, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)
+
+
+class TestAdaptiveBalance:
+    def test_adaptive_bounds_balance_skewed_load(self, mesh):
+        """90% of particles in one slab: adaptive bounds re-balance what
+        uniform slabs cannot (the LoadBalancer::rebalance capability)."""
+        n = 2048
+        key = jax.random.PRNGKey(0)
+        # clustered x around 5.0, tail uniform
+        x = jnp.where(jnp.arange(n) < 1800,
+                      jnp.clip(5.0 + jax.random.normal(key, (n,)), 0, 49.9),
+                      jax.random.uniform(jax.random.PRNGKey(1), (n,),
+                                         maxval=50.0))
+        pos = jnp.stack([x, jnp.full((n,), 10.0), jnp.full((n,), 10.0)], -1)
+        m = jnp.ones((n,))
+        vel = jnp.zeros_like(pos)
+        pos, vel, m = ex.pad_particles(pos, vel, m, n_dev=8, factor=2.0)
+
+        # uniform slabs: badly imbalanced
+        p_u, v_u, m_u, _ = ex.migrate_particles(
+            pos, vel, m, box_size=50.0, capacity=pos.shape[0] // 8,
+            mesh=mesh)
+        imb_uniform = float(ex.load_imbalance(m_u, mesh=mesh))
+
+        # adaptive bounds: balanced
+        bounds = ex.adaptive_slab_bounds(pos, m, 8, 50.0)
+        assert float(bounds[0]) == 0.0 and float(bounds[-1]) == 50.0
+        assert bool(jnp.all(jnp.diff(bounds) >= 0))
+        p_a, v_a, m_a, ovf = ex.migrate_particles(
+            pos, vel, m, box_size=50.0, capacity=pos.shape[0] // 8,
+            mesh=mesh, bounds=bounds)
+        imb_adaptive = float(ex.load_imbalance(m_a, mesh=mesh))
+        assert int(ovf) == 0
+        assert imb_adaptive < 0.35 < imb_uniform
+        # mass conserved
+        assert float(jnp.sum(m_a)) == pytest.approx(float(jnp.sum(m)),
+                                                    rel=1e-5)
+
+    def test_find_owner_with_bounds(self):
+        bounds = jnp.array([0.0, 10.0, 30.0, 50.0])
+        pos = jnp.array([[5.0, 0, 0], [15.0, 0, 0], [45.0, 0, 0],
+                         [10.0, 0, 0]])
+        own = ex.find_owner(pos, 50.0, 3, bounds=bounds)
+        assert list(np.asarray(own)) == [0, 1, 2, 1]
