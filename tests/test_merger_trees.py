@@ -1,0 +1,90 @@
+"""Merger-tree tests on synthetic two/three-snapshot halo histories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lambda_cdm_tpu.analysis.halo_finder import find_halos
+from lambda_cdm_tpu.analysis.merger_trees import (MergerForest,
+                                                  link_progenitors,
+                                                  match_halos)
+
+
+def blob(key, center, n, radius=1.0):
+    return jnp.asarray(center, jnp.float32) + radius * jax.random.normal(
+        key, (n, 3))
+
+
+def catalog(pos, box=100.0):
+    n = pos.shape[0]
+    return find_halos(pos, jnp.zeros_like(pos), jnp.ones((n,)), box,
+                      linking_length_factor=0.3, min_particles=20,
+                      max_halos=32)
+
+
+class TestMatching:
+    def test_identity_match(self):
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        pos = jnp.mod(jnp.concatenate([
+            blob(keys[0], (20, 20, 20), 60),
+            blob(keys[1], (70, 70, 70), 60),
+            jax.random.uniform(keys[2], (120, 3), maxval=100.0)]), 100.0)
+        cat = catalog(pos)
+        assert int(cat.num_halos) == 2
+        shared = np.asarray(match_halos(cat.particle_label,
+                                        cat.particle_label, max_halos=32))
+        # diagonal dominates
+        for h in range(2):
+            assert shared[h, h] >= 50
+            assert shared[h, 1 - h] == 0
+
+    def test_two_blobs_merge(self):
+        """Snapshot A: two blobs; snapshot B: both moved to one place ->
+        one halo with two progenitors."""
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        b1 = blob(keys[0], (20, 20, 20), 60)
+        b2 = blob(keys[1], (30, 20, 20), 60)
+        field = jax.random.uniform(keys[2], (120, 3), maxval=100.0)
+        pos_a = jnp.mod(jnp.concatenate([b1, b2, field]), 100.0)
+        # later: the two blobs coincide (merged), field unchanged
+        pos_b = jnp.mod(jnp.concatenate([
+            b1 + jnp.array([5.0, 0, 0]),
+            b2 - jnp.array([4.0, 0, 0]),
+            field]), 100.0)
+        cat_a = catalog(pos_a)
+        cat_b = catalog(pos_b)
+        assert int(cat_a.num_halos) == 2
+        assert int(cat_b.num_halos) == 1
+        links = link_progenitors(cat_a.particle_label, cat_b.particle_label,
+                                 num_a=2, num_b=1, max_halos=32)
+        assert links.n_progenitors[0] == 2
+        assert set(links.descendant) == {0}
+        assert links.main_progenitor[0] in (0, 1)
+
+
+class TestForest:
+    def test_main_branch_mass_history(self):
+        keys = jax.random.split(jax.random.PRNGKey(2), 5)
+        field = jax.random.uniform(keys[4], (100, 3), maxval=100.0)
+        b1 = blob(keys[0], (20, 20, 20), 40)
+        b2 = blob(keys[1], (32, 20, 20), 40)
+        snaps = [
+            jnp.mod(jnp.concatenate([b1, b2, field]), 100.0),
+            jnp.mod(jnp.concatenate([b1 + jnp.array([3.0, 0, 0]),
+                                     b2 - jnp.array([3.0, 0, 0]), field]),
+                    100.0),
+            jnp.mod(jnp.concatenate([b1 + jnp.array([6.0, 0, 0]),
+                                     b2 - jnp.array([6.0, 0, 0]), field]),
+                    100.0),
+        ]
+        cats = [catalog(p) for p in snaps]
+        assert int(cats[0].num_halos) == 2
+        assert int(cats[-1].num_halos) == 1    # merged by the last snap
+        forest = MergerForest.build(cats, [0.3, 0.5, 0.8], max_halos=32)
+        branch = forest.main_branch(0)
+        assert len(branch) == 3
+        # mass grows through the merger
+        assert branch[-1][2] > branch[0][2]
+        # two progenitors merged into the final halo
+        assert len(forest.mergers_into(0, 2)) >= 1
