@@ -12,6 +12,11 @@ and a config-driven builder/observer API.
 
 __version__ = "0.1.0"
 
+from .core.analysis_observers import (ConservationObserver,
+                                      HaloFinderObserver, LensingObserver,
+                                      PowerSpectrumObserver,
+                                      SnapshotObserver,
+                                      build_observers_from_config)
 from .core.config import SimulationConfig
 from .core.engine import (LifecycleState, SimulationBuilder,
                           SimulationEngine, SimulationStatistics)
@@ -25,6 +30,9 @@ __all__ = [
     "SimulationConfig", "SimulationBuilder", "SimulationEngine",
     "SimulationStatistics", "LifecycleState",
     "Observer", "ProgressObserver", "EnergyMonitor", "MetricsRecorder",
+    "SnapshotObserver", "PowerSpectrumObserver", "HaloFinderObserver",
+    "LensingObserver", "ConservationObserver",
+    "build_observers_from_config",
     "SimState", "make_state", "random_state",
     "CosmologyParams", "PLANCK",
 ]

@@ -401,8 +401,13 @@ class SimulationEngine:
 
     def save_checkpoint(self, path: str) -> str:
         from ..utils import checkpoint as ckpt
-        out = ckpt.save_checkpoint(path, self.state, self.config,
-                                   self.statistics.to_dict())
+        if self.config.io.output_format == "orbax":
+            # directory-based, sharded-array-safe (multi-chip states are
+            # written per-host without gathering)
+            out = ckpt.save_checkpoint_orbax(path, self.state)
+        else:
+            out = ckpt.save_checkpoint(path, self.state, self.config,
+                                       self.statistics.to_dict())
         self.observers.notify("on_checkpoint", self, out)
         return out
 
