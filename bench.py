@@ -25,6 +25,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: TPU compiles here run 30-500 s; caching
+# makes repeated benchmark invocations near-instant to warm up
+try:
+    import os as _os
+    _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # noqa: BLE001
+    pass
+
 # reference: 1M particles @ 45 ms/step on 8 GPUs (README.md:158)
 BASELINE_PARTICLE_STEPS_PER_CHIP = 1e6 / 0.045 / 8
 

@@ -224,9 +224,17 @@ class SimulationEngine:
         from ..ops.fast_treepm import fast_run
         cfg = self.config
         params = cfg.cosmology_params()
+        dropped_before = int(self._fstate.dropped)
         self._fstate = fast_run(
             self._fstate, params, float(self._dt), n_steps=n,
             rebucket_every=cfg.forces.rebucket_every, **self._fast_kw)
+        new_drops = int(self._fstate.dropped) - dropped_before
+        if new_drops > 0:
+            import logging
+            logging.getLogger("lambda_cdm_tpu").warning(
+                "treepm_fast: %d particle-deposits dropped this chunk "
+                "(drift exceeded the block margin) -- reduce "
+                "forces.rebucket_every or the timestep", new_drops)
         self._sync_state_from_fast()
 
     def _sync_state_from_fast(self) -> None:
