@@ -30,9 +30,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import SHARD_AXIS, grid_sharding, particle_sharding
+from .mesh import SHARD_AXIS, particle_sharding
 from ..forces.direct import min_image
 
 

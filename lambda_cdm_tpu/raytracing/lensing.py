@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from ..physics.cosmology import (C_KM_S, CosmologyParams,
                                  comoving_distance)
-from ..physics.cosmology import G_GADGET_MPC as G_CONST
 
 
 # ---------------------------------------------------------------------------
