@@ -82,6 +82,7 @@ class SimulationEngine:
         self.statistics = SimulationStatistics()
         self.last_energy_error: float | None = None
         self._state: SimState | None = None
+        self._mesh = None                 # device mesh (compute.mesh)
         self._fstate = None               # treepm_fast cell-list state
         self._fast_kw: dict | None = None
         self._acc = None                  # cached accelerations at state.pos
@@ -118,14 +119,21 @@ class SimulationEngine:
         simulation_engine.cpp:35-70, whose component wiring was a TODO)."""
         try:
             self.config.validate()
-            use_fast = self.config.forces.type == "treepm_fast"
-            if not use_fast:
-                from ..forces import create_force_computer
-                self._accel_fn = create_force_computer(self.config)
+            use_mesh = (self.config.compute.mesh.enabled
+                        and len(jax.devices()) > 1)
+            use_fast = (self.config.forces.type == "treepm_fast"
+                        and not use_mesh)
 
             if state is None:
                 from ..physics.initial_conditions import generate_state
                 state = generate_state(self.config)
+
+            if use_mesh:
+                state = self._init_mesh_path(state)
+            elif not use_fast:
+                from ..forces import create_force_computer
+                self._accel_fn = create_force_computer(self.config)
+
             self._state = state
             self._acc = None
             self._dt = jnp.asarray(self.config.time.initial_timestep,
@@ -152,8 +160,12 @@ class SimulationEngine:
         if self.config.particles.periodic_boundaries and (
                 bool(jnp.any(pos < 0)) or bool(jnp.any(pos >= box))):
             raise ValueError("positions outside [0, box)")
-        if bool(jnp.any(st.masses <= 0)):
-            raise ValueError("non-positive particle masses")
+        if bool(jnp.any(st.masses < 0)):
+            raise ValueError("negative particle masses")
+        if not bool(jnp.any(st.masses > 0)):
+            raise ValueError("no live particles (all masses zero)")
+        if self._mesh is None and bool(jnp.any(st.masses == 0)):
+            raise ValueError("zero-mass particles outside mesh-padding mode")
 
     # -- hot loop -----------------------------------------------------------
     def _make_chunk_runner(self, chunk_len: int) -> Callable:
@@ -198,6 +210,72 @@ class SimulationEngine:
                 chunk_len)
             self.statistics.compile_time_s += time.perf_counter() - t0
         return self._chunk_runners[chunk_len]
+
+    # -- multi-chip path: sharded state + ICI collectives ---------------------
+    def _init_mesh_path(self, state: SimState) -> SimState:
+        """Shard the simulation over the device mesh (the compute.mesh
+        config block -- the capability the reference's compute.mpi block
+        promised; SURVEY.md section 2.6 mapping). Particle arrays shard
+        along N with migrate-capacity padding; forces run as the ppermute
+        ring (direct) or GSPMD-sharded PM/TreePM; energy reduces via psum;
+        the run loop re-homes particles each chunk via all_to_all."""
+        from ..forces import auto_pm_grid
+        from ..parallel.exchange import pad_particles
+        from ..parallel.mesh import make_mesh, shard_state
+        from ..parallel.sharded import (ring_direct_accelerations,
+                                        sharded_pm_accelerations)
+        cfg = self.config
+        mesh = make_mesh()
+        n_dev = mesh.shape["shard"]
+        pos, vel, mass = pad_particles(
+            state.positions, state.velocities, state.masses, n_dev=n_dev,
+            factor=cfg.compute.mesh.migrate_capacity_factor)
+        state = state.replace(positions=pos, velocities=vel, masses=mass)
+        state = shard_state(state, mesh)
+        self._mesh = mesh
+
+        box = cfg.particles.box_size
+        soft = cfg.forces.softening_length
+        g = cfg.units.G
+        solver = cfg.forces.type
+        if solver in ("direct", "direct_reference"):
+            def accel_fn(st):
+                return ring_direct_accelerations(
+                    st.positions, st.masses, box_size=box, softening=soft,
+                    g_const=g, mesh=mesh)
+        else:
+            if solver in ("treepm", "treepm_fast"):
+                import logging
+                logging.getLogger("lambda_cdm_tpu").warning(
+                    "mesh mode: %s falls back to GSPMD-sharded PM "
+                    "(sharded short-range lands in a later round)", solver)
+            ng = auto_pm_grid(cfg)
+
+            def accel_fn(st):
+                return sharded_pm_accelerations(
+                    st.positions, st.masses, ng, box, g, mesh=mesh)
+        self._accel_fn = accel_fn
+        return state
+
+    def _mesh_migrate(self) -> None:
+        """Re-home particles to their owning slabs (run between chunks)."""
+        from ..parallel.exchange import migrate_particles
+        st = self._state
+        n_loc = st.positions.shape[0] // self._mesh.shape["shard"]
+        pos, vel, mass, overflow = migrate_particles(
+            st.positions, st.velocities, st.masses,
+            box_size=self.config.particles.box_size, capacity=n_loc,
+            mesh=self._mesh)
+        if int(overflow) > 0:
+            import logging
+            logging.getLogger("lambda_cdm_tpu").warning(
+                "mesh migration overflow: %d particles exceeded slab "
+                "capacity; raise compute.mesh.migrate_capacity_factor",
+                int(overflow))
+        else:
+            self._state = st.replace(positions=pos, velocities=vel,
+                                     masses=mass)
+        self._acc = None
 
     # -- treepm_fast path: persistent cell-list state ------------------------
     def _init_fast_path(self) -> None:
@@ -304,10 +382,14 @@ class SimulationEngine:
                     if self._fstate is not None:
                         self._fast_chunk(n)
                     else:
+                        self._ensure_acc()   # migration invalidates _acc
                         runner = self._get_chunk_runner(n)
                         self._state, self._acc = runner(
                             self._state, self._acc, self._dt)
                     jax.block_until_ready(self._state.positions)
+                if self._mesh is not None:
+                    with self.profiler.timer("run.migrate"):
+                        self._mesh_migrate()
                 steps_done += n
                 self.statistics.total_steps += n
                 if cfg.integration.adaptive_timestep \
@@ -365,6 +447,7 @@ class SimulationEngine:
         """Back to UNINITIALIZED (reference: simulation_engine.hpp:75)."""
         self._state = None
         self._acc = None
+        self._mesh = None
         self._fstate = None
         self._fast_kw = None
         self._chunk_runners.clear()
@@ -376,9 +459,16 @@ class SimulationEngine:
         """KE/PE/total (reference: LambdaCDMSimulation::compute_energy,
         lambda_cdm_impl.cu:222-241; engine stubs simulation_engine.cpp:355-378
         returned 0 -- this one is real)."""
-        from ..forces.direct import kinetic_energy, potential_energy
         cfg = self.config
         st = self.state
+        if self._mesh is not None:
+            from ..parallel.sharded import sharded_energy
+            return sharded_energy(
+                st.positions, st.velocities, st.masses,
+                box_size=cfg.particles.box_size,
+                softening=cfg.forces.softening_length,
+                g_const=cfg.units.G, mesh=self._mesh)
+        from ..forces.direct import kinetic_energy, potential_energy
         ke = kinetic_energy(st.velocities, st.masses)
         pe = potential_energy(st.positions, st.masses,
                               cfg.particles.box_size,
