@@ -286,6 +286,7 @@ class SimulationEngine:
         from ..ops.fast_treepm import initialize_fast
         cfg = self.config
         st = self._state
+        cosmological = cfg.cosmology.model != "Newtonian"
         t0 = time.perf_counter()
         self._fstate, self._fast_kw = initialize_fast(
             st.positions, st.velocities, st.masses, st.scale_factor,
@@ -293,7 +294,13 @@ class SimulationEngine:
             softening=cfg.forces.softening_length, g_const=cfg.units.G,
             split_factor=cfg.forces.split_factor,
             cut_factor=cfg.forces.cut_factor,
-            capacity=cfg.forces.bucket_capacity)
+            capacity=cfg.forces.bucket_capacity,
+            time=st.time, step=st.step,
+            h0_internal=cfg.units.H0_internal,
+            kick_mode=(cfg.integration.kick_mode if cosmological
+                       else "newtonian"),
+            sf_method=cfg.integration.scale_factor_update,
+            cosmological=cosmological)
         self.statistics.compile_time_s += time.perf_counter() - t0
         self._accel_fn = lambda s: (_ for _ in ()).throw(
             RuntimeError("treepm_fast drives the loop directly"))
@@ -387,14 +394,15 @@ class SimulationEngine:
                         self._state, self._acc = runner(
                             self._state, self._acc, self._dt)
                     jax.block_until_ready(self._state.positions)
+                # adaptive dt BEFORE migration (which invalidates _acc);
+                # the fast path reads its own acc channel
+                if cfg.integration.adaptive_timestep:
+                    self._update_dt()
                 if self._mesh is not None:
                     with self.profiler.timer("run.migrate"):
                         self._mesh_migrate()
                 steps_done += n
                 self.statistics.total_steps += n
-                if cfg.integration.adaptive_timestep \
-                        and self._acc is not None:
-                    self._update_dt()
                 self.observers.notify("on_step_end", self,
                                       int(self._state.step))
                 if (cfg.simulation.checkpoint_frequency > 0
@@ -430,8 +438,17 @@ class SimulationEngine:
     def _update_dt(self) -> None:
         from ..physics.integrators import adaptive_dt
         cfg = self.config
+        if self._fstate is not None:
+            # padding rows (mass==0) still receive field values at their
+            # parked positions — mask them out of the limiter
+            live = (self._fstate.bmass > 0)[..., None]
+            acc = jnp.where(live, self._fstate.acc, 0.0).reshape(-1, 3)
+        elif self._acc is not None:
+            acc = self._acc
+        else:
+            return
         self._dt = adaptive_dt(
-            self._acc, cfg.forces.softening_length,
+            acc, cfg.forces.softening_length,
             jnp.asarray(cfg.time.initial_timestep),
             cfg.integration.min_timestep, cfg.integration.max_timestep)
 
@@ -510,8 +527,15 @@ class SimulationEngine:
         return out
 
     def load_checkpoint(self, path: str) -> None:
+        import os
         from ..utils import checkpoint as ckpt
-        state, _cfg_dict, stats = ckpt.load_checkpoint(path)
+        if os.path.isdir(path):
+            # Orbax checkpoints (io.output_format == "orbax") are
+            # directories; the npz loader would wrongly append ".npz"
+            state = ckpt.load_checkpoint_orbax(path)
+            stats = {}
+        else:
+            state, _cfg_dict, stats = ckpt.load_checkpoint(path)
         if self._accel_fn is None:
             self.initialize(state=state)
         else:

@@ -91,8 +91,10 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
 
 
 def build_fast_state(positions, velocities, masses, scale_factor, *,
-                     box_size, plan) -> FastState:
-    """Bucket a flat particle set into the cell-list layout."""
+                     box_size, plan, time=0.0, step=0) -> FastState:
+    """Bucket a flat particle set into the cell-list layout. `time`/`step`
+    carry the incoming state's counters (so checkpoint-resumed runs keep
+    their step numbering and time-based stop conditions)."""
     ncell, cap = plan["ncell"], plan["capacity"]
     bpos, bmass, pslot, ovf = bucket_particles(
         positions, masses, box_size, ncell=ncell, capacity=cap)
@@ -101,12 +103,13 @@ def build_fast_state(positions, velocities, masses, scale_factor, *,
     bvel = bvel.reshape(-1, 3).at[safe].set(
         jnp.where((pslot >= 0)[:, None], velocities, 0.0), mode="drop"
     ).reshape(bpos.shape)
-    zero = jnp.zeros((), jnp.int32)
     return FastState(
         bpos=bpos, bvel=bvel, bmass=bmass, acc=jnp.zeros_like(bpos),
         scale_factor=jnp.asarray(scale_factor, jnp.float32),
-        time=jnp.zeros(()), step=zero, overflow=ovf.astype(jnp.int32),
-        dropped=zero)
+        time=jnp.asarray(time, jnp.float32),
+        step=jnp.asarray(step, jnp.int32),
+        overflow=ovf.astype(jnp.int32),
+        dropped=jnp.zeros((), jnp.int32))
 
 
 def flatten_fast_state(fstate: FastState):
@@ -188,12 +191,13 @@ def _rebucket_jit(fstate, *, box_size, ncell, capacity):
 @partial(jax.jit, static_argnames=(
     "box_size", "ng", "ncell", "capacity", "margin", "softening",
     "g_const", "gradient", "rs", "h0_internal", "kick_mode", "sf_method",
-    "n_steps"))
+    "cosmological", "n_steps"))
 def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
                   box_size: float, ng: int, ncell: int, capacity: int,
                   margin: int, rs: float, softening: float, g_const: float,
                   gradient: str = "fd4", h0_internal: float = 100.0,
                   kick_mode: str = "reference", sf_method: str = "rk4",
+                  cosmological: bool = True,
                   n_steps: int = 1) -> FastState:
     """Advance `n_steps` fused KDK steps entirely on device."""
     kw = dict(box_size=box_size, ng=ng, ncell=ncell, capacity=capacity,
@@ -203,10 +207,13 @@ def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
     def one_step(fs: FastState, _):
         a0 = fs.scale_factor
         vel = fs.bvel + fs.acc * (0.5 * dt) * kick_factor(a0, kick_mode)
-        a_half = update_scale_factor(params, a0, 0.5 * dt, h0_internal,
+        if cosmological:
+            a_half = update_scale_factor(params, a0, 0.5 * dt, h0_internal,
+                                         sf_method)
+            a1 = update_scale_factor(params, a_half, 0.5 * dt, h0_internal,
                                      sf_method)
-        a1 = update_scale_factor(params, a_half, 0.5 * dt, h0_internal,
-                                 sf_method)
+        else:
+            a_half, a1 = a0, a0
         pos = fs.bpos + vel * dt * drift_factor(a_half, kick_mode)
         # wrap only live slots (keep padding at origin-with-mass-0)
         pos = jnp.where((fs.bmass > 0)[..., None],
@@ -227,19 +234,28 @@ def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
 def initialize_fast(positions, velocities, masses, scale_factor, *,
                     box_size, pm_grid, softening, g_const=43.0071057317063,
                     split_factor=1.25, cut_factor=4.5, margin=1,
-                    capacity=0, gradient="fd4"):
+                    capacity=0, gradient="fd4", time=0.0, step=0,
+                    h0_internal=100.0, kick_mode="reference",
+                    sf_method="rk4", cosmological=True):
     """Plan + bucket + prime accelerations. Returns (fstate, plan_kwargs)
-    ready for `fast_run`."""
+    ready for `fast_run`. Integration/unit knobs (kick_mode, sf_method,
+    h0_internal, cosmological) are captured into the plan kwargs so the
+    fast path honors the same config as the generic engine loop."""
     plan = fast_plan(positions.shape[0], float(box_size), pm_grid,
                      split_factor=split_factor, cut_factor=cut_factor,
                      capacity=capacity, margin=margin)
     fstate = build_fast_state(positions, velocities, masses, scale_factor,
-                              box_size=box_size, plan=plan)
-    kw = dict(box_size=float(box_size), ng=pm_grid, ncell=plan["ncell"],
-              capacity=plan["capacity"], margin=plan["margin"],
-              rs=float(plan["rs"]), softening=float(softening),
-              g_const=float(g_const), gradient=gradient)
-    acc, dropped = _accel(fstate, **kw)
+                              box_size=box_size, plan=plan,
+                              time=time, step=step)
+    accel_kw = dict(box_size=float(box_size), ng=pm_grid,
+                    ncell=plan["ncell"], capacity=plan["capacity"],
+                    margin=plan["margin"], rs=float(plan["rs"]),
+                    softening=float(softening), g_const=float(g_const),
+                    gradient=gradient)
+    kw = dict(accel_kw, h0_internal=float(h0_internal),
+              kick_mode=str(kick_mode), sf_method=str(sf_method),
+              cosmological=bool(cosmological))
+    acc, dropped = _accel(fstate, **accel_kw)
     fstate = fstate.replace(acc=acc,
                             dropped=fstate.dropped
                             + dropped.astype(jnp.int32))

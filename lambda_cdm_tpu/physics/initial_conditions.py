@@ -124,10 +124,14 @@ def second_order_displacement(delta_k, ng: int, box_size: float):
     source = (pxx * pyy + pxx * pzz + pyy * pzz
               - pxy * pxy - pxz * pxz - pyz * pyz)
     s_k = jnp.fft.rfftn(source)
-    # Psi2_k = i k / k^2 * (2nd-order delta), with delta2 = source here
+    # Psi2 = grad(phi2) with lap(phi2) = S  =>  Psi2_k = -i k S_k / k^2
+    # (Bouchet+95 / 2LPTic convention; the physical displacement is
+    # D2 * Psi2 with D2 = -3/7 Omega_m^(-1/143) D1^2 applied by the
+    # caller, so div(D2 Psi2) = D2 S < 0 in overdense regions: 2LPT
+    # deepens infall. Spectral identity: i k . Psi2_k = +S_k.)
     psi2 = []
     for kvec in (kx, ky, kz):
-        psi2.append(jnp.fft.irfftn(1j * kvec * inv_k2 * s_k,
+        psi2.append(jnp.fft.irfftn(-1j * kvec * inv_k2 * s_k,
                                    s=(ng, ng, ng)))
     return jnp.stack(psi2)
 

@@ -135,7 +135,22 @@ def save_checkpoint_orbax(directory: str, state: SimState,
     return path
 
 
-def load_checkpoint_orbax(path: str, template: SimState) -> SimState:
+def load_checkpoint_orbax(path: str, template: SimState | None = None
+                          ) -> SimState:
+    """Restore an Orbax checkpoint. `path` may be a `step_XXXXXXXX`
+    directory or a parent directory holding them (latest step wins).
+    Without a template the arrays restore unsharded on the default device
+    (fine for single-host resume; pass a sharded template to restore the
+    original sharding)."""
     import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if not os.path.basename(path).startswith("step_"):
+        steps = sorted(d for d in os.listdir(path) if d.startswith("step_"))
+        if not steps:
+            raise FileNotFoundError(f"no step_* checkpoints under {path}")
+        path = os.path.join(path, steps[-1])
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), template)
+    if template is not None:
+        return ckptr.restore(path, template)
+    arrays = ckptr.restore(path)
+    return SimState(**{f: jnp.asarray(arrays[f]) for f in _STATE_FIELDS})

@@ -261,3 +261,96 @@ class TestMeshEngine:
         eng.initialize()
         eng.run(num_steps=5)
         assert bool(jnp.all(jnp.isfinite(eng.state.positions)))
+
+
+class TestAdviceRegressions:
+    """Round-1 advisor findings (ADVICE.md): fast-path config threading,
+    resume counter carry, orbax load symmetry, adaptive dt wiring."""
+
+    def _fast_config(self, n=512):
+        cfg = small_config(n=n, solver="treepm_fast")
+        cfg.forces.pm_grid = 16
+        cfg.forces.rebucket_every = 4
+        return cfg
+
+    def test_fast_path_honors_box_units(self):
+        """units.system='box' (H0_internal=0.1): the scale factor must
+        advance ~1000x slower than cosmological H0_internal=100 — round 1
+        hardcoded 100.0 in the fast path."""
+        cfg = self._fast_config()
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        a0 = float(eng.state.scale_factor)
+        eng.step(8)
+        da_box = float(eng.state.scale_factor) - a0
+
+        cfg2 = self._fast_config()
+        cfg2.units.system = "cosmological"
+        cfg2.units.H0_internal = 100.0
+        eng2 = SimulationEngine(cfg2)
+        eng2.initialize()
+        a0 = float(eng2.state.scale_factor)
+        eng2.step(8)
+        da_cosmo = float(eng2.state.scale_factor) - a0
+        assert da_box < 0.01 * da_cosmo
+
+    def test_fast_path_newtonian_freezes_scale_factor(self):
+        cfg = self._fast_config()
+        cfg.cosmology.model = "Newtonian"
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        a0 = float(eng.state.scale_factor)
+        eng.step(8)
+        assert float(eng.state.scale_factor) == pytest.approx(a0)
+
+    def test_fast_resume_keeps_counters(self, tmp_path):
+        """load_checkpoint on a treepm_fast engine must not reset
+        time/step (round 1 zeroed them in build_fast_state)."""
+        cfg = self._fast_config()
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        eng.step(8)
+        path = str(tmp_path / "fastck")
+        eng.save_checkpoint(path)
+        t_saved, s_saved = float(eng.state.time), int(eng.state.step)
+        assert s_saved == 8
+
+        eng2 = SimulationEngine(self._fast_config())
+        eng2.load_checkpoint(path)
+        assert int(eng2.state.step) == s_saved
+        assert float(eng2.state.time) == pytest.approx(t_saved)
+        eng2.step(4)
+        assert int(eng2.state.step) == s_saved + 4
+
+    def test_orbax_checkpoint_roundtrip_via_engine(self, tmp_path):
+        """save_checkpoint(orbax) -> load_checkpoint must round-trip
+        (round 1 tried to np.load the orbax directory)."""
+        cfg = small_config()
+        cfg.io.output_format = "orbax"
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        eng.run(num_steps=5)
+        path = str(tmp_path / "ock")
+        out = eng.save_checkpoint(path)
+        assert out  # step_XXXXXXXX dir
+
+        cfg2 = small_config()
+        cfg2.io.output_format = "orbax"
+        eng2 = SimulationEngine(cfg2)
+        eng2.load_checkpoint(path)   # parent dir form
+        np.testing.assert_array_equal(np.asarray(eng2.state.positions),
+                                      np.asarray(eng.state.positions))
+        assert int(eng2.state.step) == int(eng.state.step)
+
+    def test_adaptive_dt_active_on_fast_path(self):
+        cfg = self._fast_config()
+        cfg.integration.adaptive_timestep = True
+        cfg.integration.min_timestep = 1e-9
+        cfg.integration.max_timestep = 1e-3
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        dt0 = float(eng._dt)
+        eng.run(num_steps=10)
+        # limiter produced a finite, clipped dt (and actually ran)
+        assert float(eng._dt) <= dt0 + 1e-12
+        assert float(eng._dt) >= 1e-9

@@ -145,14 +145,57 @@ class Test2LPT:
         assert corr > 0.99
 
     def test_2lpt_divergence_sign(self):
-        """2LPT pulls particles further into overdense filaments: the
-        second-order displacement opposes expansion in collapsing regions.
-        Weak statistical check: nonzero and bounded."""
-        key = jax.random.PRNGKey(8)
-        dk = ics.gaussian_delta_k(key, 16, 100.0, PARAMS)
-        psi2 = ics.second_order_displacement(dk, 16, 100.0)
-        assert bool(jnp.all(jnp.isfinite(psi2)))
-        assert float(jnp.max(jnp.abs(psi2))) > 0
+        """Exact spectral identity i k . Psi2_k = +S_k against a
+        hand-computed source: for delta = A (cos kx + cos ky + cos kz),
+        S = A^2 (cos kx cos ky + cos kx cos kz + cos ky cos kz). The
+        physical term D2*Psi2 (D2 < 0) then has negative divergence at
+        the density peak: 2LPT deepens infall (Bouchet+95). Round-1 bug:
+        the sign was flipped, pushing particles OUT of overdensities."""
+        ng, box, amp, m = 32, 100.0, 0.01, 2
+        x = jnp.arange(ng) * (box / ng)
+        kmode = 2.0 * jnp.pi * m / box
+        cx = jnp.cos(kmode * x)
+        delta = amp * (cx[:, None, None] + cx[None, :, None]
+                       + cx[None, None, :])
+        dk = jnp.fft.rfftn(delta).astype(jnp.complex64)
+        psi2 = ics.second_order_displacement(dk, ng, box)
+        kx, ky, kz, _ = ics.fourier_grid(ng, box)
+        div = sum(jnp.fft.irfftn(1j * kv * jnp.fft.rfftn(psi2[i]),
+                                 s=(ng, ng, ng))
+                  for i, kv in enumerate((kx, ky, kz)))
+        s_analytic = amp ** 2 * (
+            cx[:, None, None] * cx[None, :, None]
+            + cx[:, None, None] * cx[None, None, :]
+            + cx[None, :, None] * cx[None, None, :])
+        np.testing.assert_allclose(np.asarray(div), np.asarray(s_analytic),
+                                   atol=1e-7)
+        # physical term at the peak (origin): D2 * S(0) < 0 => infall
+        d2_coeff = -3.0 / 7.0  # sign of D2 (Omega-dependent factor > 0)
+        assert d2_coeff * float(s_analytic[0, 0, 0]) < 0
+
+    def test_2lpt_deepens_infall(self):
+        """End-to-end: for a smooth overdensity, the 2LPT correction moves
+        particles the same way as Zel'dovich (toward the peak), not
+        against it — dot(Psi2_phys, Psi1_phys) > 0 where both are
+        significant."""
+        ng, box, a = 32, 100.0, 0.2
+        x = jnp.arange(ng) * (box / ng)
+        kmode = 2.0 * jnp.pi / box
+        cx = jnp.cos(kmode * x)
+        delta = 0.05 * (cx[:, None, None] + cx[None, :, None]
+                        + cx[None, None, :])
+        dk = jnp.fft.rfftn(delta).astype(jnp.complex64)
+        from lambda_cdm_tpu.physics.cosmology import omega_m_a
+        d1 = float(growth_factor(PARAMS, a))
+        om_a = float(omega_m_a(PARAMS, a))
+        d2 = -3.0 / 7.0 * om_a ** (-1.0 / 143.0) * d1 * d1
+        psi1 = np.asarray(ics.displacement_from_delta(dk, ng, box)) * d1
+        psi2 = np.asarray(ics.second_order_displacement(dk, ng, box)) * d2
+        # along the x-axis through the peak: Psi1_x = -d1 A sin(kx)/k and
+        # Psi2_x = d2 A^2 sin(kx)/k, so dot = -d1 d2 A^3 sin^2/k^2 > 0
+        # (d2 < 0). The round-1 sign bug made this negative.
+        dot = psi1[0, 1:ng // 2, 0, 0] * psi2[0, 1:ng // 2, 0, 0]
+        assert np.all(dot > 0.0)
 
 
 class TestGenerateState:
