@@ -243,19 +243,45 @@ class SimulationEngine:
                 return ring_direct_accelerations(
                     st.positions, st.masses, box_size=box, softening=soft,
                     g_const=g, mesh=mesh)
-        else:
-            if solver in ("treepm", "treepm_fast"):
+        elif solver in ("treepm", "treepm_fast"):
+            # full sharded TreePM: GSPMD PM long-range + halo-exchange
+            # cell-bucket short-range (the reference's migrate -> ghost ->
+            # local-force -> allreduce pipeline, cluster_comm.cpp:90-216)
+            from ..parallel.sharded_treepm import (
+                sharded_treepm_accelerations, sharded_treepm_plan)
+            ng = auto_pm_grid(cfg)
+            plan = sharded_treepm_plan(
+                state.positions.shape[0], box, ng, n_dev,
+                split_factor=cfg.forces.split_factor,
+                cut_factor=cfg.forces.cut_factor,
+                capacity=cfg.forces.bucket_capacity)
+            if plan is None:
                 import logging
-                logging.getLogger("lambda_cdm_tpu").warning(
-                    "mesh mode: %s falls back to GSPMD-sharded PM "
-                    "(sharded short-range lands in a later round)", solver)
+                logging.getLogger("lambda_cdm_tpu").info(
+                    "mesh treepm: box too small for one r_cut cell plane "
+                    "per device; using the exact ring short-range")
+
+            def accel_fn(st):
+                return sharded_treepm_accelerations(
+                    st.positions, st.masses, box_size=box, pm_grid=ng,
+                    softening=soft, g_const=g,
+                    split_factor=cfg.forces.split_factor,
+                    cut_factor=cfg.forces.cut_factor,
+                    capacity=cfg.forces.bucket_capacity, mesh=mesh)
+        else:
             ng = auto_pm_grid(cfg)
 
             def accel_fn(st):
                 return sharded_pm_accelerations(
                     st.positions, st.masses, ng, box, g, mesh=mesh)
         self._accel_fn = accel_fn
-        return state
+        # establish slab ownership BEFORE the first force evaluation: the
+        # halo short-range buckets each device's rows into ITS cell block,
+        # so rows must live on their owning slab from step one (ring/PM
+        # solvers are ownership-agnostic but migration is harmless there)
+        self._state = state
+        self._mesh_migrate()
+        return self._state
 
     def _mesh_migrate(self) -> None:
         """Re-home particles to their owning slabs (run between chunks)."""

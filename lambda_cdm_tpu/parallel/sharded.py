@@ -71,7 +71,8 @@ def ring_direct_accelerations(positions, masses, *, box_size, softening,
 
         acc0 = jnp.zeros_like(pos_i)
         acc, _, _ = jax.lax.fori_loop(0, n_dev, step, (acc0, pos_i, m_i))
-        return acc
+        # zero-mass rows are inert padding: no force AT them either
+        return jnp.where((m_i > 0)[:, None], acc, 0.0)
 
     ps = particle_sharding(mesh, axis_name)
     positions = jax.lax.with_sharding_constraint(positions, ps)

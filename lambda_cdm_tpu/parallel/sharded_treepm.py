@@ -1,0 +1,274 @@
+"""Multi-chip TreePM short-range: slab-local cell buckets + halo exchange.
+
+This is the TPU-native rebuild of the reference's full MPI force pipeline
+(migrate -> ghost exchange -> local short-range -> allreduce,
+src/mpi/cluster_comm.cpp:90-216), which round 1 left unimplemented (mesh
+mode silently degraded TreePM to PM-only). Design:
+
+  * The global cell lattice [nc, nc, nc] is split into x-blocks of
+    nc/n_dev cell planes per device (nc chosen divisible by n_dev with
+    cell size >= r_cut).
+  * Each device buckets ITS OWN particles into its local block
+    [nc/n_dev, nc, nc, K] (particles are slab-owned after migration;
+    stragglers that drifted past the block edge are clipped into the
+    boundary cell -- their true positions still enter the pairwise math,
+    exactly the fast stepper's margin semantics).
+  * One ppermute per direction ships the boundary CELL PLANES (not raw
+    particle lists) to the x-neighbors -- the ghost exchange, but in the
+    bucketed layout the stencil actually consumes (cf. the reference's
+    exchange_ghost_particles + per-particle repacking,
+    cluster_comm.cpp:166-206).
+  * The 27-stencil runs on the halo-extended block: x-offsets are slices
+    into the halo, y/z-offsets are local periodic rolls. Pair math is
+    identical to forces/treepm.py::short_range_bucketed.
+  * Long-range stays the GSPMD-sharded PM with the matching Gaussian
+    split (parallel/sharded.py).
+
+For boxes too small to give every device a full-r_cut slab there is
+`ring_short_range_accelerations`: the exact S(r)-truncated pairwise sum
+as a ppermute ring (O(N^2/D) per device) -- correct at any geometry, and
+the oracle the halo version is tested against.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import SHARD_AXIS, particle_sharding
+from ..forces.direct import min_image
+from ..forces.treepm import short_range_factor, short_range_factor_poly
+
+
+def sharded_treepm_plan(num_particles: int, box_size: float, pm_grid: int,
+                        n_dev: int, *, split_factor: float = 1.25,
+                        cut_factor: float = 4.5, capacity: int = 0,
+                        occupancy_headroom: float = 3.0) -> dict | None:
+    """Static geometry for the halo short-range pass, or None if the box
+    cannot host one full-r_cut cell plane per device (callers fall back
+    to the ring short-range)."""
+    rs = split_factor * box_size / pm_grid
+    r_cut = cut_factor * rs
+    nc_max = int(math.floor(box_size / r_cut))
+    # nc: largest multiple of n_dev that keeps cells >= r_cut, >= 3 for
+    # the 27-stencil to be meaningful
+    nc = (nc_max // n_dev) * n_dev
+    if nc < max(3, n_dev):
+        return None
+    if capacity > 0:
+        cap = capacity
+    else:
+        mean_occ = num_particles / nc ** 3
+        cap = int(max(16, math.ceil(occupancy_headroom * mean_occ)))
+    cap = ((cap + 7) // 8) * 8
+    return {"rs": rs, "r_cut": r_cut, "nc": nc, "capacity": cap}
+
+
+def _bucket_local(pos, mass, nc: int, nc_loc: int, my_block, box_size,
+                  capacity: int):
+    """Bucket local particles into this device's [nc_loc, nc, nc, K] cell
+    block. Returns (bpos, bmass, pslot, overflow): pslot[p] = flat slot or
+    -1 (overflowed -> PM-only force, counted). Same rank-in-run machinery
+    as forces/treepm.py::bucket_particles, with the x-cell rebased to the
+    local block (clipped: stragglers park in the boundary cell)."""
+    n = pos.shape[0]
+    ncells = nc_loc * nc * nc
+    cell = jnp.floor(pos / box_size * nc).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, nc - 1)
+    cx = jnp.clip(cell[:, 0] - my_block * nc_loc, 0, nc_loc - 1)
+    cid = (cx * nc + cell[:, 1]) * nc + cell[:, 2]
+    live = mass > 0
+    cid = jnp.where(live, cid, ncells)
+
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+    pos_s = pos[order]
+    mass_s = mass[order]
+    live_s = live[order]
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool),
+                                cid_s[1:] != cid_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - run_start
+    ok = (rank < capacity) & live_s
+    slot = jnp.where(ok, cid_s * capacity + rank, ncells * capacity)
+
+    bpos = jnp.zeros((ncells * capacity, 3), pos.dtype)
+    bmass = jnp.zeros((ncells * capacity,), mass.dtype)
+    bpos = bpos.at[slot].set(pos_s, mode="drop", indices_are_sorted=True)
+    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop",
+                               indices_are_sorted=True)
+    pslot = jnp.full((n,), -1, jnp.int32)
+    pslot = pslot.at[order].set(jnp.where(ok, slot, -1).astype(jnp.int32))
+    overflow = jnp.sum(~ok & live_s)
+    return (bpos.reshape(nc_loc, nc, nc, capacity, 3),
+            bmass.reshape(nc_loc, nc, nc, capacity), pslot, overflow)
+
+
+def _halo_stencil_accel(bp, bm, halo, box_size, rs, softening,
+                        use_poly: bool):
+    """27-pass short-range on a halo-extended block.
+
+    bp/bm: local [nc_loc, nc, nc, K(,3)]; halo: ((lp, lm), (rp, rm)) cell
+    planes [1, nc, nc, K(,3)] from the left/right x-neighbors. x-offsets
+    slice into the extended block; y/z-offsets are periodic rolls.
+    """
+    (lp, lm), (rp, rm) = halo
+    ep = jnp.concatenate([lp, bp, rp], axis=0)     # [nc_loc+2, ...]
+    em = jnp.concatenate([lm, bm, rm], axis=0)
+    nc_loc = bp.shape[0]
+    soft2 = softening * softening
+    s_fn = short_range_factor_poly if use_poly else short_range_factor
+    acc = jnp.zeros_like(bp)
+
+    for ox in (0, 1, 2):                           # ext index = local + ox
+        exp_x = ep[ox:ox + nc_loc]
+        exm_x = em[ox:ox + nc_loc]
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                np_pos = jnp.roll(exp_x, shift=(-oy, -oz), axis=(1, 2))
+                np_mass = jnp.roll(exm_x, shift=(-oy, -oz), axis=(1, 2))
+
+                def slab(carry, xs):
+                    cp, nb_pos, nb_mass = xs
+                    dx = min_image(nb_pos[:, :, None, :, :]
+                                   - cp[:, :, :, None, :], box_size)
+                    r2 = jnp.sum(dx * dx, axis=-1) + soft2
+                    inv_r = jax.lax.rsqrt(r2)
+                    r = r2 * inv_r
+                    s = s_fn(r, rs)
+                    w = (nb_mass[:, :, None, :] * s
+                         * (inv_r * inv_r * inv_r))
+                    return carry, jnp.sum(w[..., None] * dx, axis=3)
+
+                _, a = jax.lax.scan(slab, None, (bp, np_pos, np_mass))
+                acc = acc + a
+    return acc
+
+
+@partial(jax.jit, static_argnames=("box_size", "nc", "capacity", "rs",
+                                   "softening", "use_poly", "mesh",
+                                   "axis_name"))
+def halo_short_range_accelerations(positions, masses, *, box_size,
+                                   nc: int, capacity: int, rs, softening,
+                                   use_poly: bool = False, mesh: Mesh,
+                                   axis_name: str = SHARD_AXIS):
+    """Short-range accelerations [N,3] (no G factor) for slab-sharded
+    particles, via local cell buckets + boundary-plane halo exchange.
+    Returns (acc, overflow_total)."""
+    n_dev = mesh.shape[axis_name]
+    nc_loc = nc // n_dev
+
+    def local(pos, mass):
+        my_id = jax.lax.axis_index(axis_name)
+        bp, bm, pslot, ovf = _bucket_local(
+            pos, mass, nc, nc_loc, my_id, box_size, capacity)
+
+        fwd = [(s, (s + 1) % n_dev) for s in range(n_dev)]
+        bwd = [(s, (s - 1) % n_dev) for s in range(n_dev)]
+        # my rightmost plane becomes my right neighbor's left halo
+        from_left_p = jax.lax.ppermute(bp[-1:], axis_name, fwd)
+        from_left_m = jax.lax.ppermute(bm[-1:], axis_name, fwd)
+        from_right_p = jax.lax.ppermute(bp[:1], axis_name, bwd)
+        from_right_m = jax.lax.ppermute(bm[:1], axis_name, bwd)
+
+        acc_b = _halo_stencil_accel(
+            bp, bm, ((from_left_p, from_left_m),
+                     (from_right_p, from_right_m)),
+            box_size, rs, softening, use_poly)
+
+        flat = acc_b.reshape(-1, 3)
+        safe = jnp.maximum(pslot, 0)
+        acc = jnp.where((pslot >= 0)[:, None], flat[safe], 0.0)
+        return acc, jax.lax.psum(ovf, axis_name)
+
+    ps = particle_sharding(mesh, axis_name)
+    positions = jax.lax.with_sharding_constraint(positions, ps)
+    masses = jax.lax.with_sharding_constraint(masses, ps)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P()))(positions, masses)
+
+
+@partial(jax.jit, static_argnames=("box_size", "rs", "softening",
+                                   "use_poly", "mesh", "axis_name"))
+def ring_short_range_accelerations(positions, masses, *, box_size, rs,
+                                   softening, use_poly: bool = False,
+                                   mesh: Mesh,
+                                   axis_name: str = SHARD_AXIS):
+    """Exact S(r)-truncated short-range pairwise sum as a ppermute ring
+    (no G factor). O(N^2/D) per device: the fallback when the box can't
+    host one r_cut cell plane per device, and the test oracle for the
+    halo version."""
+    n_dev = mesh.shape[axis_name]
+    soft2 = softening * softening
+    s_fn = short_range_factor_poly if use_poly else short_range_factor
+
+    def local(pos_i, m_i):
+        def step(k, carry):
+            acc, pos_j, m_j = carry
+            dx = min_image(pos_j[None, :, :] - pos_i[:, None, :], box_size)
+            r2 = jnp.sum(dx * dx, axis=-1) + soft2
+            inv_r = jax.lax.rsqrt(r2)
+            r = r2 * inv_r
+            w = m_j[None, :] * s_fn(r, rs) * (inv_r * inv_r * inv_r)
+            acc = acc + jnp.einsum("ij,ijk->ik", w, dx)
+            perm = [(s, (s + 1) % n_dev) for s in range(n_dev)]
+            return (acc, jax.lax.ppermute(pos_j, axis_name, perm),
+                    jax.lax.ppermute(m_j, axis_name, perm))
+
+        acc0 = jnp.zeros_like(pos_i)
+        acc, _, _ = jax.lax.fori_loop(0, n_dev, step, (acc0, pos_i, m_i))
+        # zero-mass rows are inert padding (repo convention): no force AT
+        # them either, matching the bucketed paths' drop-cell semantics
+        return jnp.where((m_i > 0)[:, None], acc, 0.0)
+
+    ps = particle_sharding(mesh, axis_name)
+    positions = jax.lax.with_sharding_constraint(positions, ps)
+    masses = jax.lax.with_sharding_constraint(masses, ps)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name))(positions, masses)
+
+
+def sharded_treepm_accelerations(positions, masses, *, box_size,
+                                 pm_grid: int, softening, g_const=1.0,
+                                 split_factor: float = 1.25,
+                                 cut_factor: float = 4.5,
+                                 capacity: int = 0, use_poly: bool = False,
+                                 mesh: Mesh, axis_name: str = SHARD_AXIS,
+                                 return_diagnostics: bool = False):
+    """Full multi-chip TreePM accelerations [N,3]: GSPMD-sharded PM long
+    range + halo-exchange cell-bucket short range (ring fallback for
+    degenerate geometries). The multi-chip twin of
+    forces/treepm.py::treepm_accelerations."""
+    from .sharded import sharded_pm_accelerations
+    n_dev = mesh.shape[axis_name]
+    plan = sharded_treepm_plan(positions.shape[0], float(box_size), pm_grid,
+                               n_dev, split_factor=split_factor,
+                               cut_factor=cut_factor, capacity=capacity)
+    rs = split_factor * box_size / pm_grid
+    acc_long = sharded_pm_accelerations(positions, masses, pm_grid,
+                                        box_size, g_const, split_scale=rs,
+                                        mesh=mesh, axis_name=axis_name)
+    if plan is None:
+        acc_short = ring_short_range_accelerations(
+            positions, masses, box_size=float(box_size), rs=float(rs),
+            softening=float(softening), use_poly=use_poly, mesh=mesh,
+            axis_name=axis_name)
+        overflow = jnp.zeros((), jnp.int32)
+    else:
+        acc_short, overflow = halo_short_range_accelerations(
+            positions, masses, box_size=float(box_size), nc=plan["nc"],
+            capacity=plan["capacity"], rs=float(plan["rs"]),
+            softening=float(softening), use_poly=use_poly, mesh=mesh,
+            axis_name=axis_name)
+    acc = acc_long + g_const * acc_short
+    if return_diagnostics:
+        return acc, {"overflow": overflow, "plan": plan}
+    return acc
