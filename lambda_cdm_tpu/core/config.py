@@ -145,7 +145,9 @@ class MeshConfig:
     axes: dict = field(default_factory=lambda: {"shard": -1})  # -1: all devices
     ghost_capacity_factor: float = 1.5   # padded ghost-buffer headroom
     migrate_capacity_factor: float = 1.5  # padded migration-bucket headroom
+    migrate_fraction: float = 0.125      # emigrant-bucket capacity / n_loc
     load_balancing: bool = True
+    rebalance_threshold: float = 0.2     # cluster_comm.cpp:314-349 trigger
 
 
 @dataclass

@@ -83,6 +83,7 @@ class SimulationEngine:
         self.last_energy_error: float | None = None
         self._state: SimState | None = None
         self._mesh = None                 # device mesh (compute.mesh)
+        self._mesh_solver = None
         self._fstate = None               # treepm_fast cell-list state
         self._fast_kw: dict | None = None
         self._acc = None                  # cached accelerations at state.pos
@@ -233,6 +234,7 @@ class SimulationEngine:
         state = state.replace(positions=pos, velocities=vel, masses=mass)
         state = shard_state(state, mesh)
         self._mesh = mesh
+        self._mesh_solver = cfg.forces.type
 
         box = cfg.particles.box_size
         soft = cfg.forces.softening_length
@@ -284,23 +286,55 @@ class SimulationEngine:
         return self._state
 
     def _mesh_migrate(self) -> None:
-        """Re-home particles to their owning slabs (run between chunks)."""
-        from ..parallel.exchange import migrate_particles
+        """Re-home particles to their owning slabs (run between chunks).
+
+        Emigrant-only exchange (buffers O(migrate_fraction * n_loc), the
+        scalable design) with grow-and-retry on overflow: an overflowed
+        result is discarded and the exchange reruns from the original
+        state with doubled capacity. For ownership-agnostic solvers
+        (ring direct / GSPMD PM) a load imbalance beyond
+        compute.mesh.rebalance_threshold triggers adaptive slab bounds
+        (the reference's LoadBalancer rebalance, cluster_comm.cpp:314-349);
+        the halo TreePM needs cell-plane-aligned uniform slabs, so it
+        keeps uniform bounds and absorbs imbalance with capacity headroom.
+        """
+        from ..parallel.exchange import (adaptive_slab_bounds,
+                                         load_imbalance,
+                                         migrate_particles_emigrant)
+        cfg = self.config
         st = self._state
         n_loc = st.positions.shape[0] // self._mesh.shape["shard"]
-        pos, vel, mass, overflow = migrate_particles(
-            st.positions, st.velocities, st.masses,
-            box_size=self.config.particles.box_size, capacity=n_loc,
-            mesh=self._mesh)
-        if int(overflow) > 0:
-            import logging
-            logging.getLogger("lambda_cdm_tpu").warning(
-                "mesh migration overflow: %d particles exceeded slab "
-                "capacity; raise compute.mesh.migrate_capacity_factor",
-                int(overflow))
-        else:
-            self._state = st.replace(positions=pos, velocities=vel,
-                                     masses=mass)
+        box = cfg.particles.box_size
+
+        bounds = None
+        if (cfg.compute.mesh.load_balancing
+                and self._mesh_solver in ("direct", "direct_reference",
+                                          "pm")):
+            imb = float(load_imbalance(st.masses, mesh=self._mesh))
+            if imb > cfg.compute.mesh.rebalance_threshold:
+                bounds = adaptive_slab_bounds(
+                    st.positions, st.masses,
+                    self._mesh.shape["shard"], box)
+
+        cap = max(128, int(cfg.compute.mesh.migrate_fraction * n_loc))
+        cap = min(cap, n_loc)
+        while True:
+            pos, vel, mass, overflow = migrate_particles_emigrant(
+                st.positions, st.velocities, st.masses, box_size=box,
+                capacity=cap, mesh=self._mesh, bounds=bounds)
+            if int(overflow) == 0:
+                self._state = st.replace(positions=pos, velocities=vel,
+                                         masses=mass)
+                break
+            if cap >= n_loc:
+                import logging
+                logging.getLogger("lambda_cdm_tpu").warning(
+                    "mesh migration overflow persists at capacity %d "
+                    "(%d particles); keeping the stale partition — raise "
+                    "compute.mesh.migrate_capacity_factor", cap,
+                    int(overflow))
+                break
+            cap = min(cap * 2, n_loc)
         self._acc = None
 
     # -- treepm_fast path: persistent cell-list state ------------------------
@@ -491,6 +525,7 @@ class SimulationEngine:
         self._state = None
         self._acc = None
         self._mesh = None
+        self._mesh_solver = None
         self._fstate = None
         self._fast_kw = None
         self._chunk_runners.clear()

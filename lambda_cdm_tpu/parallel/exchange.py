@@ -176,6 +176,102 @@ def migrate_particles(positions, velocities, masses, *, box_size,
 
 
 @partial(jax.jit, static_argnames=("capacity", "mesh", "axis_name",
+                                   "box_size"))
+def migrate_particles_emigrant(positions, velocities, masses, *, box_size,
+                               capacity: int, mesh: Mesh,
+                               axis_name: str = SHARD_AXIS, bounds=None):
+    """Emigrant-only migration: the scalable steady-state exchange.
+
+    Unlike `migrate_particles` (whose self-bucket must hold every stayer,
+    forcing capacity >= n_loc and O(N)-row send buffers per device), only
+    rows whose owner CHANGED enter the all_to_all; stayers never move.
+    `capacity` bounds the per-(source, destination) bucket and can be a
+    few % of n_loc in steady state -- the analogue of the reference's
+    true Alltoallv which also ships only movers (cluster_comm.cpp:90-164).
+
+    Semantics: sent rows are cleared at the source and immigrants fill
+    free (zero-mass) local slots. On ANY overflow (send bucket full, or
+    too few free slots to absorb arrivals) the result is INVALID —
+    callers must discard the returned arrays and retry from the original
+    state with a larger capacity (the engine does, doubling); applying an
+    overflowed result would lose particles.
+
+    Returns (positions, velocities, masses, overflow_total).
+    """
+    n_dev = mesh.shape[axis_name]
+    buf = n_dev * capacity
+
+    def local(pos, vel, mass, bnd):
+        my_id = jax.lax.axis_index(axis_name)
+        owner = find_owner(pos, box_size, n_dev,
+                           bounds=None if bnd is None else bnd)
+        live = mass > 0
+        owner = jnp.where(live, owner, my_id)
+        emig = live & (owner != my_id)
+
+        onehot = (emig[:, None]
+                  & (owner[:, None] == jnp.arange(n_dev)[None, :]))
+        rank = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1
+        my_rank = jnp.take_along_axis(rank, owner[:, None], axis=1)[:, 0]
+        ok = emig & (my_rank < capacity)
+        slot = jnp.where(ok, owner * capacity + my_rank, buf)
+
+        bpos = jnp.zeros((buf, 3), pos.dtype).at[slot].set(
+            jnp.where(ok[:, None], pos, 0.0), mode="drop")
+        bvel = jnp.zeros((buf, 3), vel.dtype).at[slot].set(
+            jnp.where(ok[:, None], vel, 0.0), mode="drop")
+        bmass = jnp.zeros((buf,), mass.dtype).at[slot].set(
+            jnp.where(ok, mass, 0.0), mode="drop")
+        send_ovf = jnp.sum(emig & ~ok)
+
+        rpos = jax.lax.all_to_all(bpos.reshape(n_dev, capacity, 3),
+                                  axis_name, 0, 0).reshape(buf, 3)
+        rvel = jax.lax.all_to_all(bvel.reshape(n_dev, capacity, 3),
+                                  axis_name, 0, 0).reshape(buf, 3)
+        rmass = jax.lax.all_to_all(bmass.reshape(n_dev, capacity),
+                                   axis_name, 0, 0).reshape(buf)
+
+        # compact immigrants (nonempty first, stable)
+        filled = rmass > 0
+        order = jnp.argsort(~filled, stable=True)
+        imm_pos, imm_vel, imm_mass = rpos[order], rvel[order], rmass[order]
+        n_imm = jnp.sum(filled)
+
+        # sent rows become free slots; fill free slots with immigrants
+        keep_mass = jnp.where(ok, 0.0, mass)
+        free = keep_mass == 0
+        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        idx = jnp.clip(free_rank, 0, buf - 1)
+        valid = free & (free_rank < buf)
+        cand_mass = jnp.where(valid, imm_mass[idx], 0.0)
+        place = free & (cand_mass > 0)
+        out_mass = jnp.where(free, cand_mass, mass)
+        out_pos = jnp.where(place[:, None], imm_pos[idx],
+                            jnp.where(ok[:, None] | ~live[:, None],
+                                      0.0, pos))
+        out_vel = jnp.where(place[:, None], imm_vel[idx],
+                            jnp.where(ok[:, None] | ~live[:, None],
+                                      0.0, vel))
+        recv_ovf = jnp.maximum(n_imm - jnp.sum(free), 0)
+        total_ovf = jax.lax.psum(send_ovf + recv_ovf, axis_name)
+        return out_pos, out_vel, out_mass, total_ovf
+
+    if bounds is None:
+        def local2(pos, vel, mass):
+            return local(pos, vel, mass, None)
+        return jax.shard_map(
+            local2, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name), P(axis_name), P()))(
+                positions, velocities, masses)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()))(
+            positions, velocities, masses, bounds)
+
+
+@partial(jax.jit, static_argnames=("capacity", "mesh", "axis_name",
                                    "box_size", "ghost_width"))
 def exchange_ghosts(positions, masses, *, box_size, ghost_width: float,
                     capacity: int, mesh: Mesh,
