@@ -347,6 +347,7 @@ class SimulationEngine:
         cfg = self.config
         st = self._state
         cosmological = cfg.cosmology.model != "Newtonian"
+        self._fast_n = st.positions.shape[0]   # identity-space size
         t0 = time.perf_counter()
         self._fstate, self._fast_kw = initialize_fast(
             st.positions, st.velocities, st.masses, st.scale_factor,
@@ -383,16 +384,30 @@ class SimulationEngine:
         self._sync_state_from_fast()
 
     def _sync_state_from_fast(self) -> None:
-        """Compact the bucket layout back into the public SimState (live
-        rows only; runs at observer cadence, host-side)."""
+        """Restore the bucket layout back into the public SimState IN THE
+        ORIGINAL PARTICLE ORDER (via the persistent id channel): row i is
+        the same physical particle across every sync, so snapshots and
+        merger trees see stable identities regardless of rebuckets.
+        Particles dropped by bucket overflow leave zero-mass rows at
+        their original index (counted, never reindexed). Runs at observer
+        cadence, host-side."""
         import numpy as np
         from ..ops.fast_treepm import flatten_fast_state
-        fpos, fvel, fmass = flatten_fast_state(self._fstate)
-        live = np.asarray(fmass) > 0
+        fpos, fvel, fmass, fids = flatten_fast_state(self._fstate,
+                                                     with_ids=True)
+        ids = np.asarray(fids)
+        live = ids >= 0
+        n = self._fast_n
+        pos = np.zeros((n, 3), np.float32)
+        vel = np.zeros((n, 3), np.float32)
+        mass = np.zeros((n,), np.float32)
+        pos[ids[live]] = np.asarray(fpos)[live]
+        vel[ids[live]] = np.asarray(fvel)[live]
+        mass[ids[live]] = np.asarray(fmass)[live]
         self._state = self._state.replace(
-            positions=jnp.asarray(np.asarray(fpos)[live]),
-            velocities=jnp.asarray(np.asarray(fvel)[live]),
-            masses=jnp.asarray(np.asarray(fmass)[live]),
+            positions=jnp.asarray(pos),
+            velocities=jnp.asarray(vel),
+            masses=jnp.asarray(mass),
             scale_factor=self._fstate.scale_factor,
             time=self._fstate.time,
             step=self._fstate.step)

