@@ -192,6 +192,29 @@ def main():
         log(f"direct bench failed: {e}")
         dt_direct = None
 
+    # secondary: lensing raytracer throughput (BASELINE.json metric:
+    # "lensing rays/sec")
+    try:
+        from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+        from lambda_cdm_tpu.raytracing.lensing import trace_rays
+        params = CosmologyParams()
+        ngl, n_planes, n_rays = 256, 16, 256 * 256
+        key = jax.random.PRNGKey(2)
+        planes = 0.2 * jax.random.normal(key, (n_planes, ngl, ngl))
+        chis = jnp.linspace(400.0, 1900.0, n_planes)
+        a_l = jnp.linspace(0.9, 0.55, n_planes)
+        theta0 = jax.random.uniform(jax.random.PRNGKey(3), (n_rays, 2),
+                                    maxval=(box / 2000.0))
+        f_rays = jax.jit(lambda t: trace_rays(
+            params, planes, chis, a_l, 100.0, box, t, 2500.0, ng=ngl))
+        dt_rays = time_fn(f_rays, theta0)
+        rays_per_s = n_rays / dt_rays
+        log(f"lensing: {n_rays} rays x {n_planes} planes in "
+            f"{dt_rays * 1e3:.1f} ms = {rays_per_s:.3e} rays/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"lensing bench failed: {e}")
+        rays_per_s = None
+
     value = n / dt_treepm
     result = {
         "metric": f"particle-steps/sec/chip (1M TreePM, {pm_grid}^3 PM)",
@@ -202,6 +225,8 @@ def main():
         "treepm_ms_per_step": round(dt_treepm * 1e3, 2),
         "pm_ms_per_step": round(dt_pm * 1e3, 2) if dt_pm else None,
         "direct100k_ms": round(dt_direct * 1e3, 2) if dt_direct else None,
+        "lensing_rays_per_s": (round(rays_per_s, 1)
+                               if rays_per_s else None),
     }
     print(json.dumps(result), flush=True)
 

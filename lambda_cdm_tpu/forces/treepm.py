@@ -130,10 +130,11 @@ def bucket_particles(positions, masses, box_size, *, ncell: int,
 
     bpos = jnp.zeros((ncells * capacity, 3), positions.dtype)
     bmass = jnp.zeros((ncells * capacity,), masses.dtype)
-    # slots ascend with the sorted order (drop-slots excepted)
-    bpos = bpos.at[slot].set(pos_s, mode="drop", indices_are_sorted=True)
-    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop",
-                               indices_are_sorted=True)
+    # NOT indices_are_sorted: overflow rows scatter to the (max) drop slot
+    # MID-sequence, so the slot array is unsorted whenever overflow > 0 —
+    # the sorted hint corrupted the whole layout on real TPUs
+    bpos = bpos.at[slot].set(pos_s, mode="drop")
+    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop")
 
     # map original particle index -> its slot (-1 on overflow/dead)
     pslot = jnp.full((n,), -1, jnp.int32)

@@ -137,10 +137,11 @@ def _use_pallas() -> bool:
 
 
 def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
-           rs, softening, g_const, gradient):
+           rs, softening, g_const, gradient, pm_pallas=None):
     acc_long, dropped = pm_accelerations_bucketed(
         fstate.bpos, fstate.bmass, ncell=ncell, ng=ng, box_size=box_size,
-        g_const=g_const, split_scale=rs, margin=margin, gradient=gradient)
+        g_const=g_const, split_scale=rs, margin=margin, gradient=gradient,
+        use_pallas=pm_pallas)
     bpos = fstate.bpos.reshape(ncell ** 3, capacity, 3)
     bmass = fstate.bmass.reshape(ncell ** 3, capacity)
     if ncell >= 3 and _use_pallas():
@@ -204,18 +205,18 @@ def _rebucket_jit(fstate, *, box_size, ncell, capacity):
 @partial(jax.jit, static_argnames=(
     "box_size", "ng", "ncell", "capacity", "margin", "softening",
     "g_const", "gradient", "rs", "h0_internal", "kick_mode", "sf_method",
-    "cosmological", "n_steps"))
+    "cosmological", "pm_pallas", "n_steps"))
 def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
                   box_size: float, ng: int, ncell: int, capacity: int,
                   margin: int, rs: float, softening: float, g_const: float,
                   gradient: str = "fd4", h0_internal: float = 100.0,
                   kick_mode: str = "reference", sf_method: str = "rk4",
-                  cosmological: bool = True,
+                  cosmological: bool = True, pm_pallas=None,
                   n_steps: int = 1) -> FastState:
     """Advance `n_steps` fused KDK steps entirely on device."""
     kw = dict(box_size=box_size, ng=ng, ncell=ncell, capacity=capacity,
               margin=margin, rs=rs, softening=softening, g_const=g_const,
-              gradient=gradient)
+              gradient=gradient, pm_pallas=pm_pallas)
 
     def one_step(fs: FastState, _):
         a0 = fs.scale_factor

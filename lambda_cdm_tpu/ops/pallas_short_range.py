@@ -98,8 +98,8 @@ def _short_kernel_mxu(pts_hbm, out_ref, *, nc, cap, box_size, rs,
         cell = box_size / nc
         cxc = (cx.astype(jnp.float32) + 0.5) * cell
         cyc = (cy.astype(jnp.float32) + 0.5) * cell
-        zoff = ((jax.lax.broadcasted_iota(jnp.float32, (nc, cap), 0)
-                 + 0.5) * cell)
+        zoff = ((jax.lax.broadcasted_iota(jnp.int32, (nc, cap), 0)
+                 .astype(jnp.float32) + 0.5) * cell)
         xi = rods[4, 0, 1:nc + 1, :] - cxc        # [nc, cap]
         yi = rods[4, 1, 1:nc + 1, :] - cyc
         zi = rods[4, 2, 1:nc + 1, :] - zoff
@@ -121,9 +121,13 @@ def _short_kernel_mxu(pts_hbm, out_ref, *, nc, cap, box_size, rs,
                 # Pj1[nc, cap, 4] = (xj, yj, zj, 1) in centered coords
                 pj1 = jnp.stack(
                     [xj, yj, zj, jnp.ones_like(xj)], axis=-1)
+                # HIGHEST: the MXU's default bf16 operand truncation is a
+                # 0.4% force error on close pairs — f32 (bf16x3 passes)
+                # keeps the GEMM exact at negligible cost (N=4)
                 accv += jax.lax.dot_general(
                     w, pj1, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             return accv
 
         accv = jax.lax.fori_loop(

@@ -100,9 +100,10 @@ def _bucket_local(pos, mass, nc: int, nc_loc: int, my_block, box_size,
 
     bpos = jnp.zeros((ncells * capacity, 3), pos.dtype)
     bmass = jnp.zeros((ncells * capacity,), mass.dtype)
-    bpos = bpos.at[slot].set(pos_s, mode="drop", indices_are_sorted=True)
-    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop",
-                               indices_are_sorted=True)
+    # not indices_are_sorted: overflow slots break monotonicity (see
+    # forces/treepm.py::bucket_particles)
+    bpos = bpos.at[slot].set(pos_s, mode="drop")
+    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop")
     pslot = jnp.full((n,), -1, jnp.int32)
     pslot = pslot.at[order].set(jnp.where(ok, slot, -1).astype(jnp.int32))
     overflow = jnp.sum(~ok & live_s)
