@@ -254,6 +254,19 @@ def comoving_distance(params: CosmologyParams, z):
     return out if out.shape != (1,) else out[0]
 
 
+def scale_factor_at_chi(params: CosmologyParams, chi, *,
+                        z_max: float = 20.0, n_grid: int = 256):
+    """Inverse of the comoving distance: a(chi) with chi in Mpc.
+
+    Tabulates chi(z) on a z grid and interpolates (monotone); chi beyond
+    chi(z_max) clamps to a(z_max). Vectorized over chi. Needed for
+    per-lens-plane scale factors in the lightcone builder."""
+    z_grid = jnp.linspace(0.0, z_max, n_grid)
+    chi_grid = comoving_distance(params, z_grid)
+    z_of_chi = jnp.interp(jnp.asarray(chi, jnp.float32), chi_grid, z_grid)
+    return 1.0 / (1.0 + z_of_chi)
+
+
 def transverse_comoving_distance(params: CosmologyParams, z):
     """D_M(z): comoving distance corrected for curvature (reference:
     cosmology_model.hpp:123-138 handles open/flat/closed)."""

@@ -245,7 +245,12 @@ def convergence_map_from_state(state, params: CosmologyParams, box_size,
                                *, ng: int = 256, n_planes: int = 8,
                                z_source: float = 1.0, axis: int = 2):
     """One-call Born convergence map from a simulation state (the
-    'lensing maps on-device' capability of BASELINE.json)."""
+    'lensing maps on-device' capability of BASELINE.json). Per-plane
+    scale factors come from the background cosmology a(chi_l) — NOT the
+    snapshot's single epoch (round-1 weakness; the snapshot density is
+    still the single-box approximation, see build_lightcone for the
+    multi-snapshot version)."""
+    from ..physics.cosmology import scale_factor_at_chi
     planes, d_chi = snapshot_lightcone_planes(
         state.positions, state.masses, box_size, ng=ng, n_planes=n_planes,
         axis=axis)
@@ -253,5 +258,66 @@ def convergence_map_from_state(state, params: CosmologyParams, box_size,
     # place the box between the observer and the source, centered
     chi0 = 0.5 * jnp.maximum(chi_s - box_size, 0.0)
     chis = chi0 + (jnp.arange(n_planes) + 0.5) * d_chi
-    a_l = jnp.full((n_planes,), state.scale_factor)
+    a_l = scale_factor_at_chi(params, chis / params.h)
     return born_convergence(params, planes, chis, d_chi, chi_s, a_l)
+
+
+# ---------------------------------------------------------------------------
+# Multi-snapshot lightcone: observer -> source, tiled boxes
+# ---------------------------------------------------------------------------
+
+def build_lightcone(snapshots, params: CosmologyParams, box_size, *,
+                    ng: int, z_source: float = 1.0,
+                    planes_per_box: int = 8, axis: int = 2,
+                    randomize_key=None):
+    """Stack MULTIPLE output snapshots into a full observer->source
+    lightcone (the production lens-plane pipeline; round 1 only had the
+    single-box approximation).
+
+    snapshots: sequence of (positions, masses, scale_factor) or objects
+    with those attributes, any order. The line of sight [0, chi_source]
+    is tiled with copies of the box; each lens plane (thickness
+    box/planes_per_box) draws its density from the snapshot whose epoch
+    is closest to the plane's background a(chi_l), and its lensing
+    kernel uses a(chi_l) itself. `randomize_key` applies the standard
+    per-box-tile random translations (decorrelates repeated structure).
+
+    Returns (delta_planes [L, ng, ng], chi_planes [L] Mpc/h,
+    a_planes [L], d_chi).
+    """
+    from ..physics.cosmology import scale_factor_at_chi
+
+    def fields(s):
+        if isinstance(s, tuple):
+            return s
+        return (s.positions, s.masses, s.scale_factor)
+
+    snaps = [fields(s) for s in snapshots]
+    a_snap = jnp.asarray([float(a) for (_, _, a) in snaps])
+
+    chi_s = float(comoving_distance(params, z_source)) * params.h  # Mpc/h
+    d_chi = box_size / planes_per_box
+    n_planes = max(int(jnp.ceil(chi_s / d_chi)) - 1, 1)
+    chis = (jnp.arange(n_planes) + 0.5) * d_chi
+    a_l = scale_factor_at_chi(params, chis / params.h)
+
+    planes = []
+    for li in range(n_planes):
+        chi_c = float(chis[li])
+        tile = int(chi_c / box_size)           # which box copy
+        local = chi_c - tile * box_size        # position within the box
+        snap_i = int(jnp.argmin(jnp.abs(a_snap - a_l[li])))
+        pos, mass, _ = snaps[snap_i]
+        if randomize_key is not None:
+            shift_key = jax.random.fold_in(randomize_key, tile)
+            shift = jax.random.uniform(shift_key, (3,), maxval=box_size)
+            pos = jnp.mod(pos + shift, box_size)
+        z_min = local - 0.5 * d_chi
+        z_max = local + 0.5 * d_chi
+        sigma = surface_density_plane(
+            pos, mass, box_size, ng=ng, axis=axis,
+            z_min=max(z_min, 0.0), z_max=min(z_max, box_size))
+        rho_bar = jnp.sum(mass) / box_size ** 3
+        thickness = min(z_max, box_size) - max(z_min, 0.0)
+        planes.append(sigma / (rho_bar * thickness) - 1.0)
+    return jnp.stack(planes), chis, a_l, d_chi

@@ -161,3 +161,161 @@ class TestSnapshotPipeline:
         assert bool(jnp.all(jnp.isfinite(kap)))
         # mean kappa ~ 0 for mean-removed planes
         assert abs(float(jnp.mean(kap))) < 1e-4
+
+
+class TestAnalyticValidation:
+    """North-star bar (BASELINE.json): lensing maps matching a reference
+    to 1e-3, validated against analytic lenses (VERDICT round-1 item 6)."""
+
+    def test_point_mass_deflection_1e3(self):
+        """Gaussian mass blob: |alpha(b)| = (A/pi b)(1 - exp(-b^2/2s^2)),
+        the smoothed point-mass profile. A single-pixel delta would ring
+        at Nyquist; the Gaussian keeps the discrete Green's function
+        within 1e-3 of continuum for s >> pixel and b << box."""
+        ng, extent = 512, 100.0
+        cell = extent / ng
+        sig = 4.0 * cell
+        ij = (jnp.arange(ng) + 0.5) * cell - extent / 2
+        rr2 = ij[:, None] ** 2 + ij[None, :] ** 2
+        kap = jnp.exp(-rr2 / (2 * sig * sig))
+        kbar = float(jnp.mean(kap))
+        kap_total = float(jnp.sum(kap)) * cell * cell
+        alpha = lz.deflection_from_kappa(kap - kbar, extent, ng=ng)
+        xs = np.arange(24, 64)         # 6 sigma < b < 0.125 L
+        b = (xs + 0.5) * cell
+        alpha_x = np.asarray(alpha[0, ng // 2 + xs, ng // 2])
+
+        # (1) CPU reference to 1e-3: float64 numpy of the same discrete
+        # periodic Green's function (the BASELINE.json bar)
+        kap64 = np.asarray(kap, np.float64) - kbar
+        kf = np.fft.fftfreq(ng, d=1.0 / ng) * (2 * np.pi / extent)
+        kr = np.fft.rfftfreq(ng, d=1.0 / ng) * (2 * np.pi / extent)
+        k2 = kf[:, None] ** 2 + kr[None, :] ** 2
+        inv = np.where(k2 > 0, 1.0 / np.where(k2 > 0, k2, 1.0), 0.0)
+        psi_k = -2.0 * inv * np.fft.rfftn(kap64)
+        ax_ref = np.fft.irfftn(1j * kf[:, None] * psi_k, s=(ng, ng), axes=(0, 1))
+        ref = ax_ref[ng // 2 + xs, ng // 2]
+        rel_cpu = np.abs(alpha_x / ref - 1.0)
+        assert rel_cpu.max() < 1e-3, f"vs CPU ref: {rel_cpu.max():.2e}"
+
+        # (2) continuum analytic incl. the DC-compensation sheet
+        # (-kbar everywhere => alpha_sheet = -kbar*b); remaining
+        # deviation is the periodic-image tail, O((b/L)^2) ~ 1%
+        analytic = (kap_total / np.pi / b) * (
+            1 - np.exp(-b * b / (2 * sig ** 2))) - kbar * b
+        rel = np.abs(np.abs(alpha_x) / analytic - 1.0)
+        assert rel.max() < 0.02, f"vs analytic: {rel.max():.2e}" 
+
+    def test_nfw_convergence_profile(self):
+        """Born convergence of particles sampled from an NFW halo matches
+        the analytic projected NFW Sigma(R) (Wright & Brainerd 2000) in
+        the well-sampled radial range."""
+        key = jax.random.PRNGKey(3)
+        n, box, ng = 200_000, 100.0, 256
+        r_s, rho0 = 2.0, 1.0e4
+        # sample NFW radii via inverse-CDF on m(r) = ln(1+x) - x/(1+x)
+        r_max = 10.0 * r_s
+        x_grid = jnp.linspace(1e-3, r_max / r_s, 4096)
+        m_grid = jnp.log(1 + x_grid) - x_grid / (1 + x_grid)
+        u = jax.random.uniform(key, (n,)) * m_grid[-1]
+        x = jnp.interp(u, m_grid, x_grid)
+        r = x * r_s
+        dirs = jax.random.normal(jax.random.PRNGKey(4), (n, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+        pos = jnp.mod(box / 2 + r[:, None] * dirs, box)
+        m_tot = 4 * jnp.pi * rho0 * r_s ** 3 * float(m_grid[-1])
+        mass = jnp.full((n,), m_tot / n)
+
+        sigma = lz.surface_density_plane(pos, mass, box, ng=ng)
+        # radial profile of the measured Sigma
+        cell = box / ng
+        ij = (jnp.arange(ng) + 0.5) * cell - box / 2
+        rr = jnp.sqrt(ij[:, None] ** 2 + ij[None, :] ** 2)
+
+        def sigma_nfw(R):
+            """Wright & Brainerd (2000) projected NFW, truncated-free
+            analytic form for x<1 and x>1."""
+            xx = np.asarray(R / r_s, dtype=np.float64)
+            out = np.zeros_like(xx)
+            lo = xx < 0.999
+            hi = xx > 1.001
+            xl, xh = xx[lo], xx[hi]
+            out[lo] = (1 - 2 / np.sqrt(1 - xl ** 2)
+                       * np.arctanh(np.sqrt((1 - xl) / (1 + xl)))) \
+                / (xl ** 2 - 1)
+            out[hi] = (1 - 2 / np.sqrt(xh ** 2 - 1)
+                       * np.arctan(np.sqrt((xh - 1) / (xh + 1)))) \
+                / (xh ** 2 - 1)
+            out[~lo & ~hi] = 1.0 / 3.0
+            return 2 * r_s * rho0 * out
+
+        # compare azimuthal means in an annulus range well inside r_max
+        # and well above the pixel scale
+        meas, ana = [], []
+        for r_lo in np.linspace(2.0, 5.0, 4):
+            sel = (rr >= r_lo) & (rr < r_lo + 0.8)
+            meas.append(float(jnp.mean(sigma[sel])))
+            ana.append(float(np.mean(sigma_nfw(
+                np.asarray(rr[sel], dtype=np.float64)))))
+        meas, ana = np.asarray(meas), np.asarray(ana)
+        rel = np.abs(meas / ana - 1.0)
+        # shot noise with 200k particles + r_max truncation: few-%
+        assert rel.max() < 0.06, f"NFW profile rel err {rel}"
+
+    def test_tpu_maps_match_cpu_reference_1e3(self):
+        """The jitted convergence pipeline matches a plain-numpy CPU
+        implementation of the same discretization to <= 1e-3 (BASELINE
+        'matching a CPU reference to 1e-3')."""
+        key = jax.random.PRNGKey(5)
+        n, box, ng, n_planes = 20_000, 100.0, 64, 4
+        pos = jax.random.uniform(key, (n, 3), maxval=box)
+        mass = jax.random.uniform(jax.random.PRNGKey(6), (n,),
+                                  minval=0.5, maxval=2.0)
+        planes, d_chi = lz.snapshot_lightcone_planes(pos, mass, box,
+                                                     ng=ng,
+                                                     n_planes=n_planes)
+        # numpy CPU reference: same CIC, same normalization
+        P, M = np.asarray(pos, np.float64), np.asarray(mass, np.float64)
+        ref_planes = []
+        for i in range(n_planes):
+            sel = (P[:, 2] >= i * d_chi) & (P[:, 2] < (i + 1) * d_chi)
+            w = np.where(sel, M, 0.0)
+            u = P[:, :2] / box * ng
+            i0 = np.floor(u - 0.5).astype(int)
+            f = (u - 0.5) - i0
+            g = np.zeros((ng, ng))
+            for dx in (0, 1):
+                wx = (1 - f[:, 0]) if dx == 0 else f[:, 0]
+                for dy in (0, 1):
+                    wy = (1 - f[:, 1]) if dy == 0 else f[:, 1]
+                    np.add.at(g, ((i0[:, 0] + dx) % ng,
+                                  (i0[:, 1] + dy) % ng), w * wx * wy)
+            sigma = g / (box / ng) ** 2
+            rho_bar = M.sum() / box ** 3
+            ref_planes.append(sigma / (rho_bar * d_chi) - 1.0)
+        ref_planes = np.stack(ref_planes)
+        scale = np.abs(ref_planes).max()
+        err = np.abs(np.asarray(planes) - ref_planes).max()
+        assert err / scale < 1e-3, f"rel err {err/scale:.2e}"
+
+    def test_multi_snapshot_lightcone(self):
+        """build_lightcone stacks snapshots with per-plane a(chi) and
+        picks the nearest-epoch snapshot per plane."""
+        key = jax.random.PRNGKey(7)
+        n, box, ng = 4096, 200.0, 32
+        pos = jax.random.uniform(key, (n, 3), maxval=box)
+        mass = jnp.ones((n,))
+        snaps = [(pos, mass, 1.0 / (1.0 + z)) for z in (0.0, 0.3, 0.7)]
+        planes, chis, a_l, d_chi = lz.build_lightcone(
+            snaps, PARAMS, box, ng=ng, z_source=0.8, planes_per_box=4,
+            randomize_key=jax.random.PRNGKey(8))
+        assert planes.shape[1:] == (ng, ng)
+        assert planes.shape[0] == chis.shape[0] == a_l.shape[0]
+        # a decreases along the line of sight, within snapshot range
+        a_np = np.asarray(a_l)
+        assert np.all(np.diff(a_np) <= 1e-6)
+        assert a_np.min() > 0.4 and a_np.max() <= 1.0
+        # kappa map is finite and mean ~ 0 (uniform field)
+        kappa = lz.born_convergence(PARAMS, planes, chis, d_chi,
+                                    float(chis[-1]) + d_chi, a_l)
+        assert bool(jnp.all(jnp.isfinite(kappa)))
