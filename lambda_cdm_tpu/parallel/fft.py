@@ -115,3 +115,123 @@ def distributed_poisson_solve(grid, *, ng: int, box_size, mesh: Mesh,
         jax.sharding.NamedSharding(mesh, P(axis_name)))
     return distributed_irfftn(gk * green, ng=ng, mesh=mesh,
                               axis_name=axis_name)
+
+
+# ---------------------------------------------------------------------------
+# 2D pencil decomposition (the reference's 3D cartesian grid analogue)
+# ---------------------------------------------------------------------------
+
+def _pad_to_multiple(n: int, d: int) -> int:
+    return ((n + d - 1) // d) * d
+
+
+@partial(jax.jit, static_argnames=("mesh", "axes"))
+def pencil_rfftn(grid, *, mesh: Mesh, axes: tuple = ("shx", "shy")):
+    """Forward real 3D FFT on a 2D pencil decomposition.
+
+    grid [ng, ng, ng] sharded P(shx, shy, None) (z-pencils). Two
+    all_to_all transposes (one per mesh axis) instead of the slab
+    version's one — the layout that scales past D = ng devices
+    (VERDICT round-1 item 7; reference: MPI_Dims_create 2D grids,
+    domain_decomposition.cpp:10-112).
+
+    Returns the half-spectrum [ng, ng/Dx, zp/Dy] complex64 with global
+    layout [kx (full), ky (sharded shx), kz (sharded shy, padded to
+    zp = ceil((ng/2+1)/Dy)*Dy — strip with kz < ng//2+1)].
+    """
+    ax, ay = axes
+    dx, dy = mesh.shape[ax], mesh.shape[ay]
+
+    def local(g):                       # [xl, yl, ng]
+        xl, yl = g.shape[0], g.shape[1]
+        ng = g.shape[2]
+        nzr = ng // 2 + 1
+        zp = _pad_to_multiple(nzr, dy)
+        gk = jnp.fft.rfft(g, axis=2)
+        gk = jnp.pad(gk, ((0, 0), (0, 0), (0, zp - nzr)))
+        # transpose y <-> z over the shy axis: z-chunk d -> device d
+        zc = zp // dy
+        ch = gk.reshape(xl, yl, dy, zc)
+        ch = jnp.moveaxis(ch, 2, 0)                  # [dy, xl, yl, zc]
+        rec = jax.lax.all_to_all(ch, ay, 0, 0)
+        # rec[d'] = device d's y-block with MY z-chunk: y-global = d'*yl+ly
+        gk = jnp.moveaxis(rec, 0, 1).reshape(xl, dy * yl, zc)
+        gk = jnp.fft.fft(gk, axis=1)                 # y now resident
+        # transpose x <-> y over the shx axis
+        ylc = (dy * yl) // dx
+        ch = gk.reshape(xl, dx, ylc, zc)
+        ch = jnp.moveaxis(ch, 1, 0)                  # [dx, xl, ylc, zc]
+        rec = jax.lax.all_to_all(ch, ax, 0, 0)
+        # rec[d'] = device d's x-block with MY y-chunk: x-global = d'*xl+lx
+        gk = rec.reshape(dx * xl, ylc, zc)
+        return jnp.fft.fft(gk, axis=0)               # x resident
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(ax, ay, None),),
+                         out_specs=P(None, ax, ay))(grid)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axes", "ng"))
+def pencil_irfftn(gk, *, ng: int, mesh: Mesh,
+                  axes: tuple = ("shx", "shy")):
+    """Inverse of pencil_rfftn: [ng, ng/Dx, zp/Dy] (layout above) ->
+    [ng, ng, ng] real, sharded P(shx, shy, None)."""
+    ax, ay = axes
+    dx, dy = mesh.shape[ax], mesh.shape[ay]
+
+    def local(g):                       # [ng, ylc, zc]
+        ylc, zc = g.shape[1], g.shape[2]
+        nzr = ng // 2 + 1
+        g = jnp.fft.ifft(g, axis=0)
+        # x <-> y back over shx
+        xl = ng // dx
+        ch = g.reshape(dx, xl, ylc, zc)
+        rec = jax.lax.all_to_all(ch, ax, 0, 0)       # [dx, xl, ylc, zc]
+        g = jnp.moveaxis(rec, 0, 1).reshape(xl, dx * ylc, zc)
+        g = jnp.fft.ifft(g, axis=1)
+        # y <-> z back over shy
+        yl = (dx * ylc) // dy
+        ch = jnp.moveaxis(g.reshape(xl, dy, yl, zc), 1, 0)
+        rec = jax.lax.all_to_all(ch, ay, 0, 0)       # [dy, xl, yl, zc]
+        g = jnp.moveaxis(rec, 0, 2).reshape(xl, yl, dy * zc)
+        g = g[:, :, :nzr]
+        return jnp.fft.irfft(g, n=ng, axis=2)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(None, ax, ay),),
+                         out_specs=P(ax, ay, None))(gk)
+
+
+def k_vectors_pencil(ng: int, box_size, dy: int, dtype=jnp.float32):
+    """(kx, ky, kz, k2) matching pencil_rfftn's [kx, ky, kz_padded]
+    layout (kz rows beyond ng//2 are padding; Green's functions must be
+    zero there)."""
+    two_pi = 2.0 * jnp.pi
+    kf = jnp.fft.fftfreq(ng, d=1.0 / ng).astype(dtype) * (two_pi / box_size)
+    kr = jnp.fft.rfftfreq(ng, d=1.0 / ng).astype(dtype) * (two_pi / box_size)
+    zp = _pad_to_multiple(ng // 2 + 1, dy)
+    kz = jnp.pad(kr, (0, zp - kr.shape[0]))
+    kx = kf[:, None, None]
+    ky = kf[None, :, None]
+    kz = kz[None, None, :]
+    return kx, ky, kz, kx * kx + ky * ky + kz * kz
+
+
+@partial(jax.jit, static_argnames=("ng", "mesh", "axes", "split_scale",
+                                   "box_size"))
+def pencil_poisson_solve(grid, *, ng: int, box_size, mesh: Mesh,
+                         axes: tuple = ("shx", "shy"), split_scale=0.0):
+    """Pencil-sharded PM Poisson potential (lap phi = 4 pi rho-contrast,
+    unit G), the 2D twin of distributed_poisson_solve."""
+    ax, ay = axes
+    gk = pencil_rfftn(grid, mesh=mesh, axes=axes)
+    kx, ky, kz, k2 = k_vectors_pencil(ng, box_size, mesh.shape[ay])
+    nzr = ng // 2 + 1
+    valid = (jax.lax.broadcasted_iota(jnp.int32, k2.shape, 2) < nzr)
+    inv_k2 = jnp.where((k2 > 0) & valid,
+                       1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    green = -4.0 * jnp.pi * inv_k2
+    if split_scale and split_scale > 0:
+        green = green * jnp.exp(-k2 * split_scale * split_scale)
+    green = jax.lax.with_sharding_constraint(
+        jnp.broadcast_to(green, gk.shape),
+        jax.sharding.NamedSharding(mesh, P(None, ax, ay)))
+    return pencil_irfftn(gk * green, ng=ng, mesh=mesh, axes=axes)

@@ -33,8 +33,33 @@ def make_mesh(n_devices: int | None = None, axis_name: str = SHARD_AXIS,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
-def particle_sharding(mesh: Mesh, axis_name: str = SHARD_AXIS):
-    """[N, ...] arrays sharded along N."""
+X_AXIS, Y_AXIS = "shx", "shy"
+
+
+def make_mesh2d(shape: tuple[int, int] | None = None,
+                axis_names: tuple[str, str] = (X_AXIS, Y_AXIS),
+                devices=None) -> Mesh:
+    """2D device mesh for pencil decompositions (the reference's
+    MPI_Dims_create 2D/3D cartesian grids, domain_decomposition.cpp:10-112).
+    `shape=None` picks the most-square factorization of the device count."""
+    devs = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        n = len(devs)
+        dx = int(np.floor(np.sqrt(n)))
+        while n % dx:
+            dx -= 1
+        shape = (dx, n // dx)
+    dx, dy = shape
+    if dx * dy > len(devs):
+        raise ValueError(f"mesh {shape} needs {dx*dy} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.asarray(devs[:dx * dy]).reshape(dx, dy), axis_names)
+
+
+def particle_sharding(mesh: Mesh, axis_name=SHARD_AXIS):
+    """[N, ...] arrays sharded along N. `axis_name` may be a tuple of
+    mesh axes (2D mesh: particles sharded over the flattened device
+    grid)."""
     return NamedSharding(mesh, P(axis_name))
 
 
