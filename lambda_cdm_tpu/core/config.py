@@ -135,6 +135,11 @@ class TPUConfig:
     precision: str = "float32"           # float32 | bfloat16 (pairwise math)
     max_particles: int = 16_000_000      # capacity profile (cf. TRT max profile)
     donate_state: bool = True
+    # persistent XLA compilation cache (the TRT engine-file analogue):
+    # set to a directory to make repeated engine starts at the same
+    # shapes compile in seconds instead of minutes
+    compilation_cache_dir: str = ""
+    persistent_cache_min_compile_secs: float = 5.0
 
 
 @dataclass

@@ -120,6 +120,15 @@ class SimulationEngine:
         simulation_engine.cpp:35-70, whose component wiring was a TODO)."""
         try:
             self.config.validate()
+            cache_dir = self.config.compute.tpu.compilation_cache_dir
+            if cache_dir:
+                # persistent compile cache (reference: serialized TRT
+                # engines, nbody_engine.cpp:45-206) -- second start at
+                # the same shapes loads compiled executables from disk
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs",
+                    self.config.compute.tpu.persistent_cache_min_compile_secs)
             use_mesh = (self.config.compute.mesh.enabled
                         and len(jax.devices()) > 1)
             use_fast = (self.config.forces.type == "treepm_fast"

@@ -44,23 +44,37 @@ class CompiledForceEngine:
 
     def __init__(self, box_size: float, softening: float = 0.01,
                  g_const: float = 1.0, *, profiles=DEFAULT_PROFILES,
-                 use_bf16: bool = False):
+                 use_bf16: bool = False, solver: str = "auto"):
+        """solver: "pallas" (the production tiled-DMA direct kernel),
+        "reference" (chunked jnp), or "auto" (pallas on TPU)."""
         self.box_size = float(box_size)
         self.softening = float(softening)
         self.g_const = float(g_const)
         self.profiles = tuple(int(p) for p in profiles)
         self.use_bf16 = bool(use_bf16)
+        if solver == "auto":
+            solver = ("pallas" if any(d.platform == "tpu"
+                                      for d in jax.devices())
+                      else "reference")
+        if solver not in ("pallas", "reference"):
+            raise ValueError(f"unknown solver {solver!r}")
+        self.solver = solver
         self._exported: dict[int, object] = {}
 
     # -- the force function (per profile, static shapes) -------------------
     def _force_fn(self):
         box, soft, g = self.box_size, self.softening, self.g_const
         bf16 = self.use_bf16
+        solver = self.solver
 
         def fn(positions, masses):
             if bf16:
                 positions = positions.astype(jnp.bfloat16).astype(
                     jnp.float32)
+            if solver == "pallas":
+                from ..ops.pallas_direct import pallas_direct_accelerations
+                return g * pallas_direct_accelerations(
+                    positions, masses, box, soft)
             from ..forces.direct import direct_accelerations_chunked
             return direct_accelerations_chunked(
                 positions, masses, box, soft, g, chunk_size=2048)
@@ -99,7 +113,7 @@ class CompiledForceEngine:
             "config": {
                 "box_size": self.box_size, "softening": self.softening,
                 "g_const": self.g_const, "profiles": self.profiles,
-                "use_bf16": self.use_bf16,
+                "use_bf16": self.use_bf16, "solver": self.solver,
             },
             "artifacts": {p: e.serialize()
                           for p, e in self._exported.items()},
