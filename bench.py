@@ -120,7 +120,8 @@ def bench_step(n, box, pm_grid, solver, reps=5):
     return dt_step, compile_s
 
 
-def bench_fast_stepper(n, box, pm_grid, steps=32, rebucket_every=16):
+def bench_fast_stepper(n, box, pm_grid, steps=32, rebucket_every=16,
+                       pm_only=False):
     """Production path: persistent cell-list TreePM (ops/fast_treepm)."""
     from lambda_cdm_tpu.ops.fast_treepm import fast_run, initialize_fast
     from lambda_cdm_tpu.physics.cosmology import CosmologyParams
@@ -133,7 +134,8 @@ def bench_fast_stepper(n, box, pm_grid, steps=32, rebucket_every=16):
 
     t0 = time.perf_counter()
     fstate, kw = initialize_fast(pos, vel, masses, 0.02, box_size=box,
-                                 pm_grid=pm_grid, softening=0.01)
+                                 pm_grid=pm_grid, softening=0.01,
+                                 pm_only=pm_only)
     sync(fstate.acc)
     fs = fast_run(fstate, params, 1e-6, n_steps=2 * rebucket_every,
                   rebucket_every=rebucket_every, **kw)
@@ -168,13 +170,19 @@ def main():
         log(f"1M treepm step: {dt_treepm * 1e3:.1f} ms "
             f"(compile {compile_s:.0f}s)")
 
-    # secondary: 1M PM-only step (the 256^3 PM config)
+    # secondary: 1M PM-only step (the 256^3 PM config) on the
+    # persistent-bucket stepper (no per-step scatter/sort)
     try:
-        dt_pm, _ = bench_step(n, box, 256, "pm")
-        log(f"1M pm step: {dt_pm * 1e3:.1f} ms")
+        dt_pm, _ = bench_fast_stepper(n, box, 256, pm_only=True)
+        log(f"1M pm step (bucketed): {dt_pm * 1e3:.1f} ms")
     except Exception as e:  # noqa: BLE001
-        log(f"pm bench failed: {e}")
-        dt_pm = None
+        log(f"bucketed pm bench failed ({e}); scatter-CIC fallback")
+        try:
+            dt_pm, _ = bench_step(n, box, 256, "pm")
+            log(f"1M pm step: {dt_pm * 1e3:.1f} ms")
+        except Exception as e2:  # noqa: BLE001
+            log(f"pm bench failed: {e2}")
+            dt_pm = None
 
     # secondary: 100k direct force eval via the Pallas kernel
     try:

@@ -137,11 +137,20 @@ def _use_pallas() -> bool:
 
 
 def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
-           rs, softening, g_const, gradient, pm_pallas=None):
+           rs, softening, g_const, gradient, pm_pallas=None,
+           pm_only=False):
     acc_long, dropped = pm_accelerations_bucketed(
         fstate.bpos, fstate.bmass, ncell=ncell, ng=ng, box_size=box_size,
-        g_const=g_const, split_scale=rs, margin=margin, gradient=gradient,
+        g_const=g_const, split_scale=0.0 if pm_only else rs, margin=margin,
+        # fd4 is only accurate under the Gaussian split's k-damping; the
+        # unsplit pure-PM field needs the spectral gradient
+        gradient="spectral" if pm_only else gradient,
         use_pallas=pm_pallas)
+    if pm_only:
+        # pure PM: unsplit Green's function, no short-range pass (the
+        # persistent-bucket PM solver — same physics as forces/pm.py,
+        # none of its per-step scatter/sort cost)
+        return acc_long.reshape(fstate.bpos.shape), dropped
     bpos = fstate.bpos.reshape(ncell ** 3, capacity, 3)
     bmass = fstate.bmass.reshape(ncell ** 3, capacity)
     if ncell >= 3 and _use_pallas():
@@ -205,18 +214,19 @@ def _rebucket_jit(fstate, *, box_size, ncell, capacity):
 @partial(jax.jit, static_argnames=(
     "box_size", "ng", "ncell", "capacity", "margin", "softening",
     "g_const", "gradient", "rs", "h0_internal", "kick_mode", "sf_method",
-    "cosmological", "pm_pallas", "n_steps"))
+    "cosmological", "pm_pallas", "pm_only", "n_steps"))
 def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
                   box_size: float, ng: int, ncell: int, capacity: int,
                   margin: int, rs: float, softening: float, g_const: float,
                   gradient: str = "fd4", h0_internal: float = 100.0,
                   kick_mode: str = "reference", sf_method: str = "rk4",
                   cosmological: bool = True, pm_pallas=None,
+                  pm_only: bool = False,
                   n_steps: int = 1) -> FastState:
     """Advance `n_steps` fused KDK steps entirely on device."""
     kw = dict(box_size=box_size, ng=ng, ncell=ncell, capacity=capacity,
               margin=margin, rs=rs, softening=softening, g_const=g_const,
-              gradient=gradient, pm_pallas=pm_pallas)
+              gradient=gradient, pm_pallas=pm_pallas, pm_only=pm_only)
 
     def one_step(fs: FastState, _):
         a0 = fs.scale_factor
@@ -250,7 +260,7 @@ def initialize_fast(positions, velocities, masses, scale_factor, *,
                     split_factor=1.25, cut_factor=4.5, margin=1,
                     capacity=0, gradient="fd4", time=0.0, step=0,
                     h0_internal=100.0, kick_mode="reference",
-                    sf_method="rk4", cosmological=True):
+                    sf_method="rk4", cosmological=True, pm_only=False):
     """Plan + bucket + prime accelerations. Returns (fstate, plan_kwargs)
     ready for `fast_run`. Integration/unit knobs (kick_mode, sf_method,
     h0_internal, cosmological) are captured into the plan kwargs so the
@@ -265,7 +275,7 @@ def initialize_fast(positions, velocities, masses, scale_factor, *,
                     ncell=plan["ncell"], capacity=plan["capacity"],
                     margin=plan["margin"], rs=float(plan["rs"]),
                     softening=float(softening), g_const=float(g_const),
-                    gradient=gradient)
+                    gradient=gradient, pm_only=bool(pm_only))
     kw = dict(accel_kw, h0_internal=float(h0_internal),
               kick_mode=str(kick_mode), sf_method=str(sf_method),
               cosmological=bool(cosmological))

@@ -108,8 +108,10 @@ def _gather_kernel(loc_ref, pos_ref, org_ref, out_ref, *, ng, box_size,
     out_ref[:] = jnp.sum(t2 * zt[:, None, :, :], axis=2)   # [B, F, K]
 
 
-def _chunk(cc: int, target: int) -> int:
-    c = min(cc, target)
+def _chunk(cc: int, bytes_per_cell: int, budget: int = 6_000_000) -> int:
+    """Cells per grid instance, bounded by a VMEM budget for the largest
+    per-cell tensor (the [L^2, K] outer product / [F L^2, K] T1)."""
+    c = min(cc, max(1, budget // max(bytes_per_cell, 1)))
     while cc % c:
         c -= 1
     return c
@@ -130,7 +132,7 @@ def pallas_deposit_blocks(bpos, bmass, *, ncell: int, ng: int, box_size,
     origins = _block_origins(ncell, ppc, margin).astype(jnp.float32)
 
     pos_t = bpos.transpose(2, 0, 1)              # [3, C, K]
-    cells = _chunk(cc, 16)
+    cells = _chunk(cc, ell * ell * cap * 4)
     grid = cc // cells
 
     kernel = functools.partial(
