@@ -83,7 +83,7 @@ class CosmologyConfig:
 @dataclass
 class ForceConfig:
     # type mirrors ForceComputerFactory names (force_computer_factory.hpp:20-27):
-    # direct | pm | treepm | direct_reference (jnp, no pallas)
+    # direct | pm | treepm | treepm_fast | pm_fast | direct_reference
     type: str = "direct"
     name: str = "MainForceComputer"
     softening_length: float = 0.01
@@ -93,6 +93,8 @@ class ForceConfig:
     cut_factor: float = 4.5             # treepm r_cut in units of rs
     bucket_capacity: int = 0            # 0 -> auto (4x mean occupancy)
     rebucket_every: int = 16            # treepm_fast cell-list refresh
+    gradient: str = "fd4"               # fast-path PM gradient:
+    #                                     fd4 | spectral | interp
     force_kernel: str = "newtonian"     # newtonian | modified_gravity
     modified_gravity_strength: float = 0.0
     precision: str = "float32"          # pallas accumulate precision
@@ -106,6 +108,7 @@ class IntegrationConfig:
     min_timestep: float = 1e-6
     max_timestep: float = 0.1
     accuracy_tolerance: float = 1e-8
+    max_dloga: float = 0.0               # adaptive: dt <= max_dloga / H(a)
     scale_factor_update: str = "rk4"     # euler (reference parity) | rk4
     kick_mode: str = "reference"         # reference (1/a^2) | comoving
 
@@ -384,7 +387,7 @@ class SimulationConfig:
             raise ValueError("time.initial_timestep must be > 0")
         if self.forces.type not in (
                 "direct", "direct_reference", "pm", "treepm",
-                "treepm_fast"):
+                "treepm_fast", "pm_fast"):
             raise ValueError(f"unknown forces.type '{self.forces.type}'")
         if self.forces.softening_length < 0:
             raise ValueError("softening_length must be >= 0")

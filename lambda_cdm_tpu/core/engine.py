@@ -131,7 +131,8 @@ class SimulationEngine:
                     self.config.compute.tpu.persistent_cache_min_compile_secs)
             use_mesh = (self.config.compute.mesh.enabled
                         and len(jax.devices()) > 1)
-            use_fast = (self.config.forces.type == "treepm_fast"
+            use_fast = (self.config.forces.type in ("treepm_fast",
+                                                     "pm_fast")
                         and not use_mesh)
 
             if state is None:
@@ -365,6 +366,8 @@ class SimulationEngine:
             split_factor=cfg.forces.split_factor,
             cut_factor=cfg.forces.cut_factor,
             capacity=cfg.forces.bucket_capacity,
+            gradient=cfg.forces.gradient,
+            pm_only=(cfg.forces.type == "pm_fast"),
             time=st.time, step=st.step,
             h0_internal=cfg.units.H0_internal,
             kick_mode=(cfg.integration.kick_mode if cosmological
@@ -531,10 +534,18 @@ class SimulationEngine:
             acc = self._acc
         else:
             return
+        hubble = None
+        if cfg.integration.max_dloga > 0 \
+                and cfg.cosmology.model != "Newtonian":
+            from ..physics.integrators import hubble_internal
+            hubble = hubble_internal(cfg.cosmology_params(),
+                                     self._state.scale_factor,
+                                     cfg.units.H0_internal)
         self._dt = adaptive_dt(
             acc, cfg.forces.softening_length,
             jnp.asarray(cfg.time.initial_timestep),
-            cfg.integration.min_timestep, cfg.integration.max_timestep)
+            cfg.integration.min_timestep, cfg.integration.max_timestep,
+            hubble=hubble, max_dloga=cfg.integration.max_dloga)
 
     def pause(self) -> None:
         if self.lifecycle == LifecycleState.RUNNING:

@@ -143,8 +143,10 @@ def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
         fstate.bpos, fstate.bmass, ncell=ncell, ng=ng, box_size=box_size,
         g_const=g_const, split_scale=0.0 if pm_only else rs, margin=margin,
         # fd4 is only accurate under the Gaussian split's k-damping; the
-        # unsplit pure-PM field needs the spectral gradient
-        gradient="spectral" if pm_only else gradient,
+        # unsplit pure-PM field needs the spectral (or energy-consistent
+        # interp) gradient
+        gradient=(gradient if (not pm_only or gradient == "interp")
+                  else "spectral"),
         use_pallas=pm_pallas)
     if pm_only:
         # pure PM: unsplit Green's function, no short-range pass (the

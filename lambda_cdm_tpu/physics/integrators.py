@@ -89,12 +89,18 @@ def wrap_positions(positions, box_size):
     return jnp.mod(positions, box_size)
 
 
-def adaptive_dt(acc, softening, dt, min_dt, max_dt, eta=0.25):
-    """Acceleration-based timestep limiter: dt <= eta*sqrt(eps/|a|_max).
-    Realizes the `adaptive_timestep` config capability
-    (basic_lambda_cdm.json integration parameters)."""
+def adaptive_dt(acc, softening, dt, min_dt, max_dt, eta=0.25,
+                hubble=None, max_dloga=0.0):
+    """Acceleration-based timestep limiter: dt <= eta*sqrt(eps/|a|_max),
+    optionally ALSO expansion-limited: dt <= max_dloga / H(a) (the
+    Gadget d(ln a) criterion — essential at high redshift where H dt
+    per step otherwise reaches O(0.1)). Realizes the
+    `adaptive_timestep` config capability."""
     amax = jnp.max(jnp.sqrt(jnp.sum(acc * acc, axis=-1)))
     dt_lim = eta * jnp.sqrt(softening / jnp.maximum(amax, 1e-30))
+    if hubble is not None and max_dloga > 0:
+        dt_lim = jnp.minimum(dt_lim, max_dloga / jnp.maximum(hubble,
+                                                             1e-30))
     return jnp.clip(jnp.minimum(dt, dt_lim), min_dt, max_dt)
 
 

@@ -162,6 +162,34 @@ def bilinear_sample(field, xy, extent):
             + v01 * (1 - wx) * wy + v11 * wx * wy)
 
 
+def bilinear_sample_matmul(fields, xy, extent):
+    """Bilinear sampling of a [F, ng, ng] field stack at xy [R, 2] via
+    one-hot MXU contractions (XLA gathers serialize on TPU: the ray
+    tracer spent ~9 ms/plane in them; this form is two GEMMs):
+        out[f, r] = sum_ij Wx[r, i] fields[f, i, j] Wy[r, j]
+    Returns [F, R]."""
+    ng = fields.shape[-1]
+    u = xy / extent * ng - 0.5
+    i0 = jnp.floor(u)
+    f = (u - i0).astype(fields.dtype)
+
+    iota = jax.lax.broadcasted_iota(jnp.float32, (1, ng), 1)
+
+    def weights(axis):
+        ia = jnp.mod(i0[:, axis], ng)[:, None]
+        ib = jnp.mod(i0[:, axis] + 1, ng)[:, None]
+        fa = f[:, axis][:, None]
+        return (jnp.where(iota == ia, 1.0 - fa, 0.0)
+                + jnp.where(iota == ib, fa, 0.0))      # [R, ng]
+
+    wx = weights(0)
+    wy = weights(1)
+    # t[f, r, j] = sum_i Wx[r, i] fields[f, i, j]
+    t = jnp.einsum("ri,fij->frj", wx, fields,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(t * wy[None, :, :], axis=-1)        # [F, R]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RayBundle:
@@ -200,8 +228,12 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
         chi_l = chi_planes[idx]
         # comoving impact position on this plane (small-angle)
         xy = jnp.mod(theta * chi_l, box_size)
-        ax = bilinear_sample(alphas[idx, 0], xy, box_size)
-        ay = bilinear_sample(alphas[idx, 1], xy, box_size)
+        # one MXU one-hot sampling for (alpha_x, alpha_y, delta): XLA
+        # gathers serialize on TPU (~9 ms/plane at 65k rays; this is
+        # ~0.5 ms)
+        fields = jnp.concatenate([alphas[idx],
+                                  delta_planes[idx][None]], axis=0)
+        ax, ay, dl = bilinear_sample_matmul(fields, xy, box_size)
         # the potential u solves lap_x(u) = 2 kappa on the COMOVING grid;
         # the angular potential is psi(theta) = u(chi theta)/chi^2, so the
         # angular deflection alpha_theta = grad_theta psi = (grad_x u)/chi
@@ -209,7 +241,7 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
         theta = theta + dtheta
         # accumulated convergence along the ray (Born-like estimator)
         w = lensing_efficiency(params, chi_l, chi_source, a_planes[idx])
-        dk = bilinear_sample(delta_planes[idx], xy, box_size) * w * d_chi
+        dk = dl * w * d_chi
         return (theta, kap + dk), None
 
     kap0 = jnp.zeros(theta0.shape[0])

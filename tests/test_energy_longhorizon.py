@@ -82,44 +82,62 @@ def test_layzer_irvine_over_cosmic_time():
     pairwise sum carries an O(1) offset that breaks the balance. T uses
     peculiar velocities v = u/a (u = a^2 dx/dt is the comoving-kick
     integrator variable)."""
-    n, box, ng = 2048, 50.0, 32
+    n, box = 1024, 50.0
     params = CosmologyParams()
-    cfg = _base_config("pm", n, box)
+    # direct solver: the force is EXACTLY -grad of the pairwise
+    # min-image potential the energy measures, so for the comoving-kick
+    # Hamiltonian H = sum u^2/2a^2 + U_com/a the balance closes to
+    # integrator error. (PM forces are NOT the discrete gradient of the
+    # mesh-measured energy: spectral/fd4 leave a systematic ~5% drift
+    # during collapse and the interp gradient's piecewise-constant
+    # force destroys the symplectic shadow invariant.)
+    cfg = _base_config("direct_reference", n, box)
     cfg.integration.kick_mode = "comoving"
     cfg.time.initial_timestep = 1e-5
+    # expansion-limited adaptive dt: without it H dt ~ 0.2/step at
+    # a = 0.02 and the KDK integration error dominates the balance
+    cfg.integration.adaptive_timestep = True
+    cfg.integration.max_dloga = 0.01
+    cfg.integration.min_timestep = 1e-9
+    cfg.integration.max_timestep = 1e-4
     cfg.simulation.output_frequency = 10
 
     pos, vel, mass = _quiet_start(n, box, vel_scale=0.0)
     eng = SimulationEngine(cfg)
     eng.initialize(state=make_state(pos, vel, mass, scale_factor=0.02))
 
-    from lambda_cdm_tpu.forces.pm import pm_potential
-
     def sample(engine):
         st = engine.state
         a = float(st.scale_factor)
-        u2 = jnp.sum(st.masses * jnp.sum(st.velocities ** 2, -1))
-        t_pec = 0.5 * float(u2) / (a * a)
-        phi = pm_potential(st.positions, st.masses, ng, box,
-                           g_const=engine.config.units.G)
-        u_phys = 0.5 * float(jnp.sum(st.masses * phi)) / a
+        e = engine.compute_energy()   # pairwise min-image KE/PE
+        t_pec = float(e["kinetic"]) / (a * a)
+        u_phys = float(e["potential"]) / a
         h = 100.0 * float(e_function(params, a))
         return a, t_pec, u_phys, h, float(st.time)
 
     a, t_pec, u_phys, h, t_now = sample(eng)
     c0 = t_pec + u_phys
     li = 0.0
-    prev = (t_pec, u_phys, h, t_now)
+    prev = (a, t_pec, u_phys)
     worst = 0.0
     for _ in range(1200):
         eng.run(num_steps=10)
         a, t_pec, u_phys, h, t_now = sample(eng)
-        t_p, u_p, h_p, tt_p = prev
-        li += 0.5 * (h * (2 * t_pec + u_phys)
-                     + h_p * (2 * t_p + u_p)) * (t_now - tt_p)
+        a_p, t_p, u_p = prev
+        # int H (2T + U) dt = int (2T + U)/a da. With the comoving
+        # scalings T = Tc/a^2 and U = Uc/a (Tc, Uc slowly varying), the
+        # 1/a^3 and 1/a^2 integrands are integrable ANALYTICALLY per
+        # chunk -- a plain trapezoid cannot resolve 1/a^2 across the
+        # large early-time a-leaps (80% error on the first chunk).
+        tc = 0.5 * (t_pec * a * a + t_p * a_p * a_p)
+        uc = 0.5 * (u_phys * a + u_p * a_p)
+        li += (2 * tc * 0.5 * (1 / a_p ** 2 - 1 / a ** 2)
+               + uc * (1 / a_p - 1 / a))
         worst = max(worst, abs(t_pec + u_phys + li - c0) / abs(u_phys))
-        prev = (t_pec, u_phys, h, t_now)
+        prev = (a, t_pec, u_phys)
         if a >= 0.999:
             break
     assert a >= 0.999, f"run stalled at a={a}"
-    assert worst < 1e-2, f"Layzer-Irvine residual {worst:.2e}"
+    # measured 6.9e-4 over the full arc (recorded in BASELINE.md): the
+    # reference's claimed-but-never-tested <0.1% bar, met for real
+    assert worst < 1e-3, f"Layzer-Irvine residual {worst:.2e}"
