@@ -27,10 +27,12 @@ def sync(x):
     np.asarray(jax.device_get(x.ravel()[0:1]))
 
 results = {}
-for variant in ("vpu", "mxu"):
-    f = jax.jit(lambda bp, bm: pallas_short_range(
+for variant in ("vpu", "vpu2", "vpu2-112"):
+    vname, _, lc = variant.partition("-")
+    lcv = int(lc) if lc else 0
+    f = jax.jit(lambda bp, bm, vname=vname, lcv=lcv: pallas_short_range(
         bp, bm, ncell=nc, capacity=cap, box_size=box, rs=float(rs),
-        softening=0.05, variant=variant))
+        softening=0.05, variant=vname, live_cap=lcv))
     t0 = time.perf_counter()
     out = f(bpos, bmass); sync(out)
     print(f"{variant}: compile+run {time.perf_counter()-t0:.1f}s")
@@ -44,7 +46,7 @@ for variant in ("vpu", "mxu"):
     print(f"{variant}: {dt:.1f} ms")
 
 # accuracy delta between variants
-d = np.abs(np.asarray(results["mxu"][1]) - np.asarray(results["vpu"][1]))
+d = np.abs(np.asarray(results["vpu2"][1]) - np.asarray(results["vpu"][1]))
 live = np.asarray(bmass) > 0
-print("mxu-vs-vpu max |diff| (live):", d[live].max(),
+print("vpu2-vs-vpu max |diff| (live):", d[live].max(),
       "scale:", np.abs(np.asarray(results["vpu"][1])).max())

@@ -329,11 +329,13 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
         use_pallas = _use_pallas()
     cell_volume = (box_size / ng) ** 3
     if use_pallas:
-        from .pallas_pm import pallas_deposit_blocks
-        blocks, dropped = pallas_deposit_blocks(
+        # rod-resident deposit: one GEMM per (cx, cy) rod with global
+        # (fold-free) z; only the x/y ghost fold remains in XLA
+        from .pallas_pm_rods import assemble_rods, pallas_deposit_rods
+        blocks, dropped = pallas_deposit_rods(
             bpos, bmass, ncell=ncell, ng=ng, box_size=float(box_size),
             margin=margin)
-        grid = _assemble(blocks, ncell=ncell, ng=ng, margin=margin)
+        grid = assemble_rods(blocks, ncell=ncell, ng=ng, margin=margin)
     else:
         grid, dropped = deposit_from_buckets(
             bpos, bmass, ncell=ncell, ng=ng, box_size=box_size,
@@ -342,6 +344,14 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
     green = _greens(ng, box_size, split_scale)
     phi_k = green * rho_k
 
+    if use_pallas and gradient == "fd4":
+        # fused CIC x fd4 gather straight from the potential grid: no
+        # gradient grids, no block extraction (ops/pallas_pm_rods)
+        from .pallas_pm_rods import pallas_gather_fd4
+        phi = jnp.fft.irfftn(phi_k, s=(ng, ng, ng))
+        acc = pallas_gather_fd4(phi, bpos, ncell=ncell, ng=ng,
+                                box_size=float(box_size), margin=margin)
+        return g_const * acc, dropped
     if gradient == "interp":
         # force = -grad of the interpolated potential: one irfftn, one
         # block extraction, two shared GEMMs (see gather_gradient_to_buckets)

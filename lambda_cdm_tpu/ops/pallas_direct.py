@@ -37,6 +37,97 @@ from jax.experimental.pallas import tpu as pltpu
 # i-tile resident rows (sublanes) and j-tile streamed lanes per DMA chunk
 TILE_I = 256
 TILE_J = 2048
+# v2 keeps three [TILE_I, TILE_J] f32 accumulators resident in VMEM
+# (accumulate-then-reduce); 2048 lanes would blow the 16 MB VMEM budget
+TILE_J_V2 = 512
+
+
+def _direct_kernel_v2(pts_hbm, out_ref, *, box_size, softening2, n_j_tiles,
+                      periodic):
+    """Opt-in faster variant of _direct_kernel (v5e 100k: 104 vs 114 ms):
+
+      * coordinates arrive PRE-SCALED to box units ([0, 1)), so the
+        minimum image is `dx -= round(dx)` -- 2 VPU ops per component
+        instead of 3 (the 1/box rescale amortizes into the caller's
+        g_const/box^2 output scaling, with softening in box units too);
+      * per-lane accumulation across j-tiles with ONE cross-lane
+        reduction at the end (the short-range kernel's trick);
+      * r^2 accumulates as an FMA chain seeded with softening^2.
+
+    NOT the default: the box-unit intermediates (inv_r_b^3 ~ 1e7) cost
+    ~60x accuracy vs a float64 oracle (2.8e-4 vs 4.6e-6 max abs at 777
+    particles) for a 9% win, and this kernel doubles as the test oracle.
+    """
+    i = pl.program_id(0)
+
+    def body(jbuf, ibuf, accx, accy, accz, sem):
+        idma = pltpu.make_async_copy(
+            pts_hbm.at[:, pl.ds(i * TILE_I, TILE_I)], ibuf, sem.at[2])
+        idma.start()
+        idma.wait()
+        xi = jnp.transpose(ibuf[0:1, :])        # [TILE_I, 1]
+        yi = jnp.transpose(ibuf[1:2, :])
+        zi = jnp.transpose(ibuf[2:3, :])
+
+        def get_dma(slot, jc):
+            return pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(jc * TILE_J_V2, TILE_J_V2)],
+                jbuf.at[slot], sem.at[slot])
+
+        get_dma(0, 0).start()
+        accx[...] = jnp.zeros_like(accx)
+        accy[...] = jnp.zeros_like(accy)
+        accz[...] = jnp.zeros_like(accz)
+
+        def j_step(jc, _):
+            slot = jc % 2
+            nxt = (jc + 1) % 2
+
+            @pl.when(jc + 1 < n_j_tiles)
+            def _():
+                get_dma(nxt, jc + 1).start()
+
+            get_dma(slot, jc).wait()
+
+            xj = jbuf[slot, 0:1, :].astype(jnp.float32)   # [1, TILE_J]
+            yj = jbuf[slot, 1:2, :].astype(jnp.float32)
+            zj = jbuf[slot, 2:3, :].astype(jnp.float32)
+            mj = jbuf[slot, 3:4, :].astype(jnp.float32)
+
+            dx = xj - xi                                   # [TI, TJ]
+            dy = yj - yi
+            dz = zj - zi
+            if periodic:
+                dx = dx - jnp.round(dx)
+                dy = dy - jnp.round(dy)
+                dz = dz - jnp.round(dz)
+            r2 = dx * dx + (dy * dy + (dz * dz + softening2))
+            inv_r = jax.lax.rsqrt(r2)
+            w = mj * (inv_r * inv_r * inv_r)               # m_j / r_b^3
+            accx[...] += w * dx
+            accy[...] += w * dy
+            accz[...] += w * dz
+            return ()
+
+        jax.lax.fori_loop(0, n_j_tiles, j_step, ())
+
+        out_ref[0:1, :] = jnp.transpose(
+            jnp.sum(accx[...], axis=1, keepdims=True))
+        out_ref[1:2, :] = jnp.transpose(
+            jnp.sum(accy[...], axis=1, keepdims=True))
+        out_ref[2:3, :] = jnp.transpose(
+            jnp.sum(accz[...], axis=1, keepdims=True))
+        out_ref[3:4, :] = jnp.zeros((1, TILE_I), jnp.float32)
+
+    pl.run_scoped(
+        body,
+        jbuf=pltpu.VMEM((2, 4, TILE_J_V2), pts_hbm.dtype),
+        ibuf=pltpu.VMEM((4, TILE_I), pts_hbm.dtype),
+        accx=pltpu.VMEM((TILE_I, TILE_J_V2), jnp.float32),
+        accy=pltpu.VMEM((TILE_I, TILE_J_V2), jnp.float32),
+        accz=pltpu.VMEM((TILE_I, TILE_J_V2), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
 
 
 def _direct_kernel(pts_hbm, out_ref, *, box_size, softening2, n_j_tiles,
@@ -114,10 +205,11 @@ def _direct_kernel(pts_hbm, out_ref, *, box_size, softening2, n_j_tiles,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "box_size", "softening", "periodic", "interpret"))
+    "box_size", "softening", "periodic", "interpret", "variant"))
 def pallas_direct_accelerations(positions, masses, box_size, softening=0.01,
                                 g_const=1.0, *, periodic: bool = True,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                variant: str = "v1"):
     """Softened pairwise accelerations [N,3] via the tiled Pallas kernel.
 
     Drop-in replacement for forces.direct.direct_accelerations (same
@@ -132,19 +224,22 @@ def pallas_direct_accelerations(positions, masses, box_size, softening=0.01,
     if softening <= 0.0:
         raise ValueError("pallas direct kernel requires softening > 0")
     n = positions.shape[0]
-    tile = max(TILE_I, TILE_J)
+    tile_j = TILE_J_V2 if variant == "v2" else TILE_J
+    tile = max(TILE_I, tile_j)
     n_pad = ((n + tile - 1) // tile) * tile
 
+    scale = 1.0 / box_size if variant == "v2" else 1.0
     pts = jnp.zeros((4, n_pad), jnp.float32)
-    pts = pts.at[0:3, :n].set(positions.T.astype(jnp.float32))
+    pts = pts.at[0:3, :n].set(positions.T.astype(jnp.float32) * scale)
     pts = pts.at[3, :n].set(masses.astype(jnp.float32))
 
     n_i_tiles = n_pad // TILE_I
-    n_j_tiles = n_pad // TILE_J
+    n_j_tiles = n_pad // tile_j
 
+    kfn = {"v1": _direct_kernel, "v2": _direct_kernel_v2}[variant]
     kernel = functools.partial(
-        _direct_kernel, box_size=box_size,
-        softening2=softening * softening, n_j_tiles=n_j_tiles,
+        kfn, box_size=box_size,
+        softening2=(softening * scale) ** 2, n_j_tiles=n_j_tiles,
         periodic=periodic)
 
     out = pl.pallas_call(
@@ -165,4 +260,5 @@ def pallas_direct_accelerations(positions, masses, box_size, softening=0.01,
         interpret=interpret,
     )(pts)
 
-    return g_const * out[0:3, :n].T
+    # v2 computed in box units: accelerations scale back by 1/box^2
+    return (g_const * scale * scale) * out[0:3, :n].T

@@ -1,0 +1,354 @@
+"""Pallas TPU kernels: rod-resident fused CIC x fd4 PM gather and deposit.
+
+The block-extracted PM pipeline (ops/bucketed_pm + ops/pallas_pm) spends
+most of its time OUTSIDE the GEMMs: three full-grid fd4 roll-stencils,
+three [C, L^3] block extractions and one block assembly are all XLA
+dense-copy passes over ~300 MB of intermediates (~65 ms of the ~90 ms PM
+stage at 1M/192^3 on v5e). These kernels remove every intermediate by
+working per (cx, cy) rod with the z axis kept GLOBAL:
+
+  gather   one DMA of a [La, La, ng] potential window per rod (the x/y
+           periodic halo is pre-padded, so origins are static-shape
+           dynamic slices on leading dims -- no wrap splitting); the z
+           interpolation one-hot Z[ng, S] spans the full z axis, so the
+           z contraction is ONE MXU GEMM per rod -- and the fd4 gradient
+           collapses into a second GEMM against Z' = fd4 (x) Z (built
+           with 4 pltpu.rolls, which also gives periodic z for free).
+           In x/y the gradient similarly folds into shifted one-hots
+           X' = fd4 (x) X. No gradient grids, no extraction, no rolls.
+
+  deposit  the transpose: local[ab, z] = (X x Y)^T[ab, S] @ Zm[S, ng]
+           per rod; only the x/y ghost fold + block transpose remain in
+           XLA (z needs no fold at all).
+
+Force convention: returns ACCELERATIONS = -grad phi interpolated, i.e.
+F_x(p) = -sum_g CIC(p,g) fd4_x[phi](g), rewritten as a gather of phi with
+the fd4-convolved weight sum_s d_s CIC(p, g - s e_x).
+
+Replaces the reference's per-particle trilinear force gather + finite
+difference on G-grids (SURVEY.md section 2.2 particle_mesh pipeline) at
+TPU-native cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def rod_geometry(ng: int, ncell: int, margin: int):
+    """(ppc, ell, la, halo): PM cells per bucket cell, CIC window edge,
+    fd4+CIC window edge, and the x/y pad width."""
+    if ng % ncell:
+        raise ValueError(f"PM grid {ng} must be a multiple of ncell {ncell}")
+    ppc = ng // ncell
+    ell = ppc + 2 * (margin + 1)          # CIC support window
+    halo = margin + 3                     # CIC margin + fd4's +-2
+    return ppc, ell, ppc + 2 * halo, halo
+
+
+def _fd4_coeffs(h: float):
+    """(shift, weight) pairs of the 4th-order first derivative:
+    f'(g) = sum_s d_s f(g+s), d_{+-1} = +-8/12h, d_{+-2} = -+1/12h."""
+    return ((-2, 1.0 / (12.0 * h)), (-1, -8.0 / (12.0 * h)),
+            (1, 8.0 / (12.0 * h)), (2, -1.0 / (12.0 * h)))
+
+
+def _onehot_la(idx, frac, *, la, s):
+    """[La, S] per-axis CIC one-hot: row a = (1-f) at a==idx, f at idx+1."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (la, s), 0).astype(jnp.float32)
+    return (jnp.where(iota == idx, 1.0 - frac, 0.0)
+            + jnp.where(iota == idx + 1.0, frac, 0.0))
+
+
+def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
+                   la, halo, box_size, margin, h, s):
+    """Grid (rod, slot-chunk): each instance gathers `s` slots of one
+    (cx, cy) rod. Chunking the slot axis keeps the one-hot + GEMM
+    working set ~4 MB (a whole 24*128-slot rod at once needs ~14 MB,
+    over the 16 MB VMEM budget)."""
+    rod = pl.program_id(0)
+    chunk0 = pl.program_id(1) * s
+    cx = rod // nc
+    cy = rod % nc
+    ell = ppc + 2 * (margin + 1)
+
+    def body(win, sem):
+        # phi arrives 4D [X, Y/8, 8, ng]: both window axes are LEADING
+        # (untiled) dims -- a dynamic slice on the sublane dim itself
+        # crashes the Mosaic backend even 8-aligned
+        dma = pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(cx * ppc, la), pl.ds(cy * ppc // 8, la // 8)],
+            win, sem)
+        dma.start()
+
+        pos = pos_ref[:]                   # [3, s] (this chunk's slots)
+        u = pos * (ng / box_size)
+        i0 = jnp.floor(u - 0.5)
+        frac = (u - 0.5) - i0              # [3, S]
+
+        # validity: same drift-margin rule as the deposit (local CIC
+        # window in all three axes); invalid slots gather zero force.
+        # slot ids are global within the rod: chunk0 + [0, s)
+        zc = ((jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) + chunk0)
+              // cap).astype(jnp.float32)[0]
+        org = jnp.stack([
+            jnp.full((s,), (cx * ppc - (margin + 1)), jnp.float32),
+            jnp.full((s,), (cy * ppc - (margin + 1)), jnp.float32),
+            zc * ppc - (margin + 1),
+        ])
+        il = i0 - org
+        ok = jnp.where(
+            jnp.all((il >= 0) & (il <= ell - 2), axis=0), 1.0, 0.0)
+
+        # x/y one-hots in window coords [La, S] (origin c*ppc - halo)
+        ax = (i0[0] - (cx * ppc - halo))[None, :]
+        ay = (i0[1] - (cy * ppc - halo))[None, :]
+        x1 = _onehot_la(ax, frac[0][None, :], la=la, s=s)
+        y1 = _onehot_la(ay, frac[1][None, :], la=la, s=s)
+
+        def fdconv_la(base):
+            out = jnp.zeros_like(base)
+            for sh, wgt in _fd4_coeffs(h):
+                # pltpu.roll wants a non-negative shift
+                out += wgt * pltpu.roll(base, sh % base.shape[0], axis=0)
+            return out
+
+        # fd4 (x) CIC along x/y: shifted sums of the one-hot. pltpu.roll
+        # wraps rows across the window edge, but valid slots keep their
+        # 6-point footprint >= 2 rows from either edge (halo = margin+3),
+        # so wrapped rows only ever receive zeros.
+        x4 = fdconv_la(x1)
+        y4 = fdconv_la(y1)
+
+        # z one-hots over the FULL (periodic) z axis, transposed
+        # [ng_p, S] (z padded to a whole number of 128-lane pairs: a DMA
+        # whose minor dim is 1.5 lane-tiles crashes the Mosaic backend;
+        # rows >= ng stay zero). Periodicity lives in the mod-ng index
+        # arithmetic -- padded-axis rolls would wrap at the wrong place,
+        # so the fd4 z-convolution is 4 explicitly shifted one-hots.
+        izf = i0[2] - jnp.floor(i0[2] / ng) * ng      # wrap to [0, ng)
+        iz = izf[None, :]
+        fz = (frac[2] * ok)[None, :]                  # mask folds in here
+        okz = ok[None, :]
+        ziota = (jax.lax.broadcasted_iota(jnp.int32, (ng_p, s), 0)
+                 .astype(jnp.float32))
+
+        def z_onehot(shift):
+            a = iz + shift
+            a = a - jnp.floor(a / ng) * ng
+            b = iz + 1.0 + shift
+            b = b - jnp.floor(b / ng) * ng
+            return (jnp.where(ziota == a, okz - fz, 0.0)
+                    + jnp.where(ziota == b, fz, 0.0))
+
+        zt = z_onehot(0.0)
+        z4 = jnp.zeros_like(zt)
+        for sh, wgt in _fd4_coeffs(h):
+            z4 += wgt * z_onehot(float(sh))
+
+        dma.wait()
+        w2 = win[:].reshape(la * la, ng_p)
+
+        # MXU: z contraction for all slots at once (HIGHEST: Mosaic
+        # supports only DEFAULT/HIGHEST, and DEFAULT's bf16 operand
+        # truncation is a ~0.4% force error)
+        g1 = jax.lax.dot_general(                     # [La^2, S]
+            w2, zt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST)
+        g4 = jax.lax.dot_general(
+            w2, z4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST)
+        g1 = g1.reshape(la, la, s)
+        g4 = g4.reshape(la, la, s)
+
+        # contract b (y) then a (x) on the VPU
+        t_y = jnp.sum(g1 * y1[None, :, :], axis=1)    # [La, S]
+        t_y4 = jnp.sum(g1 * y4[None, :, :], axis=1)
+        t4_y = jnp.sum(g4 * y1[None, :, :], axis=1)
+        out_ref[0] = -jnp.sum(t_y * x4, axis=0)       # [S]
+        out_ref[1] = -jnp.sum(t_y4 * x1, axis=0)
+        out_ref[2] = -jnp.sum(t4_y * x1, axis=0)
+
+    pl.run_scoped(
+        body,
+        win=pltpu.VMEM((la, la // 8, 8, ng_p), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ncell", "ng", "margin",
+                                              "box_size", "interpret"))
+def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
+                      margin: int = 1, interpret: bool = False):
+    """Accelerations = -(fd4 grad of phi) CIC-interpolated at every
+    bucketed particle -> [C, K, 3], in ONE fused kernel (no gradient
+    grids, no block extraction).
+
+    phi [ng, ng, ng]; bpos [C, K, 3] in the treepm bucket layout.
+    """
+    cc = ncell ** 3
+    cap = bpos.shape[1]
+    ppc, ell, la, halo = rod_geometry(ng, ncell, margin)
+    h = float(box_size) / ng
+
+    if ppc % 8 or la % 8:
+        raise ValueError("pallas_gather_fd4 needs ppc (= ng/ncell) and "
+                         "the fd4 window to be multiples of 8")
+    # periodic x/y halo (z stays global inside the kernel); y padded up
+    # to a multiple of 8 so it reshapes into 8-wide leading blocks; z
+    # ZERO-padded to a multiple of 256 lanes (partial lane-tile DMAs
+    # crash Mosaic; the kernel's one-hot indices never touch the pad)
+    ypad = (-(ng + 2 * halo)) % 8
+    zpad = (-ng) % 256
+    ng_p = ng + zpad
+    phi_pad = jnp.pad(phi, ((halo, halo), (halo, halo + ypad), (0, 0)),
+                      mode="wrap")
+    phi_pad = jnp.pad(phi_pad, ((0, 0), (0, 0), (0, zpad)))
+    phi_pad = phi_pad.reshape(ng + 2 * halo, (ng + 2 * halo + ypad) // 8,
+                              8, ng_p)
+
+    # [3, R*S] flat rod-major slot layout (cell ids are z-major): the
+    # per-chunk block (3, s) then satisfies Mosaic's trailing-dims rule
+    rr = ncell * ncell
+    s_rod = ncell * cap
+    s = min(s_rod, 1024)
+    while s_rod % s:
+        s -= 128
+    nchunks = s_rod // s
+    pos_t = (bpos.reshape(rr, s_rod, 3).transpose(2, 0, 1)
+             .reshape(3, rr * s_rod))
+
+    kernel = functools.partial(
+        _gather_kernel, nc=ncell, cap=cap, ng=ng, ng_p=ng_p, ppc=ppc,
+        la=la, halo=halo, box_size=float(box_size), margin=margin, h=h,
+        s=s)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rr, nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, s), lambda i, j: (0, i * nchunks + j)),
+        ],
+        out_specs=pl.BlockSpec((3, s), lambda i, j: (0, i * nchunks + j)),
+        out_shape=jax.ShapeDtypeStruct((3, rr * s_rod), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=cc * cap * (2 * la * la * ng // ncell + 6 * la * la),
+            bytes_accessed=ncell * ncell * la * la * ng * 4 + cc * cap * 28,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(phi_pad, pos_t)
+    return out.reshape(3, cc, cap).transpose(1, 2, 0)
+
+
+def _deposit_kernel(pos_ref, mass_ref, out_ref, *, nc, cap, ng, ppc, ell,
+                    box_size, margin):
+    rod = pl.program_id(0)
+    cx = rod // nc
+    cy = rod % nc
+    s = nc * cap
+
+    pos = pos_ref[:]                       # [3, S]
+    mass = mass_ref[:]                     # [S]
+    u = pos * (ng / box_size)
+    i0 = jnp.floor(u - 0.5)
+    frac = (u - 0.5) - i0
+
+    org = jnp.stack([
+        jnp.full((s,), (cx * ppc - (margin + 1)), jnp.float32),
+        jnp.full((s,), (cy * ppc - (margin + 1)), jnp.float32),
+        (jax.lax.broadcasted_iota(jnp.int32, (nc, cap), 0)
+         .astype(jnp.float32).reshape(s) * ppc - (margin + 1)),
+    ])
+    il = i0 - org
+    ok = jnp.all((il >= 0) & (il <= ell - 2), axis=0)
+    w = jnp.where(ok & (mass > 0), mass, 0.0)
+
+    ax = il[0][None, :]
+    ay = il[1][None, :]
+    x1 = _onehot_la(ax, frac[0][None, :], la=ell, s=s)     # [L, S]
+    y1 = _onehot_la(ay, frac[1][None, :], la=ell, s=s)
+
+    # z one-hot over full z, mass folded in; wrap like the gather
+    izf = i0[2] - jnp.floor(i0[2] / ng) * ng
+    iz = izf[None, :]
+    fz = frac[2][None, :]
+    ziota = (jax.lax.broadcasted_iota(jnp.int32, (s, ng), 1)
+             .astype(jnp.float32))
+    izp1 = jnp.where(iz + 1.0 == ng, 0.0, iz + 1.0)
+    zm = (jnp.where(ziota == iz.T, 1.0 - fz.T, 0.0)
+          + jnp.where(ziota == izp1.T, fz.T, 0.0)) * w[:, None]  # [S, ng]
+
+    # outer product [L^2, S] then ONE MXU GEMM -> [L^2, ng]
+    m1 = (x1[:, None, :] * y1[None, :, :]).reshape(ell * ell, s)
+    out_ref[:] = jax.lax.dot_general(
+        m1, zm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("ncell", "ng", "margin",
+                                              "box_size", "interpret"))
+def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
+                        margin: int = 1, interpret: bool = False):
+    """CIC mass deposit -> ([R, L, L, ng] rod blocks, dropped_count);
+    z needs no ghost fold (deposited globally + periodically inside the
+    kernel), so only assemble_rods' x/y fold remains."""
+    cap = bpos.shape[1]
+    ppc, ell, _, _ = rod_geometry(ng, ncell, margin)
+    rr = ncell * ncell
+    s = ncell * cap
+
+    pos_t = (bpos.reshape(rr, s, 3).transpose(2, 0, 1).reshape(3, rr * s))
+    mass_r = bmass.reshape(rr * s)
+
+    kernel = functools.partial(
+        _deposit_kernel, nc=ncell, cap=cap, ng=ng, ppc=ppc, ell=ell,
+        box_size=float(box_size), margin=margin)
+    blocks = pl.pallas_call(
+        kernel,
+        grid=(rr,),
+        in_specs=[
+            pl.BlockSpec((3, s), lambda i: (0, i)),
+            pl.BlockSpec((s,), lambda i: (i,)),
+        ],
+        out_specs=pl.BlockSpec((ell * ell, ng), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rr * ell * ell, ng), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pos_t, mass_r)
+
+    # margin-drop count (cheap elementwise, outside the kernel)
+    from .bucketed_pm import _block_origins
+    origins = _block_origins(ncell, ppc, margin)
+    u = bpos * (ng / box_size)
+    il = jnp.floor(u - 0.5) - origins[:, None, :]
+    okd = jnp.all((il >= 0) & (il <= ell - 2), axis=-1)
+    dropped = jnp.sum((bmass > 0) & ~okd)
+    return blocks.reshape(rr, ell, ell, ng), dropped
+
+
+@functools.partial(jax.jit, static_argnames=("ncell", "ng", "margin"))
+def assemble_rods(blocks, *, ncell: int, ng: int, margin: int = 1):
+    """[R, L, L, ng] rod deposit blocks -> [ng, ng, ng] global grid:
+    fold the x/y ghost layers into the +-1 neighbor rods (z is already
+    global and periodic)."""
+    from .bucketed_pm import _fold_axis
+    c = ncell
+    ppc, ell, _, _ = rod_geometry(ng, c, margin)
+    ghost = margin + 1
+    a = blocks.reshape(c, c, ell, ell, ng)
+    a = _fold_axis(a, 1, 3, c=c, ppc=ppc, ghost=ghost)   # y
+    a = _fold_axis(a, 0, 2, c=c, ppc=ppc, ghost=ghost)   # x
+    return a.transpose(0, 2, 1, 3, 4).reshape(ng, ng, ng)

@@ -43,6 +43,40 @@ def _poly_s(x):
     return jnp.where(x < _X_MAX, jnp.maximum(s, 0.0), 0.0)
 
 
+def _poly_r_coeffs(rs: float, degree: int = 11):
+    """Endpoint-factored fit of the split function in a normalized
+    variable: S(r) - S(r_max) = (1 - t) * h(t) with t = 2 r / r_max - 1
+    on [-1, 1] and h a degree-`degree` polynomial.
+
+    Three wins over Horner-in-x on the raw polyfit coefficients:
+      * [-1, 1] monomials are well-conditioned in f32 (raw x^10 Horner
+        loses ~1.5 digits: 2.7e-4 vs 1.8e-5 max error here);
+      * the (1 - t) factor pins S(clamp(r)) to EXACTLY zero at and beyond
+        the cutoff, so the per-pair `where(x < x_max)` + `max(s, 0)`
+        trimming collapses into the existing min() clamp;
+      * evaluating in (a scaled) r saves the x = r/(2 rs) rescale.
+
+    Returns (h coefficients highest-first, t_scale, r_max): per pair,
+    t = r * t_scale - 1, s = (1 - t) * h(t)."""
+    import math
+
+    import numpy as np
+    r_max = 2.0 * rs * _X_MAX
+    r = np.linspace(0.0, r_max, 4001)[:-1]
+    x = r / (2.0 * rs)
+    s = np.array([math.erfc(v) + (2.0 * v / math.sqrt(math.pi))
+                  * math.exp(-v * v) for v in x])
+    s_end = (math.erfc(_X_MAX) + (2.0 * _X_MAX / math.sqrt(math.pi))
+             * math.exp(-_X_MAX * _X_MAX))
+    t = 2.0 * r / r_max - 1.0
+    ch = np.polyfit(t, (s - s_end) / (1.0 - t), degree)
+    got = (1.0 - t) * np.polyval(ch.astype(np.float32),
+                                 t.astype(np.float32))
+    err = float(np.max(np.abs(got - (s - s_end))))
+    assert err < 1e-4, f"factored short poly fit error {err}"
+    return [float(c) for c in ch], float(2.0 / r_max), float(r_max)
+
+
 def _short_kernel_mxu(pts_hbm, out_ref, *, nc, cap, box_size, rs,
                       softening2):
     """MXU-accumulation variant: same rod DMA/unwrap as _short_kernel, but
@@ -135,6 +169,109 @@ def _short_kernel_mxu(pts_hbm, out_ref, *, nc, cap, box_size, rs,
         out_ref[0] = accv[:, :, 0] - accv[:, :, 3] * xi
         out_ref[1] = accv[:, :, 1] - accv[:, :, 3] * yi
         out_ref[2] = accv[:, :, 2] - accv[:, :, 3] * zi
+        out_ref[3] = jnp.zeros((nc, cap), jnp.float32)
+
+    pl.run_scoped(
+        body,
+        rods=pltpu.VMEM((9, 4, nc + 2, cap), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((9, 3)),
+    )
+
+
+def _short_kernel_v2(pts_hbm, out_ref, *, nc, cap, box_size, rs,
+                     softening2):
+    """Optimized VPU variant. Differences from _short_kernel:
+
+      * the split polynomial is evaluated via the endpoint-factored
+        normalized-variable fit (_poly_r_coeffs): fewer VPU ops per pair
+        AND ~15x better f32 accuracy than Horner on the raw polyfit
+        coefficients (4.8e-5 vs 9.7e-3 max rel force error vs a float64
+        truncated-split oracle);
+      * per-lane accumulation: acc[nc, ci, cj] += w*d per tile (3 FMAs),
+        with ONE cross-lane reduction after all 27 tiles instead of 27
+        (saves ~3 ops/pair of log-shuffle reductions).
+
+    Measured (1M, ncell=24, cap=128, v5e): 95 ms vs 112 ms for
+    _short_kernel.
+    """
+    i = pl.program_id(0)
+    cx = i // nc
+    cy = i % nc
+    ch, t_scale, r_max = _poly_r_coeffs(rs)
+
+    def body(rods, sem):
+        src = pts_hbm
+        dmas = []
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id], rods.at[idx, :, pl.ds(1, nc)],
+                    sem.at[idx, 0]))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id, pl.ds(nc - 1, 1)],
+                    rods.at[idx, :, pl.ds(0, 1)], sem.at[idx, 1]))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, r_id, pl.ds(0, 1)],
+                    rods.at[idx, :, pl.ds(nc + 1, 1)], sem.at[idx, 2]))
+                idx += 1
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                shift_x = jnp.where(cx + dx < 0, -box_size,
+                                    jnp.where(cx + dx >= nc, box_size, 0.0))
+                shift_y = jnp.where(cy + dy < 0, -box_size,
+                                    jnp.where(cy + dy >= nc, box_size, 0.0))
+                rods[idx, 0] = rods[idx, 0] + shift_x
+                rods[idx, 1] = rods[idx, 1] + shift_y
+                rods[idx, 2, 0:1, :] = rods[idx, 2, 0:1, :] - box_size
+                rods[idx, 2, nc + 1:nc + 2, :] = \
+                    rods[idx, 2, nc + 1:nc + 2, :] + box_size
+                idx += 1
+
+        xi = rods[4, 0, 1:nc + 1, :]        # [nc, cap]
+        yi = rods[4, 1, 1:nc + 1, :]
+        zi = rods[4, 2, 1:nc + 1, :]
+
+        def rod_step(r, acc):
+            ax, ay, az = acc
+            for sc in range(3):
+                xj = rods[r, 0, sc:sc + nc, :]      # [nc, cap]
+                yj = rods[r, 1, sc:sc + nc, :]
+                zj = rods[r, 2, sc:sc + nc, :]
+                mj = rods[r, 3, sc:sc + nc, :]
+                # [nc, cap, cap]: i rides sublanes, j lanes (the inline
+                # broadcast fuses; hoisting the transpose out of the loop
+                # measured 2x SLOWER -- Mosaic relayouts the stored value
+                # per tile)
+                dxt = xj[:, None, :] - xi[:, :, None]
+                dyt = yj[:, None, :] - yi[:, :, None]
+                dzt = zj[:, None, :] - zi[:, :, None]
+                r2 = dxt * dxt + dyt * dyt + dzt * dzt + softening2
+                inv_r = jax.lax.rsqrt(r2)
+                t = jnp.minimum(r2 * inv_r, r_max) * t_scale - 1.0
+                h = jnp.full_like(t, ch[0])
+                for c in ch[1:]:
+                    h = h * t + c
+                s = (1.0 - t) * h
+                w = (mj[:, None, :] * s) * (inv_r * inv_r * inv_r)
+                ax += w * dxt
+                ay += w * dyt
+                az += w * dzt
+            return ax, ay, az
+
+        zero3 = jnp.zeros((nc, cap, cap), jnp.float32)
+        ax, ay, az = jax.lax.fori_loop(0, 9, rod_step,
+                                       (zero3, zero3, zero3))
+        out_ref[0] = jnp.sum(ax, axis=2)
+        out_ref[1] = jnp.sum(ay, axis=2)
+        out_ref[2] = jnp.sum(az, axis=2)
         out_ref[3] = jnp.zeros((nc, cap), jnp.float32)
 
     pl.run_scoped(
@@ -238,7 +375,7 @@ def _short_kernel(pts_hbm, out_ref, *, nc, cap, box_size, rs, softening2):
     "variant"))
 def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
                        box_size: float, rs: float, softening: float,
-                       interpret: bool = False, variant: str = "vpu"):
+                       interpret: bool = False, variant: str = "vpu2"):
     """Short-range accelerations for every bucket slot -> [C, K, 3].
 
     bpos [C, K, 3], bmass [C, K] in the treepm bucket layout
@@ -258,7 +395,8 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
          bmass.reshape(1, cc * cap).astype(jnp.float32)], axis=0)
     pts = pts.reshape(4, ncell * ncell, ncell, cap)
 
-    kfn = {"vpu": _short_kernel, "mxu": _short_kernel_mxu}[variant]
+    kfn = {"vpu": _short_kernel, "mxu": _short_kernel_mxu,
+           "vpu2": _short_kernel_v2}[variant]
     kernel = functools.partial(
         kfn, nc=ncell, cap=cap, box_size=float(box_size),
         rs=float(rs), softening2=float(softening) ** 2)
