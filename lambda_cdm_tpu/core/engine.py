@@ -134,14 +134,19 @@ class SimulationEngine:
             use_fast = (self.config.forces.type in ("treepm_fast",
                                                      "pm_fast")
                         and not use_mesh)
+            # persistent sharded cell-list stepper: treepm_fast + mesh
+            use_mesh_fast = (use_mesh
+                             and self.config.forces.type == "treepm_fast")
 
             if state is None:
                 from ..physics.initial_conditions import generate_state
                 state = generate_state(self.config)
 
-            if use_mesh:
+            if use_mesh_fast:
+                use_mesh_fast = self._try_init_mesh_fast_path(state)
+            if use_mesh and not use_mesh_fast:
                 state = self._init_mesh_path(state)
-            elif not use_fast:
+            elif not use_fast and not use_mesh_fast:
                 from ..forces import create_force_computer
                 self._accel_fn = create_force_computer(self.config)
 
@@ -378,14 +383,66 @@ class SimulationEngine:
         self._accel_fn = lambda s: (_ for _ in ()).throw(
             RuntimeError("treepm_fast drives the loop directly"))
 
+    def _try_init_mesh_fast_path(self, state: SimState) -> bool:
+        """Mesh + treepm_fast: the persistent SHARDED cell-list stepper
+        (parallel/fast_mesh) -- buckets stay resident and sharded across
+        the device mesh between steps (the reference's full MPI pipeline,
+        cluster_comm.cpp:90-216, without per-step re-bucketing). Returns
+        False (caller falls back to the stateless sharded solvers) when
+        the geometry cannot shard."""
+        from ..forces import auto_pm_grid
+        from ..parallel.fast_mesh import initialize_mesh_fast
+        from ..parallel.mesh import make_mesh
+        cfg = self.config
+        cosmological = cfg.cosmology.model != "Newtonian"
+        mesh = make_mesh()
+        self._fast_n = state.positions.shape[0]
+        t0 = time.perf_counter()
+        try:
+            self._fstate, self._fast_mesh_kw = initialize_mesh_fast(
+                state.positions, state.velocities, state.masses,
+                state.scale_factor, mesh=mesh,
+                box_size=cfg.particles.box_size,
+                pm_grid=auto_pm_grid(cfg),
+                softening=cfg.forces.softening_length, g_const=cfg.units.G,
+                split_factor=cfg.forces.split_factor,
+                cut_factor=cfg.forces.cut_factor,
+                capacity=cfg.forces.bucket_capacity,
+                time=state.time, step=state.step,
+                h0_internal=cfg.units.H0_internal,
+                kick_mode=(cfg.integration.kick_mode if cosmological
+                           else "newtonian"),
+                sf_method=cfg.integration.scale_factor_update,
+                cosmological=cosmological)
+        except ValueError as exc:
+            import logging
+            logging.getLogger("lambda_cdm_tpu").info(
+                "mesh treepm_fast unavailable (%s); falling back to the "
+                "stateless sharded TreePM", exc)
+            self._fstate = None
+            return False
+        self.statistics.compile_time_s += time.perf_counter() - t0
+        self._mesh = mesh
+        self._mesh_solver = "treepm_fast_mesh"
+        self._accel_fn = lambda s: (_ for _ in ()).throw(
+            RuntimeError("mesh treepm_fast drives the loop directly"))
+        return True
+
     def _fast_chunk(self, n: int) -> None:
         from ..ops.fast_treepm import fast_run
         cfg = self.config
         params = cfg.cosmology_params()
         dropped_before = int(self._fstate.dropped)
-        self._fstate = fast_run(
-            self._fstate, params, float(self._dt), n_steps=n,
-            rebucket_every=cfg.forces.rebucket_every, **self._fast_kw)
+        if getattr(self, "_fast_mesh_kw", None) is not None:
+            from ..parallel.fast_mesh import mesh_fast_run
+            self._fstate = mesh_fast_run(
+                self._fstate, params, float(self._dt), mesh=self._mesh,
+                n_steps=n, rebucket_every=cfg.forces.rebucket_every,
+                **self._fast_mesh_kw)
+        else:
+            self._fstate = fast_run(
+                self._fstate, params, float(self._dt), n_steps=n,
+                rebucket_every=cfg.forces.rebucket_every, **self._fast_kw)
         new_drops = int(self._fstate.dropped) - dropped_before
         if new_drops > 0:
             import logging
@@ -485,7 +542,11 @@ class SimulationEngine:
                 # the fast path reads its own acc channel
                 if cfg.integration.adaptive_timestep:
                     self._update_dt()
-                if self._mesh is not None:
+                # stateless mesh solvers re-home particles per chunk;
+                # the sharded fast stepper migrates inside its own
+                # rebucket (parallel/fast_mesh.mesh_rebucket)
+                if (self._mesh is not None
+                        and getattr(self, "_fstate", None) is None):
                     with self.profiler.timer("run.migrate"):
                         self._mesh_migrate()
                 steps_done += n
