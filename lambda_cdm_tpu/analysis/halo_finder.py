@@ -85,19 +85,38 @@ def fof_labels(positions, box_size, linking_length, *, ncell: int,
                        for oz in (-1, 0, 1)]
 
     def hook(lab):
+        """One min-label sweep over the 27-stencil, scanned over cell
+        ROWS so the pair temporaries are [nc, K, K] (a full-lattice
+        [nc^3, K, K, 3] tensor is ~0.5 TB at production ncell/K -- the
+        round-2 memory blowup)."""
         lab3 = lab.reshape(ncell, ncell, ncell, k)
+        rows = ncell * ncell
+        bp_r = bp.reshape(rows, ncell, k, 3)
+        occ_r = occ.reshape(rows, ncell, k)
         new = lab3
         for (ox, oy, oz) in neighbor_shifts:
-            nb_pos = jnp.roll(bp, (-ox, -oy, -oz), axis=(0, 1, 2))
-            nb_lab = jnp.roll(lab3, (-ox, -oy, -oz), axis=(0, 1, 2))
-            nb_occ = jnp.roll(occ, (-ox, -oy, -oz), axis=(0, 1, 2))
-            dx = min_image(nb_pos[..., None, :, :] - bp[..., :, None, :],
-                           box_size)
-            r2 = jnp.sum(dx * dx, axis=-1)            # [.., K, K]
-            linked = (r2 < b2) & nb_occ[..., None, :] \
-                & occ[..., :, None]
-            cand = jnp.where(linked, nb_lab[..., None, :], big)
-            new = jnp.minimum(new, jnp.min(cand, axis=-1))
+            nb_pos = jnp.roll(bp, (-ox, -oy, -oz), axis=(0, 1, 2)) \
+                .reshape(rows, ncell, k, 3)
+            nb_lab = jnp.roll(lab3, (-ox, -oy, -oz), axis=(0, 1, 2)) \
+                .reshape(rows, ncell, k)
+            nb_occ = jnp.roll(occ, (-ox, -oy, -oz), axis=(0, 1, 2)) \
+                .reshape(rows, ncell, k)
+            cur = new.reshape(rows, ncell, k)
+
+            def row(carry, xs):
+                cp, co, cl, npos, nlab, nocc = xs      # [nc(z), K, ...]
+                r2 = jnp.zeros((ncell, k, k), jnp.float32)
+                for c in range(3):
+                    d = min_image(npos[:, None, :, c]
+                                  - cp[:, :, None, c], box_size)
+                    r2 += d * d
+                linked = (r2 < b2) & nocc[:, None, :] & co[:, :, None]
+                cand = jnp.where(linked, nlab[:, None, :], big)
+                return carry, jnp.minimum(cl, jnp.min(cand, axis=-1))
+
+            _, upd = jax.lax.scan(
+                row, None, (bp_r, occ_r, cur, nb_pos, nb_lab, nb_occ))
+            new = upd.reshape(ncell, ncell, ncell, k)
         return new.reshape(ncells, k)
 
     def compress_full(lab):
@@ -133,10 +152,21 @@ def fof_labels(positions, box_size, linking_length, *, ncell: int,
     lab, _, rounds = jax.lax.while_loop(
         cond, body, (lab, label0, jnp.int32(0)))
 
-    # slot labels -> per original particle (overflowed particles: self-label)
+    # slot labels -> per original particle. Capacity-overflow particles
+    # (dense halo-core cells, occupancy > capacity) merge into their own
+    # cell's group via the cell's slot-0 anchor: a cell that overflows a
+    # sane capacity is orders of magnitude above the linking density, so
+    # standard FoF would link its contents anyway -- the approximation
+    # is COUNTED (`overflow`), bounding memory at [ncell^3, capacity]
+    # instead of sizing every cell for the densest core (the round-2
+    # known gap: clustered 1e6+ fields blew up the padded layout).
     flat_lab = lab.ravel()
     safe_slot = jnp.maximum(pslot, 0)
-    plabel = jnp.where(pslot >= 0, flat_lab[safe_slot], big)
+    cell = jnp.clip(jnp.floor(positions / box_size * ncell).astype(
+        jnp.int32), 0, ncell - 1)
+    cid = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
+    anchor = flat_lab[cid * k]               # own cell's slot-0 label
+    plabel = jnp.where(pslot >= 0, flat_lab[safe_slot], anchor)
     # canonicalize: map slot-space roots to particle-space roots
     # root slot -> the first particle owning it: build inverse map
     inv = jnp.full((ncells * k + 1,), n, jnp.int32)
@@ -147,25 +177,45 @@ def fof_labels(positions, box_size, linking_length, *, ncell: int,
 
 
 def fof_plan(num_particles: int, box_size: float, linking_length: float,
-             capacity: int = 0, positions=None) -> dict:
+             capacity: int = 0, positions=None,
+             max_capacity: int = 1024) -> dict:
     """Cell geometry for FoF (cells of size >= linking length).
 
     Unlike the force solvers (uniform-ish occupancy), FoF runs on
-    *clustered* data where a single cell can hold a whole halo; if
+    *clustered* data where a single cell can hold a whole halo core; if
     `positions` is given, capacity is sized from the actual maximum cell
-    occupancy (host readback, power-of-2 rounded to bound recompiles).
-    FoF runs at analysis cadence, so the data-dependent shape is fine.
+    occupancy (host readback, power-of-2 rounded to bound recompiles)
+    but CAPPED at `max_capacity`: cells denser than that take the
+    counted merged-cell approximation in fof_labels instead of inflating
+    the padded [ncell^3, capacity] layout for every cell (the densest
+    core cell would otherwise set the memory bill for the whole box).
     """
-    ncell = max(int(math.floor(box_size / linking_length)), 1)
-    ncell = min(ncell, 128)
-    if capacity <= 0:
-        if positions is not None:
-            max_occ = int(_max_cell_occupancy(positions, box_size, ncell))
-            capacity = max(16, 1 << (max_occ - 1).bit_length())
-        else:
-            mean_occ = num_particles / max(ncell ** 3, 1)
-            capacity = int(max(16, math.ceil(8.0 * mean_occ)))
-            capacity = ((capacity + 7) // 8) * 8
+    nmax = max(min(int(math.floor(box_size / linking_length)), 128), 1)
+    if capacity > 0:
+        return {"ncell": nmax, "capacity": capacity}
+    if positions is None:
+        # no occupancy information: finest admissible lattice with a
+        # generous per-cell headroom (capped)
+        mean_occ = num_particles / max(nmax ** 3, 1)
+        capacity = int(max(16, math.ceil(8.0 * mean_occ)))
+        capacity = min(((capacity + 7) // 8) * 8, max_capacity)
+        return {"ncell": nmax, "capacity": capacity}
+    # Any cell size >= b is CORRECT (the 27-stencil covers all links);
+    # finer cells cut per-cell pair work but on clustered data leave most
+    # cells empty while the densest core still sets the capacity -- the
+    # padded work C * 27 * K^2 then explodes (cell ~ b at 1M uniform:
+    # occupancy 0.5 at K >= 128 = 65000x padding). Scan halvings of the
+    # finest admissible lattice and take the cheapest padded layout.
+    best = None
+    ncell = nmax
+    while ncell >= 4:
+        max_occ = int(_max_cell_occupancy(positions, box_size, ncell))
+        cap = min(max(16, 1 << (max_occ - 1).bit_length()), max_capacity)
+        cost = ncell ** 3 * cap * cap
+        if best is None or cost < best[0]:
+            best = (cost, ncell, cap)
+        ncell //= 2
+    _, ncell, capacity = best
     return {"ncell": ncell, "capacity": capacity}
 
 

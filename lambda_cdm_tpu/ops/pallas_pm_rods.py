@@ -67,8 +67,31 @@ def _onehot_la(idx, frac, *, la, s):
             + jnp.where(iota == idx + 1.0, frac, 0.0))
 
 
+def _dot_f32(a, b, gemm: str):
+    """[M, K] @ [K, N] -> f32. gemm="highest": Mosaic's 6-pass exact
+    f32. gemm="bf16x3": manual 3-pass split (a_hi+a_lo)(b_hi) + a_hi b_lo
+    -- ~1.5e-5 relative, half the MXU passes of HIGHEST and far below
+    the CIC/fd4 truncation error this module's kernels carry."""
+    dims = (((1,), (0,)), ((), ()))
+    if gemm == "highest":
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=HIGHEST)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(a_hi, b_hi, dims,
+                              preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(a_lo, b_hi, dims,
+                               preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(a_hi, b_lo, dims,
+                               preferred_element_type=jnp.float32)
+    return out
+
+
 def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
-                   la, halo, box_size, margin, h, s):
+                   la, halo, box_size, margin, h, s, gemm):
     """Grid (rod, slot-chunk): each instance gathers `s` slots of one
     (cx, cy) rod. Chunking the slot axis keeps the one-hot + GEMM
     working set ~4 MB (a whole 24*128-slot rod at once needs ~14 MB,
@@ -156,15 +179,10 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
         dma.wait()
         w2 = win[:].reshape(la * la, ng_p)
 
-        # MXU: z contraction for all slots at once (HIGHEST: Mosaic
-        # supports only DEFAULT/HIGHEST, and DEFAULT's bf16 operand
-        # truncation is a ~0.4% force error)
-        g1 = jax.lax.dot_general(                     # [La^2, S]
-            w2, zt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGHEST)
-        g4 = jax.lax.dot_general(
-            w2, z4, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGHEST)
+        # MXU: z contraction for all slots at once (plain DEFAULT bf16
+        # operand truncation would be a ~0.4% force error)
+        g1 = _dot_f32(w2, zt, gemm)                   # [La^2, S]
+        g4 = _dot_f32(w2, z4, gemm)
         g1 = g1.reshape(la, la, s)
         g4 = g4.reshape(la, la, s)
 
@@ -184,9 +202,11 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
 
 
 @functools.partial(jax.jit, static_argnames=("ncell", "ng", "margin",
-                                              "box_size", "interpret"))
+                                              "box_size", "interpret",
+                                              "gemm"))
 def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
-                      margin: int = 1, interpret: bool = False):
+                      margin: int = 1, interpret: bool = False,
+                      gemm: str = "bf16x3"):
     """Accelerations = -(fd4 grad of phi) CIC-interpolated at every
     bucketed particle -> [C, K, 3], in ONE fused kernel (no gradient
     grids, no block extraction).
@@ -228,7 +248,7 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
     kernel = functools.partial(
         _gather_kernel, nc=ncell, cap=cap, ng=ng, ng_p=ng_p, ppc=ppc,
         la=la, halo=halo, box_size=float(box_size), margin=margin, h=h,
-        s=s)
+        s=s, gemm=gemm)
     out = pl.pallas_call(
         kernel,
         grid=(rr, nchunks),
@@ -252,7 +272,7 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
 
 
 def _deposit_kernel(pos_ref, mass_ref, out_ref, *, nc, cap, ng, ppc, ell,
-                    box_size, margin):
+                    box_size, margin, gemm):
     rod = pl.program_id(0)
     cx = rod // nc
     cy = rod % nc
@@ -291,15 +311,15 @@ def _deposit_kernel(pos_ref, mass_ref, out_ref, *, nc, cap, ng, ppc, ell,
 
     # outer product [L^2, S] then ONE MXU GEMM -> [L^2, ng]
     m1 = (x1[:, None, :] * y1[None, :, :]).reshape(ell * ell, s)
-    out_ref[:] = jax.lax.dot_general(
-        m1, zm, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=HIGHEST)
+    out_ref[:] = _dot_f32(m1, zm, gemm)
 
 
 @functools.partial(jax.jit, static_argnames=("ncell", "ng", "margin",
-                                              "box_size", "interpret"))
+                                              "box_size", "interpret",
+                                              "gemm"))
 def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
-                        margin: int = 1, interpret: bool = False):
+                        margin: int = 1, interpret: bool = False,
+                        gemm: str = "highest"):
     """CIC mass deposit -> ([R, L, L, ng] rod blocks, dropped_count);
     z needs no ghost fold (deposited globally + periodically inside the
     kernel), so only assemble_rods' x/y fold remains."""
@@ -313,7 +333,7 @@ def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
 
     kernel = functools.partial(
         _deposit_kernel, nc=ncell, cap=cap, ng=ng, ppc=ppc, ell=ell,
-        box_size=float(box_size), margin=margin)
+        box_size=float(box_size), margin=margin, gemm=gemm)
     blocks = pl.pallas_call(
         kernel,
         grid=(rr,),

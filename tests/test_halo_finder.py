@@ -173,3 +173,36 @@ class TestTheory:
     def test_galaxy_density_positive(self):
         n = float(theory.galaxy_number_density(PARAMS))
         assert 1e-6 < n < 1.0
+
+
+class TestOverfullCells:
+    """Clustered fields denser than the bucket capacity: memory stays
+    bounded and overflowed core cells take the counted merged-cell
+    approximation (round-2 known gap)."""
+
+    def test_dense_core_capped_capacity(self):
+        import numpy as np
+        from lambda_cdm_tpu.analysis.halo_finder import (fof_labels,
+                                                         fof_plan)
+        box, b = 10.0, 0.8
+        key = jax.random.PRNGKey(5)
+        # 1500-particle core confined to ~a quarter linking length +
+        # sparse uniform background
+        core = 5.0 + 0.2 * jax.random.normal(key, (1500, 3))
+        bg = jax.random.uniform(jax.random.PRNGKey(6), (500, 3),
+                                maxval=box)
+        pos = jnp.concatenate([core, bg])
+        plan = fof_plan(pos.shape[0], box, b, positions=pos,
+                        max_capacity=128)
+        assert plan["capacity"] <= 128
+        labels, overflow = fof_labels(pos, box, b, ncell=plan["ncell"],
+                                      capacity=plan["capacity"])
+        assert int(overflow) > 0          # the core cells overflowed
+        # every core particle still lands in ONE group
+        core_labels = np.asarray(labels[:1500])
+        assert len(np.unique(core_labels)) == 1
+
+    def test_capacity_cap_applies_without_positions(self):
+        from lambda_cdm_tpu.analysis.halo_finder import fof_plan
+        plan = fof_plan(10_000_000, 100.0, 0.02, max_capacity=512)
+        assert plan["capacity"] <= 512
