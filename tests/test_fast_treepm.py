@@ -129,11 +129,10 @@ class TestShortRangePoly:
                                    atol=5e-4)
 
     def test_pallas_kernel_interpret(self, bucketed):
-        """Default (vpu2) kernel vs the exact-erfc jnp reference: the
+        """Default (vpu3) kernel vs the exact-erfc jnp reference: the
         residual is the cutoff truncation (S(x_max) = 2.2e-5 per pair)
-        plus the 1.8e-5 endpoint-factored fit error -- NOT compared
-        against the old x-space poly, whose f32 Horner error (2.7e-4) is
-        15x larger than vpu2's (validated against a float64 oracle)."""
+        plus the even-polynomial fit error (2.15e-5 vs a float64 oracle,
+        ops/pallas_short_range._poly_even_coeffs)."""
         b = bucketed
         rs, soft = 2.0, 0.1
         ref = short_range_bucketed(b["bpos"], b["bmass"], b["box"], rs,
@@ -166,6 +165,26 @@ class TestShortRangePoly:
         live = (b["bmass"] > 0)[..., None]
         diff = jnp.where(live, jnp.abs(out - ref), 0.0)
         assert float(jnp.max(diff)) / scale < 1e-5
+
+    def test_pallas_v3_matches_v2(self, bucketed):
+        """The occupancy-aware dynamic-chunk variant agrees with the
+        fixed-shape vpu2 kernel on live slots (dead slots: vpu3 returns
+        exact zeros past the live count, vpu2 garbage -- both masked
+        downstream)."""
+        b = bucketed
+        rs, soft = 2.0, 0.1
+        a2 = pallas_short_range(b["bpos"], b["bmass"], ncell=b["ncell"],
+                                capacity=b["cap"], box_size=b["box"],
+                                rs=rs, softening=soft, interpret=True,
+                                variant="vpu2")
+        a3 = pallas_short_range(b["bpos"], b["bmass"], ncell=b["ncell"],
+                                capacity=b["cap"], box_size=b["box"],
+                                rs=rs, softening=soft, interpret=True,
+                                variant="vpu3")
+        scale = float(jnp.max(jnp.abs(a2)))
+        live = (b["bmass"] > 0)[..., None]
+        diff = jnp.where(live, jnp.abs(a3 - a2), 0.0)
+        assert float(jnp.max(diff)) / scale < 5e-4
 
 
 class TestFastStepper:
