@@ -192,9 +192,10 @@ def main():
         pos100k = jax.random.uniform(key, (100_000, 3), maxval=box)
         m100k = jnp.ones((100_000,))
         dt_direct = time_fn(
-            lambda p: pallas_direct_accelerations(p, m100k, box, 0.05),
+            lambda p: pallas_direct_accelerations(p, m100k, box, 0.05,
+                                                  variant="sym"),
             pos100k)
-        log(f"100k pallas direct force: {dt_direct * 1e3:.1f} ms "
+        log(f"100k pallas direct force (sym): {dt_direct * 1e3:.1f} ms "
             f"(reference RTX4090: 120 ms, README.md:155)")
     except Exception as e:  # noqa: BLE001
         log(f"direct bench failed: {e}")

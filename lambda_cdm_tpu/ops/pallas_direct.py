@@ -40,6 +40,126 @@ TILE_J = 2048
 # v2 keeps three [TILE_I, TILE_J] f32 accumulators resident in VMEM
 # (accumulate-then-reduce); 2048 lanes would blow the 16 MB VMEM budget
 TILE_J_V2 = 512
+# symmetric-variant tile edge (i rows AND j lanes)
+TILE_S = 512
+
+
+def _direct_kernel_sym(pts_hbm, out_ref, jc_ref, *, box_size, softening2,
+                       n_tiles, periodic):
+    """Newton's-third-law variant: each unordered pair computed ONCE.
+
+    The tile count P is padded ODD, so program p owns i-tile p and sweeps
+    j-tiles q = (p+k) mod P for k = 0..(P-1)/2 -- the classic half-matrix
+    wrap: every unordered tile pair lands on exactly one program, total
+    P(P+1)/2 tiles instead of P^2.
+
+      k = 0   self tile: both pair orderings are present in the [T, T]
+              tile, so plain row accumulation is already complete;
+      k >= 1  rows accumulate i-forces per lane (one cross-lane reduce at
+              the end, as _direct_kernel_v2); columns are reduced over
+              sublanes per tile and shipped NEGATED to jc_ref[k-1] --
+              tile q's owner reduces them afterwards (XLA gather + sum in
+              the wrapper; acc_j = -sum_i w d by symmetry).
+
+    Same per-pair math and units as _direct_kernel (exact per-pair
+    minimum image in physical units; see the NOTE below on why periodic
+    gravity gets no cheaper image approximation).
+    """
+    p = pl.program_id(0)
+    inv_box = 1.0 / box_size
+    half = (n_tiles - 1) // 2
+    T = TILE_S
+
+    def body(jbuf, ibuf, accx, accy, accz, sem):
+        idma = pltpu.make_async_copy(
+            pts_hbm.at[:, pl.ds(p * T, T)], ibuf, sem.at[2])
+        idma.start()
+        idma.wait()
+        xi = jnp.transpose(ibuf[0:1, :])        # [T, 1]
+        yi = jnp.transpose(ibuf[1:2, :])
+        zi = jnp.transpose(ibuf[2:3, :])
+        mi = jnp.transpose(ibuf[3:4, :])
+
+        def get_dma(slot, k):
+            q = jax.lax.rem(p + k, n_tiles)
+            return pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(q * T, T)],
+                jbuf.at[slot], sem.at[slot])
+
+        get_dma(0, 0).start()
+        accx[...] = jnp.zeros_like(accx)
+        accy[...] = jnp.zeros_like(accy)
+        accz[...] = jnp.zeros_like(accz)
+
+        def j_step(k, _):
+            slot = k % 2
+            nxt = (k + 1) % 2
+
+            @pl.when(k + 1 <= half)
+            def _():
+                get_dma(nxt, k + 1).start()
+
+            get_dma(slot, k).wait()
+
+            xj = jbuf[slot, 0:1, :]                        # [1, T]
+            yj = jbuf[slot, 1:2, :]
+            zj = jbuf[slot, 2:3, :]
+            mj = jbuf[slot, 3:4, :]
+
+            dx = xj - xi                                   # [T, T]
+            dy = yj - yi
+            dz = zj - zi
+            if periodic:
+                dx = dx - box_size * jnp.round(dx * inv_box)
+                dy = dy - box_size * jnp.round(dy * inv_box)
+                dz = dz - box_size * jnp.round(dz * inv_box)
+            r2 = dx * dx + (dy * dy + (dz * dz + softening2))
+            inv_r = jax.lax.rsqrt(r2)
+            # symmetric pair FORCE m_i m_j f d (shared between both
+            # directions); the wrapper divides by mass once per particle
+            w = (mj * mi) * (inv_r * inv_r * inv_r)
+            tx = w * dx
+            ty = w * dy
+            tz = w * dz
+            accx[...] += tx
+            accy[...] += ty
+            accz[...] += tz
+
+            @pl.when(k >= 1)
+            def _():
+                # acc_j gets the SAME products, reduced over i (sublanes)
+                # and negated (Newton's third law). k-1 indexes a LEADING
+                # dim of the [1, half, 1, 3T] block (dynamic sublane
+                # offsets would need 8-alignment).
+                jc_ref[0, k - 1, 0:1, 0:T] = \
+                    -jnp.sum(tx, axis=0, keepdims=True)
+                jc_ref[0, k - 1, 0:1, T:2 * T] = \
+                    -jnp.sum(ty, axis=0, keepdims=True)
+                jc_ref[0, k - 1, 0:1, 2 * T:3 * T] = \
+                    -jnp.sum(tz, axis=0, keepdims=True)
+            return ()
+
+        jax.lax.fori_loop(0, half + 1, j_step, ())
+
+        # F_i / m_i (zero-mass padding rows stay exactly zero)
+        inv_mi = jnp.where(mi > 0, 1.0 / mi, 0.0)         # [T, 1]
+        out_ref[0:1, :] = jnp.transpose(
+            jnp.sum(accx[...], axis=1, keepdims=True) * inv_mi)
+        out_ref[1:2, :] = jnp.transpose(
+            jnp.sum(accy[...], axis=1, keepdims=True) * inv_mi)
+        out_ref[2:3, :] = jnp.transpose(
+            jnp.sum(accz[...], axis=1, keepdims=True) * inv_mi)
+        out_ref[3:4, :] = jnp.zeros((1, T), jnp.float32)
+
+    pl.run_scoped(
+        body,
+        jbuf=pltpu.VMEM((2, 4, TILE_S), pts_hbm.dtype),
+        ibuf=pltpu.VMEM((4, TILE_S), pts_hbm.dtype),
+        accx=pltpu.VMEM((TILE_S, TILE_S), jnp.float32),
+        accy=pltpu.VMEM((TILE_S, TILE_S), jnp.float32),
+        accz=pltpu.VMEM((TILE_S, TILE_S), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
 
 
 def _direct_kernel_v2(pts_hbm, out_ref, *, box_size, softening2, n_j_tiles,
@@ -224,6 +344,11 @@ def pallas_direct_accelerations(positions, masses, box_size, softening=0.01,
     if softening <= 0.0:
         raise ValueError("pallas direct kernel requires softening > 0")
     n = positions.shape[0]
+    if variant in ("sym", "sym2"):
+        return _pallas_direct_sym(positions, masses, box_size, softening,
+                                  g_const, periodic=periodic,
+                                  interpret=interpret,
+                                  scaled=(variant == "sym2"))
     tile_j = TILE_J_V2 if variant == "v2" else TILE_J
     tile = max(TILE_I, tile_j)
     n_pad = ((n + tile - 1) // tile) * tile
@@ -262,6 +387,81 @@ def pallas_direct_accelerations(positions, masses, box_size, softening=0.01,
 
     # v2 computed in box units: accelerations scale back by 1/box^2
     return (g_const * scale * scale) * out[0:3, :n].T
+
+
+def _pallas_direct_sym(positions, masses, box_size, softening, g_const, *,
+                       periodic: bool = True, interpret: bool = False,
+                       scaled: bool = False):
+    """Symmetric-pair direct solver: ~2x fewer pair evaluations than v1
+    at identical per-pair math (exact minimum image; physical units by
+    default, box units with `scaled` -- the v2 trade: the wrap becomes
+    `dx -= round(dx)`, ~10% faster at ~2.8e-4 vs 5e-6 accuracy).
+
+    The kernel emits per-(program, offset) j-tile FORCE contributions to
+    a [P, half, 1, 3T] scratch; program p's slot k targets tile
+    q = (p+1+k) mod P, so the combination is a shift-and-add scan (no
+    gather). Forces divide by mass once per particle at the end.
+    """
+    n = positions.shape[0]
+    T = TILE_S
+    p_tiles = (n + T - 1) // T
+    if p_tiles % 2 == 0:
+        p_tiles += 1          # odd P => the wrap covers each pair once
+    n_pad = p_tiles * T
+    half = (p_tiles - 1) // 2
+
+    scale = 1.0 / box_size if scaled else 1.0
+    pts = jnp.zeros((4, n_pad), jnp.float32)
+    pts = pts.at[0:3, :n].set(positions.T.astype(jnp.float32) * scale)
+    pts = pts.at[3, :n].set(masses.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _direct_kernel_sym, box_size=box_size * scale,
+        softening2=(softening * scale) ** 2, n_tiles=p_tiles,
+        periodic=periodic)
+
+    out, jc = pl.pallas_call(
+        kernel,
+        grid=(p_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((4, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(half, 1), 1, 3 * T),
+                         lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((p_tiles, max(half, 1), 1, 3 * T),
+                                 jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad * n_pad * 13,
+            bytes_accessed=n_pad * 16 * (p_tiles // 2 + 1),
+            transcendentals=n_pad * n_pad // 2,
+        ),
+        interpret=interpret,
+    )(pts)
+
+    acc = out[0:3, :]                                     # [3, n_pad]
+    if half > 0:
+        def shift_add(c, xs):
+            arr, k = xs                                   # [P, 3T]
+            return c + jnp.roll(arr, k + 1, axis=0), None
+
+        accj, _ = jax.lax.scan(
+            shift_add, jnp.zeros((p_tiles, 3 * T), jnp.float32),
+            (jc[:, :, 0, :].transpose(1, 0, 2), jnp.arange(half)))
+        accj = accj.reshape(p_tiles, 3, T).transpose(1, 0, 2) \
+            .reshape(3, n_pad)
+        inv_m = jnp.where(pts[3] > 0, 1.0 / pts[3], 0.0)
+        acc = acc + accj * inv_m[None, :]
+    # scaled (box-unit) coords: accelerations carry 1/box^2
+    return (g_const * scale * scale) * acc[:, :n].T
 
 
 # NOTE (round-2 finding): a "sorted tile-image" fast variant (coarse

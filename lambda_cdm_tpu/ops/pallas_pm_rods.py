@@ -319,7 +319,7 @@ def _deposit_kernel(pos_ref, mass_ref, out_ref, *, nc, cap, ng, ppc, ell,
                                               "gemm"))
 def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
                         margin: int = 1, interpret: bool = False,
-                        gemm: str = "highest"):
+                        gemm: str = "bf16x3"):
     """CIC mass deposit -> ([R, L, L, ng] rod blocks, dropped_count);
     z needs no ghost fold (deposited globally + periodically inside the
     kernel), so only assemble_rods' x/y fold remains."""

@@ -79,6 +79,29 @@ class TestPallasDirect:
         with pytest.raises(ValueError):
             pallas_direct_accelerations(pos, m, box, 0.0, interpret=True)
 
+    def test_symmetric_variant_matches_oracle(self, cloud):
+        """Newton's-third-law kernel (each pair once, j-contributions
+        combined by shift-and-add) against the jnp oracle, including a
+        non-tile-multiple N (padding rows must stay inert)."""
+        pos, m, box = cloud
+        ref = direct_accelerations(pos, m, box, 0.1)
+        out = pallas_direct_accelerations(pos, m, box, 0.1,
+                                          interpret=True, variant="sym")
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(out - ref))) / scale < 1e-5
+
+    def test_symmetric_small_n(self):
+        """n < one tile: P=1, self-tile only (no j-contribution path)."""
+        key = jax.random.PRNGKey(5)
+        n, box = 100, 10.0
+        pos = jax.random.uniform(key, (n, 3), maxval=box)
+        m = jnp.ones((n,))
+        ref = direct_accelerations(pos, m, box, 0.05)
+        out = pallas_direct_accelerations(pos, m, box, 0.05,
+                                          interpret=True, variant="sym")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=1e-5)
+
 
 class TestPM:
     def test_cic_gather_adjoint_of_deposit(self):
