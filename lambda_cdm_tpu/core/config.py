@@ -148,7 +148,11 @@ class TPUConfig:
 @dataclass
 class MeshConfig:
     """Device-mesh / sharding config (replaces compute.mpi:
-    README.md MPI block + cluster_comm.cpp 3D cartesian decomposition)."""
+    README.md MPI block + cluster_comm.cpp 3D cartesian decomposition).
+
+    axes: {"shard": -1} (default) = 1D slab decomposition over all
+    devices; {"shx": DX, "shy": DY} = 2D (cx, cy)-rod pencil
+    decomposition (parallel/fast_mesh2d) for treepm_fast."""
     enabled: bool = False
     axes: dict = field(default_factory=lambda: {"shard": -1})  # -1: all devices
     ghost_capacity_factor: float = 1.5   # padded ghost-buffer headroom

@@ -392,14 +392,25 @@ class SimulationEngine:
         the geometry cannot shard."""
         from ..forces import auto_pm_grid
         from ..parallel.fast_mesh import initialize_mesh_fast
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import make_mesh, make_mesh2d
         cfg = self.config
         cosmological = cfg.cosmology.model != "Newtonian"
-        mesh = make_mesh()
+        # compute.mesh.axes with BOTH "shx" and "shy" selects the
+        # 2D-pencil rod decomposition (parallel/fast_mesh2d); the default
+        # {"shard": -1} keeps the 1D slab stepper
+        axes = dict(cfg.compute.mesh.axes or {})
+        self._fast_mesh_2d = "shx" in axes and "shy" in axes
+        if self._fast_mesh_2d:
+            from ..parallel.fast_mesh2d import initialize_mesh_fast2d
+            mesh = make_mesh2d((int(axes["shx"]), int(axes["shy"])))
+            initialize = initialize_mesh_fast2d
+        else:
+            mesh = make_mesh()
+            initialize = initialize_mesh_fast
         self._fast_n = state.positions.shape[0]
         t0 = time.perf_counter()
         try:
-            self._fstate, self._fast_mesh_kw = initialize_mesh_fast(
+            self._fstate, self._fast_mesh_kw = initialize(
                 state.positions, state.velocities, state.masses,
                 state.scale_factor, mesh=mesh,
                 box_size=cfg.particles.box_size,
@@ -434,8 +445,11 @@ class SimulationEngine:
         params = cfg.cosmology_params()
         dropped_before = int(self._fstate.dropped)
         if getattr(self, "_fast_mesh_kw", None) is not None:
-            from ..parallel.fast_mesh import mesh_fast_run
-            self._fstate = mesh_fast_run(
+            if getattr(self, "_fast_mesh_2d", False):
+                from ..parallel.fast_mesh2d import mesh_fast_run2d as runm
+            else:
+                from ..parallel.fast_mesh import mesh_fast_run as runm
+            self._fstate = runm(
                 self._fstate, params, float(self._dt), mesh=self._mesh,
                 n_steps=n, rebucket_every=cfg.forces.rebucket_every,
                 **self._fast_mesh_kw)

@@ -135,6 +135,54 @@ class TestAccel2d:
         np.testing.assert_allclose(m2, m1)
 
 
+class TestEngineMeshFast2d:
+    """compute.mesh.axes = {shx, shy} drives the 2D-pencil sharded
+    stepper through the engine API."""
+
+    def test_engine_2d_matches_single(self, mesh24, particles):
+        from lambda_cdm_tpu.core.config import SimulationConfig
+        from lambda_cdm_tpu.core.engine import SimulationEngine
+        from lambda_cdm_tpu.core.state import make_state
+        pos, vel, m = particles
+
+        def config():
+            cfg = SimulationConfig()
+            cfg.particles.num_particles = N
+            cfg.particles.box_size = BOX
+            cfg.particles.initial_conditions.type = "uniform_random"
+            cfg.forces.type = "treepm_fast"
+            cfg.forces.pm_grid_size = 64     # both planners pick ncell=4
+            cfg.forces.softening_length = 0.3
+            cfg.forces.rebucket_every = 4
+            cfg.time.initial_timestep = 2e-4
+            cfg.time.final_time = 1e9
+            cfg.cosmology.initial_redshift = 49.0
+            cfg.simulation.output_frequency = 4
+            cfg.simulation.checkpoint_frequency = 0
+            cfg.profiling.output_file = ""
+            return cfg
+
+        cfg2 = config()
+        cfg2.compute.mesh.enabled = True
+        cfg2.compute.mesh.axes = {"shx": 2, "shy": 4}
+        eng2 = SimulationEngine(cfg2)
+        eng2.initialize(state=make_state(pos, vel, m, scale_factor=0.5))
+        assert getattr(eng2, "_fast_mesh_2d", False), \
+            "engine did not select the 2D-pencil stepper"
+        eng2.run(num_steps=8)
+
+        eng_s = SimulationEngine(config())
+        eng_s.initialize(state=make_state(pos, vel, m, scale_factor=0.5))
+        eng_s.run(num_steps=8)
+
+        p2 = np.asarray(eng2.state.positions)
+        p1 = np.asarray(eng_s.state.positions)
+        m2 = np.asarray(eng2.state.masses)
+        m1 = np.asarray(eng_s.state.masses)
+        np.testing.assert_allclose(m2, m1)
+        np.testing.assert_allclose(p2[m2 > 0], p1[m1 > 0], atol=5e-4)
+
+
 class TestRebucket2d:
     def test_migration_preserves_particles(self, mesh24, particles):
         """Scramble positions within a one-block drift and rebucket:
