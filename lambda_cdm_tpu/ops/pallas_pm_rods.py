@@ -153,28 +153,45 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
         # z one-hots over the FULL (periodic) z axis, transposed
         # [ng_p, S] (z padded to a whole number of 128-lane pairs: a DMA
         # whose minor dim is 1.5 lane-tiles crashes the Mosaic backend;
-        # rows >= ng stay zero). Periodicity lives in the mod-ng index
-        # arithmetic -- padded-axis rolls would wrap at the wrong place,
-        # so the fd4 z-convolution is 4 explicitly shifted one-hots.
+        # rows >= ng stay zero).
         izf = i0[2] - jnp.floor(i0[2] / ng) * ng      # wrap to [0, ng)
         iz = izf[None, :]
         fz = (frac[2] * ok)[None, :]                  # mask folds in here
         okz = ok[None, :]
-        ziota = (jax.lax.broadcasted_iota(jnp.int32, (ng_p, s), 0)
-                 .astype(jnp.float32))
 
-        def z_onehot(shift):
-            a = iz + shift
-            a = a - jnp.floor(a / ng) * ng
-            b = iz + 1.0 + shift
-            b = b - jnp.floor(b / ng) * ng
-            return (jnp.where(ziota == a, okz - fz, 0.0)
-                    + jnp.where(ziota == b, fz, 0.0))
+        if ng % 8 == 0 and ng_p > ng:
+            # build ONE unpadded [ng, S] one-hot (sublane rows = true z
+            # axis, multiple of 8) -- pltpu.roll then wraps at ng, so
+            # the fd4 z-convolution is 4 cheap rolls instead of 4 more
+            # full one-hot builds (the build is ~10 VPU passes each;
+            # measured 20.2 -> ~13 ms for the 1M gather)
+            ziota_n = (jax.lax.broadcasted_iota(jnp.int32, (ng, s), 0)
+                       .astype(jnp.float32))
+            b = jnp.where(iz + 1.0 == ng, 0.0, iz + 1.0)
+            zt_n = (jnp.where(ziota_n == iz, okz - fz, 0.0)
+                    + jnp.where(ziota_n == b, fz, 0.0))
+            z4_n = jnp.zeros_like(zt_n)
+            for sh, wgt in _fd4_coeffs(h):
+                z4_n += wgt * pltpu.roll(zt_n, sh % ng, axis=0)
+            zpad = jnp.zeros((ng_p - ng, s), jnp.float32)
+            zt = jnp.concatenate([zt_n, zpad], axis=0)
+            z4 = jnp.concatenate([z4_n, zpad], axis=0)
+        else:
+            ziota = (jax.lax.broadcasted_iota(jnp.int32, (ng_p, s), 0)
+                     .astype(jnp.float32))
 
-        zt = z_onehot(0.0)
-        z4 = jnp.zeros_like(zt)
-        for sh, wgt in _fd4_coeffs(h):
-            z4 += wgt * z_onehot(float(sh))
+            def z_onehot(shift):
+                a = iz + shift
+                a = a - jnp.floor(a / ng) * ng
+                bb = iz + 1.0 + shift
+                bb = bb - jnp.floor(bb / ng) * ng
+                return (jnp.where(ziota == a, okz - fz, 0.0)
+                        + jnp.where(ziota == bb, fz, 0.0))
+
+            zt = z_onehot(0.0)
+            z4 = jnp.zeros_like(zt)
+            for sh, wgt in _fd4_coeffs(h):
+                z4 += wgt * z_onehot(float(sh))
 
         dma.wait()
         w2 = win[:].reshape(la * la, ng_p)
