@@ -246,6 +246,10 @@ class ProfilingConfig:
     enabled: bool = True
     detailed_timing: bool = True
     output_file: str = "profiling_report.json"
+    # non-empty: capture a jax.profiler device trace of the run loop
+    # into this directory (TensorBoard-viewable; the working analogue of
+    # the reference's unused cuda_profiler_api include)
+    trace_dir: str = ""
 
 
 @dataclass

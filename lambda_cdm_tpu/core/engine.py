@@ -530,6 +530,11 @@ class SimulationEngine:
         self.observers.notify("on_simulation_start", self)
         t_start = time.perf_counter()
         steps_done = 0
+        trace_ctx = None
+        if cfg.profiling.enabled and cfg.profiling.trace_dir:
+            from ..utils.profiling import jax_trace
+            trace_ctx = jax_trace(cfg.profiling.trace_dir)
+            trace_ctx.__enter__()
         try:
             self._ensure_acc()
             while steps_done < max_steps:
@@ -577,6 +582,8 @@ class SimulationEngine:
             self.observers.notify("on_error", self, exc)
             raise
         finally:
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
             wall = time.perf_counter() - t_start
             st = self.statistics
             st.total_time_s += wall

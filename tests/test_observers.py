@@ -115,3 +115,19 @@ class TestBuildFromConfig:
         cfg.io.diagnostics.energy_conservation = False
         cfg.io.diagnostics.momentum_conservation = False
         assert build_observers_from_config(cfg) == []
+
+
+class TestJaxTraceCapture:
+    def test_trace_dir_writes_profile(self, tmp_path):
+        """profiling.trace_dir captures a jax.profiler device trace of
+        the run loop (the working analogue of the reference's unused
+        cuda_profiler_api include, lambda_cdm_kernels.cu:1)."""
+        import glob
+        cfg = tiny_config(tmp_path)
+        cfg.profiling.trace_dir = str(tmp_path / "trace")
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        eng.run(num_steps=5)
+        files = glob.glob(str(tmp_path / "trace" / "**" / "*"),
+                          recursive=True)
+        assert files, "no trace artifacts written"
