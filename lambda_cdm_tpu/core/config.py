@@ -226,7 +226,7 @@ class DiagnosticsConfig:
 
 @dataclass
 class IOConfig:
-    output_format: str = "npz"           # npz | orbax
+    output_format: str = "npz"           # npz | orbax | hdf5 | lcdm | ascii
     snapshots: SnapshotsConfig = field(default_factory=SnapshotsConfig)
     analysis: AnalysisConfig = field(default_factory=AnalysisConfig)
     diagnostics: DiagnosticsConfig = field(default_factory=DiagnosticsConfig)
@@ -347,6 +347,18 @@ class SimulationConfig:
 
     @classmethod
     def from_file(cls, path: str) -> "SimulationConfig":
+        """Load JSON / YAML / TOML by extension (the hierarchical
+        multi-format loader ConfigurationManager only promised,
+        configuration_manager.hpp:58-131 / .cpp:13-23 stub)."""
+        low = path.lower()
+        if low.endswith((".yaml", ".yml")):
+            import yaml
+            with open(path) as f:
+                return cls.from_dict(yaml.safe_load(f) or {})
+        if low.endswith(".toml"):
+            import tomllib
+            with open(path, "rb") as f:
+                return cls.from_dict(tomllib.load(f))
         with open(path) as f:
             return cls.from_dict(json.load(f))
 
@@ -539,7 +551,7 @@ def _translate_reference_schema(data: dict) -> dict:
         io.pop("compression_level", None)
         fmt = io.get("output_format", "")
         if fmt.upper() == "HDF5":
-            io["output_format"] = "npz"
+            io["output_format"] = "hdf5"     # real h5py writer
         out["io"] = io
 
     out.pop("physics", None)

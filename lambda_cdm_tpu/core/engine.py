@@ -690,7 +690,13 @@ class SimulationEngine:
             pattern = cfg.io.snapshots.filename_pattern
             path = pattern.format(step=int(self.state.step),
                                   redshift=float(self.state.redshift))
-        return ckpt.save_snapshot(path, self.state, self.config)
+            # io.output_format overrides the default pattern extension
+            ext = {"hdf5": ".h5", "lcdm": ".lcdm",
+                   "ascii": ".txt"}.get(cfg.io.output_format)
+            if ext and path.endswith(".npz"):
+                path = path[:-4] + ext
+        return ckpt.save_snapshot(path, self.state, self.config,
+                                  fields=cfg.io.snapshots.fields)
 
     def save_checkpoint(self, path: str) -> str:
         from ..utils import checkpoint as ckpt

@@ -52,6 +52,10 @@ def save_snapshot(path: str, state: SimState, config=None,
             np.asarray(state.masses), float(state.scale_factor),
             float(state.time), int(state.step))
         return path
+    if path.endswith((".h5", ".hdf5")):
+        return _save_snapshot_hdf5(path, state, config, fields)
+    if path.endswith((".txt", ".ascii")):
+        return _save_snapshot_ascii(path, state)
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = state_to_host(state)
@@ -70,7 +74,68 @@ def save_snapshot(path: str, state: SimState, config=None,
     return path
 
 
+def _save_snapshot_hdf5(path: str, state: SimState, config=None,
+                        fields=None) -> str:
+    """HDF5 snapshot with gzip compression (the reference's promised
+    HDF5 exporter, interfaces.hpp:70-82 / io config block,
+    basic_lambda_cdm.json:122-132 -- never implemented there)."""
+    import h5py
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    data = state_to_host(state)
+    if fields:
+        keep = set(fields) | {"scale_factor", "time", "step", "rng_key"}
+        data = {k: v for k, v in data.items() if k in keep}
+    with h5py.File(path, "w") as f:
+        g = f.create_group("particles")
+        for k, v in data.items():
+            if np.ndim(v) > 0:
+                g.create_dataset(k, data=v, compression="gzip",
+                                 compression_opts=4)
+            else:
+                f.attrs[k] = v
+        f.attrs["format_version"] = 1
+        if config is not None:
+            f.attrs["config"] = json.dumps(config.to_dict())
+    return path
+
+
+def _load_snapshot_hdf5(path: str) -> tuple[SimState, dict]:
+    import h5py
+    arrays = {}
+    meta = {}
+    with h5py.File(path, "r") as f:
+        for k in f["particles"]:
+            arrays[k] = np.asarray(f["particles"][k])
+        for k in f.attrs:
+            if k == "config":
+                meta["config"] = json.loads(f.attrs[k])
+            elif k != "format_version":
+                arrays[k] = np.asarray(f.attrs[k])
+    return state_from_host(_fill_missing_fields(arrays)), meta
+
+
+def _save_snapshot_ascii(path: str, state: SimState) -> str:
+    """Whitespace-columns ASCII snapshot (x y z vx vy vz m), one header
+    line with scalars -- the reference's claimed ASCII output format."""
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    pos = np.asarray(state.positions)
+    vel = np.asarray(state.velocities)
+    mass = np.asarray(state.masses)
+    table = np.hstack([pos, vel, mass[:, None]])
+    header = (f"lambda_cdm_tpu snapshot  a={float(state.scale_factor)!r} "
+              f"time={float(state.time)!r} step={int(state.step)} "
+              f"columns=x y z vx vy vz mass")
+    np.savetxt(path, table, header=header)
+    return path
+
+
 def load_snapshot(path: str) -> tuple[SimState, dict]:
+    if path.endswith((".h5", ".hdf5")):
+        return _load_snapshot_hdf5(path)
     if path.endswith(".lcdm"):
         from ..native import read_snapshot_native
         pos, vel, mass, a, t, step = read_snapshot_native(path)
@@ -85,8 +150,28 @@ def load_snapshot(path: str) -> tuple[SimState, dict]:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"])) if "__meta__" in z else {}
         arrays = {f: z[f] for f in _STATE_FIELDS if f in z}
-    state = state_from_host(arrays)
+    state = state_from_host(_fill_missing_fields(arrays))
     return state, meta
+
+
+def _fill_missing_fields(arrays: dict) -> dict:
+    """Field-filtered snapshots (io.snapshots.fields) may omit arrays:
+    fill with neutral values so the state reconstructs."""
+    if "positions" not in arrays:
+        raise KeyError("snapshot has no positions array")
+    n = arrays["positions"].shape[0]
+    defaults = {
+        "velocities": lambda: np.zeros((n, 3), np.float32),
+        "masses": lambda: np.ones((n,), np.float32),
+        "scale_factor": lambda: np.float32(1.0),
+        "time": lambda: np.float32(0.0),
+        "step": lambda: np.int32(0),
+        "rng_key": lambda: np.zeros((2,), np.uint32),
+    }
+    for f, mk in defaults.items():
+        if f not in arrays:
+            arrays[f] = mk()
+    return arrays
 
 
 def save_checkpoint(path: str, state: SimState, config=None,

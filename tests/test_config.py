@@ -79,7 +79,7 @@ class TestReferenceSchema:
         assert cfg.compute.tpu.precision == "bfloat16"  # FP16 -> bf16
         assert cfg.compute.tpu.max_particles == 200000
         assert cfg.time.initial_timestep == 0.005
-        assert cfg.io.output_format == "npz"        # HDF5 -> npz
+        assert cfg.io.output_format == "hdf5"       # real h5py writer
 
     def test_validates(self):
         cfg = SimulationConfig.from_dict(REFERENCE_STYLE)
