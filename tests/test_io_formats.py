@@ -38,7 +38,7 @@ class TestConfigFormats:
         assert cfg.forces.type == "pm"
 
     def test_yaml(self, tmp_path):
-        import yaml
+        yaml = pytest.importorskip("yaml")
         p = tmp_path / "cfg.yaml"
         p.write_text(yaml.safe_dump(self.payload))
         self.check(SimulationConfig.from_file(str(p)))
@@ -64,6 +64,7 @@ class TestConfigFormats:
 
 class TestSnapshotFormats:
     def test_hdf5_roundtrip(self, tmp_path, state):
+        pytest.importorskip("h5py")
         path = ckpt.save_snapshot(str(tmp_path / "snap.h5"), state)
         got, meta = ckpt.load_snapshot(path)
         np.testing.assert_array_equal(np.asarray(got.positions),
@@ -74,7 +75,7 @@ class TestSnapshotFormats:
         assert int(got.step) == int(state.step)
 
     def test_hdf5_is_compressed_and_carries_config(self, tmp_path, state):
-        import h5py
+        h5py = pytest.importorskip("h5py")
         cfg = SimulationConfig()
         path = ckpt.save_snapshot(str(tmp_path / "snap.hdf5"), state, cfg)
         with h5py.File(path, "r") as f:
@@ -109,6 +110,7 @@ class TestSnapshotFormats:
         cfg.particles.box_size = 10.0
         cfg.particles.initial_conditions.type = "uniform_random"
         cfg.forces.type = "direct_reference"
+        pytest.importorskip("h5py")
         cfg.io.output_format = "hdf5"
         cfg.io.snapshots.filename_pattern = str(
             tmp_path / "snap_{step:06d}_{redshift:.3f}.npz")
