@@ -18,6 +18,7 @@ platform's block_until_ready does not reliably block).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -152,12 +153,92 @@ def bench_fast_stepper(n, box, pm_grid, steps=32, rebucket_every=16,
     return dt_step, compile_s
 
 
+def section_pm(n, box):
+    """1M PM-only step (the 256^3 PM config) on the persistent-bucket
+    stepper (no per-step scatter/sort)."""
+    try:
+        dt_pm, _ = bench_fast_stepper(n, box, 256, pm_only=True)
+        log(f"1M pm step (bucketed): {dt_pm * 1e3:.1f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"bucketed pm bench failed ({e}); scatter-CIC fallback")
+        dt_pm, _ = bench_step(n, box, 256, "pm")
+        log(f"1M pm step: {dt_pm * 1e3:.1f} ms")
+    return {"pm_ms_per_step": round(dt_pm * 1e3, 2)}
+
+
+def section_direct(n, box):
+    """100k direct force eval via the symmetric-pair Pallas kernel."""
+    from lambda_cdm_tpu.ops.pallas_direct import pallas_direct_accelerations
+    key = jax.random.PRNGKey(1)
+    pos100k = jax.random.uniform(key, (100_000, 3), maxval=box)
+    m100k = jnp.ones((100_000,))
+    dt_direct = time_fn(
+        lambda p: pallas_direct_accelerations(p, m100k, box, 0.05,
+                                              variant="sym"),
+        pos100k)
+    log(f"100k pallas direct force (sym): {dt_direct * 1e3:.1f} ms "
+        f"(reference RTX4090: 120 ms, README.md:155)")
+    return {"direct100k_ms": round(dt_direct * 1e3, 2)}
+
+
+def section_lensing(n, box):
+    """Lensing raytracer throughput (BASELINE.json "lensing rays/sec")."""
+    from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+    from lambda_cdm_tpu.raytracing.lensing import trace_rays
+    params = CosmologyParams()
+    ngl, n_planes, n_rays = 256, 16, 256 * 256
+    key = jax.random.PRNGKey(2)
+    planes = 0.2 * jax.random.normal(key, (n_planes, ngl, ngl))
+    chis = jnp.linspace(400.0, 1900.0, n_planes)
+    a_l = jnp.linspace(0.9, 0.55, n_planes)
+    theta0 = jax.random.uniform(jax.random.PRNGKey(3), (n_rays, 2),
+                                maxval=(box / 2000.0))
+    f_rays = jax.jit(lambda t: trace_rays(
+        params, planes, chis, a_l, 100.0, box, t, 2500.0, ng=ngl))
+    dt_rays = time_fn(f_rays, theta0)
+    rays_per_s = n_rays / dt_rays
+    log(f"lensing: {n_rays} rays x {n_planes} planes in "
+        f"{dt_rays * 1e3:.1f} ms = {rays_per_s:.3e} rays/s")
+    return {"lensing_rays_per_s": round(rays_per_s, 1)}
+
+
+SECTIONS = {"pm": section_pm, "direct": section_direct,
+            "lensing": section_lensing}
+# generous per-section compile budgets (TPU compiles run 30-500 s); a
+# section that exceeds its budget is killed and reported as null instead
+# of wedging the whole benchmark (a hung device RPC is unrecoverable
+# in-process -- subprocess isolation is the only reliable watchdog)
+SECTION_TIMEOUT_S = {"pm": 1500, "direct": 900, "lensing": 900}
+
+
+def run_section_guarded(name, *, timeout_s):
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True, timeout=timeout_s)
+        sys.stderr.write(r.stderr)
+        for line in reversed(r.stdout.strip().splitlines() or [""]):
+            if line.startswith("{"):
+                return json.loads(line)
+        log(f"section {name}: no result (rc={r.returncode})")
+    except subprocess.TimeoutExpired:
+        log(f"section {name}: timed out after {timeout_s}s (skipped)")
+    except Exception as e:  # noqa: BLE001
+        log(f"section {name} failed: {e}")
+    return {}
+
+
 def main():
     devs = jax.devices()
     platform = devs[0].platform
     log(f"devices: {devs}")
 
     n, box, pm_grid = 1_000_000, 100.0, 192
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        print(json.dumps(SECTIONS[sys.argv[2]](n, box)), flush=True)
+        return
 
     # headline: 1M TreePM step on the production cell-list stepper
     try:
@@ -170,59 +251,10 @@ def main():
         log(f"1M treepm step: {dt_treepm * 1e3:.1f} ms "
             f"(compile {compile_s:.0f}s)")
 
-    # secondary: 1M PM-only step (the 256^3 PM config) on the
-    # persistent-bucket stepper (no per-step scatter/sort)
-    try:
-        dt_pm, _ = bench_fast_stepper(n, box, 256, pm_only=True)
-        log(f"1M pm step (bucketed): {dt_pm * 1e3:.1f} ms")
-    except Exception as e:  # noqa: BLE001
-        log(f"bucketed pm bench failed ({e}); scatter-CIC fallback")
-        try:
-            dt_pm, _ = bench_step(n, box, 256, "pm")
-            log(f"1M pm step: {dt_pm * 1e3:.1f} ms")
-        except Exception as e2:  # noqa: BLE001
-            log(f"pm bench failed: {e2}")
-            dt_pm = None
-
-    # secondary: 100k direct force eval via the Pallas kernel
-    try:
-        from lambda_cdm_tpu.ops.pallas_direct import \
-            pallas_direct_accelerations
-        key = jax.random.PRNGKey(1)
-        pos100k = jax.random.uniform(key, (100_000, 3), maxval=box)
-        m100k = jnp.ones((100_000,))
-        dt_direct = time_fn(
-            lambda p: pallas_direct_accelerations(p, m100k, box, 0.05,
-                                                  variant="sym"),
-            pos100k)
-        log(f"100k pallas direct force (sym): {dt_direct * 1e3:.1f} ms "
-            f"(reference RTX4090: 120 ms, README.md:155)")
-    except Exception as e:  # noqa: BLE001
-        log(f"direct bench failed: {e}")
-        dt_direct = None
-
-    # secondary: lensing raytracer throughput (BASELINE.json metric:
-    # "lensing rays/sec")
-    try:
-        from lambda_cdm_tpu.physics.cosmology import CosmologyParams
-        from lambda_cdm_tpu.raytracing.lensing import trace_rays
-        params = CosmologyParams()
-        ngl, n_planes, n_rays = 256, 16, 256 * 256
-        key = jax.random.PRNGKey(2)
-        planes = 0.2 * jax.random.normal(key, (n_planes, ngl, ngl))
-        chis = jnp.linspace(400.0, 1900.0, n_planes)
-        a_l = jnp.linspace(0.9, 0.55, n_planes)
-        theta0 = jax.random.uniform(jax.random.PRNGKey(3), (n_rays, 2),
-                                    maxval=(box / 2000.0))
-        f_rays = jax.jit(lambda t: trace_rays(
-            params, planes, chis, a_l, 100.0, box, t, 2500.0, ng=ngl))
-        dt_rays = time_fn(f_rays, theta0)
-        rays_per_s = n_rays / dt_rays
-        log(f"lensing: {n_rays} rays x {n_planes} planes in "
-            f"{dt_rays * 1e3:.1f} ms = {rays_per_s:.3e} rays/s")
-    except Exception as e:  # noqa: BLE001
-        log(f"lensing bench failed: {e}")
-        rays_per_s = None
+    extras = {}
+    for name in ("pm", "direct", "lensing"):
+        extras.update(run_section_guarded(
+            name, timeout_s=SECTION_TIMEOUT_S[name]))
 
     value = n / dt_treepm
     result = {
@@ -232,10 +264,9 @@ def main():
         "vs_baseline": round(value / BASELINE_PARTICLE_STEPS_PER_CHIP, 3),
         "platform": platform,
         "treepm_ms_per_step": round(dt_treepm * 1e3, 2),
-        "pm_ms_per_step": round(dt_pm * 1e3, 2) if dt_pm else None,
-        "direct100k_ms": round(dt_direct * 1e3, 2) if dt_direct else None,
-        "lensing_rays_per_s": (round(rays_per_s, 1)
-                               if rays_per_s else None),
+        "pm_ms_per_step": extras.get("pm_ms_per_step"),
+        "direct100k_ms": extras.get("direct100k_ms"),
+        "lensing_rays_per_s": extras.get("lensing_rays_per_s"),
     }
     print(json.dumps(result), flush=True)
 

@@ -375,14 +375,12 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
             for ax in range(3)])
     else:
         raise ValueError(f"unknown gradient {gradient!r}")
-    if use_pallas:
-        from .pallas_pm import pallas_gather_fields
-        fb = jnp.stack([
-            _extract(fields[i], ncell=ncell, ng=ng, margin=margin)
-            for i in range(3)], axis=1)
-        acc = pallas_gather_fields(fb, bpos, ncell=ncell, ng=ng,
-                                   box_size=float(box_size), margin=margin)
-    else:
-        acc = gather_to_buckets(fields, bpos, bmass, ncell=ncell, ng=ng,
-                                box_size=box_size, margin=margin)
+    # NOTE: a legacy Pallas fields-gather kernel (ops/pallas_pm, removed)
+    # used to run here on TPU: at ncell=32 / ng=256 (the 1M pure-PM
+    # config) it wedged the device indefinitely (reproduced twice on
+    # v5e; the fd4 rod gather and this XLA path both run fine). The
+    # spectral / fd4-fields gather therefore stays on the XLA einsum
+    # path; the production TreePM/fd4 route above never touches it.
+    acc = gather_to_buckets(fields, bpos, bmass, ncell=ncell, ng=ng,
+                            box_size=box_size, margin=margin)
     return g_const * acc, dropped
