@@ -74,6 +74,20 @@ class TestLensingObserver:
         assert len(obs.maps) == 1
         assert obs.maps[0]["kappa"].shape == (16, 16)
 
+    def test_renders_png(self, tmp_path):
+        """render_dir writes a PNG per map (the reference README's
+        'built-in raytracing visualization' claim, real here)."""
+        pytest.importorskip("matplotlib")
+        obs = LensingObserver(frequency=5, grid_size=16, n_planes=2,
+                              render_dir=str(tmp_path / "maps"))
+        eng = SimulationEngine(tiny_config(), observers=[obs])
+        eng.initialize()
+        eng.run(num_steps=5)
+        png = obs.maps[0].get("png")
+        assert png and png.endswith(".png")
+        import os
+        assert os.path.getsize(png) > 1000
+
 
 class TestHaloObserver:
     def test_runs_on_clustered_state(self):
