@@ -537,6 +537,11 @@ class SimulationEngine:
             trace_ctx.__enter__()
         try:
             self._ensure_acc()
+            # apply the adaptive limiter BEFORE the first chunk: a
+            # high-z start at the configured initial_timestep can have
+            # H dt >> 1 and blow through final_redshift inside chunk 1
+            if cfg.integration.adaptive_timestep:
+                self._update_dt()
             while steps_done < max_steps:
                 if self.lifecycle != LifecycleState.RUNNING:
                     break
