@@ -110,7 +110,15 @@ class IntegrationConfig:
     accuracy_tolerance: float = 1e-8
     max_dloga: float = 0.0               # adaptive: dt <= max_dloga / H(a)
     scale_factor_update: str = "rk4"     # euler (reference parity) | rk4
-    kick_mode: str = "reference"         # reference (1/a^2) | comoving
+    # comoving: canonical-momentum KDK (kick 1/a, drift 1/a^2) -- true
+    #   comoving dynamics; reproduces linear-theory growth to <10%
+    #   (tests/test_linear_growth.py).
+    # reference: the reference's 1/a^2 kick with unit drift and NO
+    #   Hubble drag (lambda_cdm_kernels.cu:310-335) -- kept for parity;
+    #   over-grows structure ~12% per a-octave (characterization test).
+    # Default fixed to the correct physics, like scale_factor_update
+    # rk4-vs-euler (SURVEY.md section 2.4 fidelity stance).
+    kick_mode: str = "comoving"          # comoving | reference | newtonian
 
 
 @dataclass

@@ -93,29 +93,30 @@ def treepm_plan(num_particles: int, box_size: float, pm_grid: int,
 
 
 @partial(jax.jit, static_argnames=("ncell", "capacity"))
-def bucket_particles(positions, masses, box_size, *, ncell: int,
-                     capacity: int):
-    """Sort particles into [ncell^3, capacity] cell buckets.
+def bucket_src_map(positions, masses, box_size, *, ncell: int,
+                   capacity: int):
+    """Inverse slot map for cell bucketing: src[dest_slot] = source row
+    (or n = sentinel for empty slots), built with one argsort + ONE
+    int32 scatter. Every bucketed array is then a row GATHER
+    `concat([x, pad])[src]` -- XLA [N,3] scatters run ~8x slower than
+    gathers on TPU (149 vs 17.5 ms at 1.77M rows on v5e), so this is
+    the fast path for bucketing ANY number of per-particle arrays.
 
-    Returns (bucket_pos [C,K,3], bucket_mass [C,K], particle_slot [N],
-    overflow_count). particle_slot[p] = flat bucket slot holding particle p,
-    or -1 if it overflowed. Padding has mass 0 (so it contributes no force).
+    Returns (src [C*capacity] int32, slot [n] int32 in sorted order,
+    order [n], ok [n] bool, overflow).
     """
     n = positions.shape[0]
     ncells = ncell ** 3
     cell = jnp.floor(positions / box_size * ncell).astype(jnp.int32)
     cell = jnp.clip(cell, 0, ncell - 1)
     cid = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
-    # dead (zero-mass padding) slots go to a virtual overflow cell so they
-    # never consume real-cell capacity (lets bucketing re-run on padded
-    # bucket layouts)
+    # dead (zero-mass padding) rows go to a virtual overflow cell so
+    # they never consume real-cell capacity
     live = masses > 0
     cid = jnp.where(live, cid, ncells)
 
     order = jnp.argsort(cid)
     cid_s = cid[order]
-    pos_s = positions[order]
-    mass_s = masses[order]
     live_s = live[order]
 
     # rank within own cell = index - first index of that cid: run starts
@@ -126,21 +127,44 @@ def bucket_particles(positions, masses, box_size, *, ncell: int,
     run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
     rank = idx - run_start
     ok = (rank < capacity) & live_s
-    slot = jnp.where(ok, cid_s * capacity + rank, ncells * capacity)
+    nslots = ncells * capacity
+    slot = jnp.where(ok, cid_s * capacity + rank, nslots)
+    overflow = jnp.sum(~ok & live_s)
 
-    bpos = jnp.zeros((ncells * capacity, 3), positions.dtype)
-    bmass = jnp.zeros((ncells * capacity,), masses.dtype)
-    # NOT indices_are_sorted: overflow rows scatter to the (max) drop slot
-    # MID-sequence, so the slot array is unsorted whenever overflow > 0 —
-    # the sorted hint corrupted the whole layout on real TPUs
-    bpos = bpos.at[slot].set(pos_s, mode="drop")
-    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop")
+    # NOT indices_are_sorted: overflow rows target the drop sentinel
+    # MID-sequence, so slot is unsorted whenever overflow > 0 — the
+    # sorted hint corrupted the whole layout on real TPUs
+    src = jnp.full((nslots,), n, jnp.int32).at[slot].set(
+        order.astype(jnp.int32), mode="drop")
+    return src, slot, order, ok, overflow
+
+
+def bucket_gather(x, src, fill=0.0):
+    """Re-bucket one per-particle array by the bucket_src_map: a single
+    row gather with a sentinel pad row."""
+    pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, pad], axis=0)[src]
+
+
+def bucket_particles(positions, masses, box_size, *, ncell: int,
+                     capacity: int):
+    """Sort particles into [ncell^3, capacity] cell buckets.
+
+    Returns (bucket_pos [C,K,3], bucket_mass [C,K], particle_slot [N],
+    overflow_count). particle_slot[p] = flat bucket slot holding particle p,
+    or -1 if it overflowed. Padding has mass 0 (so it contributes no force).
+    """
+    n = positions.shape[0]
+    ncells = ncell ** 3
+    src, slot, order, ok, overflow = bucket_src_map(
+        positions, masses, box_size, ncell=ncell, capacity=capacity)
+    bpos = bucket_gather(positions, src, 0.0)
+    bmass = bucket_gather(jnp.where(masses > 0, masses, 0.0), src, 0.0)
 
     # map original particle index -> its slot (-1 on overflow/dead)
     pslot = jnp.full((n,), -1, jnp.int32)
     pslot = pslot.at[order].set(
         jnp.where(ok, slot, -1).astype(jnp.int32))
-    overflow = jnp.sum(~ok & live_s)
     return (bpos.reshape(ncells, capacity, 3),
             bmass.reshape(ncells, capacity), pslot, overflow)
 

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..forces.treepm import bucket_particles, short_range_bucketed
+from ..forces.treepm import short_range_bucketed
 from ..ops.bucketed_pm import pm_accelerations_bucketed
 from ..physics.cosmology import CosmologyParams
 from ..physics.integrators import (drift_factor, kick_factor,
@@ -100,19 +100,17 @@ def build_fast_state(positions, velocities, masses, scale_factor, *,
     persistent particle identities (default arange(N)): they survive every
     rebucket so snapshots/merger trees see stable identities even though
     the bucket order changes (VERDICT round-1 weakness 6)."""
+    from ..forces.treepm import bucket_gather, bucket_src_map
     ncell, cap = plan["ncell"], plan["capacity"]
-    bpos, bmass, pslot, ovf = bucket_particles(
+    C = ncell ** 3
+    src, _, _, _, ovf = bucket_src_map(
         positions, masses, box_size, ncell=ncell, capacity=cap)
-    nslots = bpos.shape[0] * bpos.shape[1]
-    # invalid rows (pslot == -1) scatter to an out-of-bounds slot so
-    # mode="drop" discards them (clamping to 0 would clobber slot 0)
-    safe = jnp.where(pslot >= 0, pslot, nslots)
-    bvel = jnp.zeros_like(bpos).reshape(-1, 3).at[safe].set(
-        velocities, mode="drop").reshape(bpos.shape)
+    bpos = bucket_gather(positions, src).reshape(C, cap, 3)
+    bmass = bucket_gather(masses, src).reshape(C, cap)
+    bvel = bucket_gather(velocities, src).reshape(C, cap, 3)
     if ids is None:
         ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
-    bids = jnp.full((nslots,), -1, jnp.int32).at[safe].set(
-        ids, mode="drop").reshape(bmass.shape)
+    bids = bucket_gather(ids.astype(jnp.int32), src, -1).reshape(C, cap)
     return FastState(
         bpos=bpos, bvel=bvel, bmass=bmass, ids=bids,
         acc=jnp.zeros_like(bpos),
@@ -170,20 +168,31 @@ def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
 
 
 def _rebucket(fstate: FastState, *, box_size, ncell, capacity) -> FastState:
-    pos, vel, mass, ids = flatten_fast_state(fstate, with_ids=True)
-    bpos, bmass, pslot, ovf = bucket_particles(
+    """Scatter-free re-bucketing: one argsort + ONE int32 scatter builds
+    the inverse slot map src[dest_slot] -> source row; every state array
+    then re-buckets as a row GATHER with a sentinel pad row.
+
+    Why: XLA [N,3] scatters run ~8x slower than gathers on TPU (149 vs
+    17.5 ms at the 1M bench geometry); the old path did five of them.
+    Measured: 290 -> 83 ms per rebucket at 1M."""
+    from ..forces.treepm import bucket_gather, bucket_src_map
+    bshape = fstate.bmass.shape
+    S = bshape[0] * bshape[1]
+    pos = fstate.bpos.reshape(S, 3)
+    mass = fstate.bmass.reshape(S)
+    src, _, _, _, overflow = bucket_src_map(
         pos, mass, box_size, ncell=ncell, capacity=capacity)
-    nslots = bpos.shape[0] * bpos.shape[1]
-    safe = jnp.where(pslot >= 0, pslot, nslots)   # OOB -> dropped
-    bvel = jnp.zeros_like(bpos).reshape(-1, 3).at[safe].set(
-        vel, mode="drop").reshape(bpos.shape)
-    bacc = jnp.zeros_like(bpos).reshape(-1, 3).at[safe].set(
-        fstate.acc.reshape(-1, 3), mode="drop").reshape(bpos.shape)
-    bids = jnp.full((nslots,), -1, jnp.int32).at[safe].set(
-        ids, mode="drop").reshape(bmass.shape)
+
+    nbp = bucket_gather(pos, src).reshape(fstate.bpos.shape)
+    nbv = bucket_gather(fstate.bvel.reshape(S, 3), src).reshape(
+        fstate.bpos.shape)
+    nba = bucket_gather(fstate.acc.reshape(S, 3), src).reshape(
+        fstate.bpos.shape)
+    nbm = bucket_gather(mass, src).reshape(bshape)
+    nbi = bucket_gather(fstate.ids.reshape(S), src, -1).reshape(bshape)
     return fstate.replace(
-        bpos=bpos, bmass=bmass, bvel=bvel, acc=bacc, ids=bids,
-        overflow=fstate.overflow + ovf.astype(jnp.int32))
+        bpos=nbp, bmass=nbm, bvel=nbv, acc=nba, ids=nbi,
+        overflow=fstate.overflow + overflow.astype(jnp.int32))
 
 
 def fast_run(fstate: FastState, params: CosmologyParams, dt, *,

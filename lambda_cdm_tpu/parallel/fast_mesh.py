@@ -481,7 +481,8 @@ def mesh_rebucket(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh, box_size,
 
         order = jnp.argsort(cid)
         cid_s = cid[order]
-        idx = jnp.arange(cid.shape[0], dtype=jnp.int32)
+        na = cid.shape[0]
+        idx = jnp.arange(na, dtype=jnp.int32)
         is_start = jnp.concatenate([jnp.ones((1,), bool),
                                     cid_s[1:] != cid_s[:-1]])
         run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
@@ -490,19 +491,20 @@ def mesh_rebucket(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh, box_size,
         slot = jnp.where(ok, cid_s * cap + rank, cl * cap)
         overflow = jnp.sum(~ok & (cid_s < cl))
 
-        def scat(x, fill=0.0):
-            shp = (cl * cap,) + x.shape[1:]
-            return jnp.full(shp, fill, x.dtype).at[slot].set(
-                x[order], mode="drop")
+        # inverse slot map + row gathers: XLA [N,3] scatters are ~8x
+        # slower than gathers on TPU (forces/treepm.bucket_src_map)
+        src = jnp.full((cl * cap,), na, jnp.int32).at[slot].set(
+            order.astype(jnp.int32), mode="drop")
 
-        nbp = scat(pos_a).reshape(cl, cap, 3)
-        nbv = scat(vel_a).reshape(cl, cap, 3)
-        nba = scat(acc_a).reshape(cl, cap, 3)
-        nbm = jnp.zeros((cl * cap,), mass_a.dtype).at[slot].set(
-            jnp.where(ok, mass_a[order], 0.0),
-            mode="drop").reshape(cl, cap)
-        nbi = jnp.full((cl * cap,), -1, ids_a.dtype).at[slot].set(
-            ids_a[order], mode="drop").reshape(cl, cap)
+        def regather(x, fill=0.0):
+            pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([x, pad], axis=0)[src]
+
+        nbp = regather(pos_a).reshape(cl, cap, 3)
+        nbv = regather(vel_a).reshape(cl, cap, 3)
+        nba = regather(acc_a).reshape(cl, cap, 3)
+        nbm = regather(mass_a).reshape(cl, cap)
+        nbi = regather(ids_a, -1).reshape(cl, cap)
 
         counts = jnp.stack([overflow + lost_l + lost_r + strays
                             + pre_strays,

@@ -124,6 +124,10 @@ class TestFastStepperIdentity:
             cfg.units.system = "box"
             cfg.units.G = 1.0
             cfg.units.H0_internal = 0.1
+            # box-units parity setup: reference kick keeps the tiny-dt
+            # free-streaming displacement bound this test asserts
+            # (comoving-mode drift is 1/a^2 = 2500x at a=0.02)
+            cfg.integration.kick_mode = "reference"
             eng = SimulationEngine(cfg)
             eng.initialize(state=make_state(pos, vel, mass,
                                             scale_factor=0.02))
