@@ -440,7 +440,7 @@ class SimulationEngine:
         return True
 
     def _fast_chunk(self, n: int) -> None:
-        from ..ops.fast_treepm import fast_run
+        from ..ops.fast_treepm import BucketOverflowError, fast_run
         cfg = self.config
         params = cfg.cosmology_params()
         dropped_before = int(self._fstate.dropped)
@@ -454,9 +454,23 @@ class SimulationEngine:
                 n_steps=n, rebucket_every=cfg.forces.rebucket_every,
                 **self._fast_mesh_kw)
         else:
-            self._fstate = fast_run(
-                self._fstate, params, float(self._dt), n_steps=n,
-                rebucket_every=cfg.forces.rebucket_every, **self._fast_kw)
+            # grow-and-retry: a clustering state can exceed the static
+            # bucket capacity -- instead of silently zero-massing the
+            # overflow (the counted "drop" mode), re-plan with doubled
+            # capacity from the intact pre-rebucket state and continue
+            # (the fast-path analogue of _mesh_migrate's retry loop)
+            remaining = n
+            while remaining > 0:
+                try:
+                    self._fstate = fast_run(
+                        self._fstate, params, float(self._dt),
+                        n_steps=remaining, on_overflow="raise",
+                        rebucket_every=cfg.forces.rebucket_every,
+                        **self._fast_kw)
+                    remaining = 0
+                except BucketOverflowError as exc:
+                    remaining -= exc.steps_done
+                    self._grow_fast_capacity(exc.fstate)
         new_drops = int(self._fstate.dropped) - dropped_before
         if new_drops > 0:
             import logging
@@ -465,6 +479,51 @@ class SimulationEngine:
                 "(drift exceeded the block margin) -- reduce "
                 "forces.rebucket_every or the timestep", new_drops)
         self._sync_state_from_fast()
+
+    def _grow_fast_capacity(self, fstate) -> None:
+        """Rebuild the fast state from an intact pre-rebucket state with
+        DOUBLED bucket capacity (recompiles the segment at the new static
+        shape; the compile cache amortizes repeats)."""
+        import logging
+        from ..ops.fast_treepm import _accel, build_fast_state, \
+            flatten_fast_state
+        old_cap = self._fast_kw["capacity"]
+        pos, vel, mass, ids = flatten_fast_state(fstate, with_ids=True)
+        n_live = pos.shape[0]
+        t0 = time.perf_counter()
+        new_cap = old_cap
+        while True:
+            # double until the REBUILD itself is lossless (a fully
+            # collapsed cell may need several doublings at once)
+            new_cap *= 2
+            plan = {"ncell": self._fast_kw["ncell"],
+                    "capacity": new_cap,
+                    "margin": self._fast_kw["margin"],
+                    "rs": self._fast_kw["rs"]}
+            st = build_fast_state(
+                pos, vel, mass, fstate.scale_factor,
+                box_size=self._fast_kw["box_size"], plan=plan,
+                time=fstate.time, step=fstate.step, ids=ids)
+            if int(st.overflow) == 0 or new_cap >= n_live:
+                break
+        logging.getLogger("lambda_cdm_tpu").warning(
+            "treepm_fast: bucket capacity %d exceeded by clustering; "
+            "re-planned with capacity %d (no particles lost)",
+            old_cap, new_cap)
+        self._fstate = st
+        # carry the error counters across the rebuild
+        self._fstate = self._fstate.replace(
+            overflow=fstate.overflow, dropped=fstate.dropped)
+        self._fast_kw["capacity"] = new_cap
+        accel_keys = ("box_size", "ng", "ncell", "capacity", "margin",
+                      "rs", "softening", "g_const", "gradient", "pm_only")
+        accel_kw = {k: self._fast_kw[k] for k in accel_keys
+                    if k in self._fast_kw}
+        acc, dropped = _accel(self._fstate, **accel_kw)
+        self._fstate = self._fstate.replace(
+            acc=acc, dropped=self._fstate.dropped
+            + dropped.astype(jnp.int32))
+        self.statistics.compile_time_s += time.perf_counter() - t0
 
     def _sync_state_from_fast(self) -> None:
         """Restore the bucket layout back into the public SimState IN THE

@@ -195,24 +195,49 @@ def _rebucket(fstate: FastState, *, box_size, ncell, capacity) -> FastState:
         overflow=fstate.overflow + overflow.astype(jnp.int32))
 
 
+class BucketOverflowError(RuntimeError):
+    """A re-bucketing pass would drop particles (cell occupancy exceeded
+    the static bucket capacity). Carries the last GOOD state (before the
+    lossy rebucket) and how many of the requested steps it completed, so
+    callers can re-plan with a larger capacity and continue losslessly
+    (the engine's grow-and-retry; cf. the migration path,
+    core/engine._mesh_migrate)."""
+
+    def __init__(self, fstate: FastState, steps_done: int):
+        super().__init__(
+            "bucket capacity exceeded during rebucket; grow capacity "
+            "and retry from the carried state")
+        self.fstate = fstate
+        self.steps_done = steps_done
+
+
 def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
              rebucket_every: int = 16, n_steps: int = 1,
-             **kw) -> FastState:
+             on_overflow: str = "drop", **kw) -> FastState:
     """Advance `n_steps` KDK steps: jitted `lax.scan` segments of
     `rebucket_every` steps with a re-bucketing pass between segments.
 
     Re-bucketing (a sort) lives OUTSIDE the scan: a lax.cond inside the
     scan body gets cond->select-converted by XLA and would execute the
-    sort on EVERY step (measured: 275 -> 901 ms/step at 1M)."""
+    sort on EVERY step (measured: 275 -> 901 ms/step at 1M).
+
+    on_overflow: "drop" keeps the historical behavior (overflowed
+    particles become zero-mass padding, COUNTED in fstate.overflow);
+    "raise" aborts BEFORE accepting a lossy rebucket with a
+    BucketOverflowError carrying the intact pre-rebucket state."""
     remaining = n_steps
     while remaining > 0:
         seg = min(rebucket_every, remaining)
         fstate = _fast_segment(fstate, params, dt, n_steps=seg, **kw)
         remaining -= seg
         if remaining > 0:
-            fstate = _rebucket_jit(fstate, box_size=kw["box_size"],
-                                   ncell=kw["ncell"],
-                                   capacity=kw["capacity"])
+            rb = _rebucket_jit(fstate, box_size=kw["box_size"],
+                               ncell=kw["ncell"],
+                               capacity=kw["capacity"])
+            if (on_overflow == "raise"
+                    and int(rb.overflow) > int(fstate.overflow)):
+                raise BucketOverflowError(fstate, n_steps - remaining)
+            fstate = rb
     return fstate
 
 

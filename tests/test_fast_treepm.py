@@ -257,3 +257,50 @@ class TestFastStepper:
                       rebucket_every=100, **kw)
         ke_fast = float(jnp.sum(fs.bmass[..., None] * fs.bvel ** 2))
         assert ke_fast == pytest.approx(ke_ref, rel=5e-3)
+
+
+class TestBucketOverflowGrowth:
+    def test_engine_grows_capacity_losslessly(self):
+        """Clustering past the static bucket capacity triggers the
+        engine's grow-and-retry (re-plan with doubled capacity from the
+        intact pre-rebucket state): no particles are lost, unlike the
+        counted-drop fallback."""
+        from lambda_cdm_tpu.core.config import SimulationConfig
+        from lambda_cdm_tpu.core.engine import SimulationEngine
+        from lambda_cdm_tpu.core.state import make_state
+
+        n, box = 600, 30.0
+        key = jax.random.PRNGKey(8)
+        pos = jax.random.uniform(key, (n, 3), maxval=box)
+        # velocities that collapse everything into the box center within
+        # ~8 steps (dt = 1, Newtonian: no comoving factors)
+        vel = (box / 2.0 - pos) * 0.118
+        mass = jnp.full((n,), 1e-6)      # gravity negligible
+
+        cfg = SimulationConfig()
+        cfg.particles.num_particles = n
+        cfg.particles.box_size = box
+        cfg.forces.type = "treepm_fast"
+        cfg.forces.pm_grid_size = 24
+        cfg.forces.softening_length = 1.0
+        cfg.forces.rebucket_every = 8
+        cfg.cosmology.model = "Newtonian"
+        cfg.cosmology.final_redshift = -0.5   # a-stop must not fire at a=1
+        cfg.time.initial_timestep = 1.0
+        cfg.time.final_time = 1e9
+        cfg.units.system = "box"
+        cfg.units.G = 1e-8
+        cfg.simulation.output_frequency = 16
+        cfg.simulation.checkpoint_frequency = 0
+        cfg.profiling.output_file = ""
+
+        eng = SimulationEngine(cfg)
+        eng.initialize(state=make_state(pos, vel, mass, scale_factor=1.0))
+        cap0 = eng._fast_kw["capacity"]
+        eng.run(num_steps=16)
+
+        assert eng._fast_kw["capacity"] > cap0, \
+            "capacity did not grow despite total collapse"
+        live = np.asarray(eng.state.masses) > 0
+        assert int(live.sum()) == n, \
+            f"lost {n - int(live.sum())} particles to bucket overflow"
