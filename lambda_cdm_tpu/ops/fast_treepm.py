@@ -140,11 +140,15 @@ def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
     acc_long, dropped = pm_accelerations_bucketed(
         fstate.bpos, fstate.bmass, ncell=ncell, ng=ng, box_size=box_size,
         g_const=g_const, split_scale=0.0 if pm_only else rs, margin=margin,
-        # fd4 is only accurate under the Gaussian split's k-damping; the
-        # unsplit pure-PM field needs the spectral (or energy-consistent
-        # interp) gradient
-        gradient=(gradient if (not pm_only or gradient == "interp")
-                  else "spectral"),
+        # PM-only (unsplit) fields keep the fd4 gradient: CIC deposit +
+        # same-window gather + 4th-order antisymmetric difference is the
+        # momentum-conserving standard PM scheme (Hockney-Eastwood ch. 5;
+        # Gadget's PMGRID does exactly this), validated on the plane-wave
+        # linear-theory test (tests/test_pm_gradients.py: exact on
+        # resolved modes, documented ~15% damping at kh=pi/2 -- par for
+        # PM-only codes). Explicit gradient="spectral"/"interp" still
+        # selects those paths.
+        gradient=gradient,
         use_pallas=pm_pallas)
     if pm_only:
         # pure PM: unsplit Green's function, no short-range pass (the
