@@ -318,10 +318,11 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
     """Long-range PM accelerations for bucketed particles -> [C, K, 3].
 
     gradient="fd4": solve for the potential with ONE inverse FFT and take
-    4th-order central differences (dense rolls) -- halves the FFT count vs
-    the spectral i*k gradient (XLA's TPU FFT is the PM floor: ~34 ms per
-    256^3 transform on v5e). Accurate to <1% on the Gaussian-split
-    long-range force (error ~ (k h)^4/30 under the exp(-k^2 rs^2) damping).
+    4th-order central differences -- halves the transform count vs the
+    spectral i*k gradient (~7 ms per 256^3 transform on v5e via the MXU
+    DFT-by-matmul, ops/matmul_fft). Exact on resolved modes with a known
+    ~15% response damping at kh=pi/2 (tests/test_pm_gradients.py); under
+    the Gaussian split's k-damping the error is <1%.
     """
     from ..physics.initial_conditions import fourier_grid
 
