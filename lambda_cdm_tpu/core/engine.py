@@ -237,17 +237,31 @@ class SimulationEngine:
         the run loop re-homes particles each chunk via all_to_all."""
         from ..forces import auto_pm_grid
         from ..parallel.exchange import pad_particles
-        from ..parallel.mesh import make_mesh, shard_state
+        from ..parallel.mesh import make_mesh, make_mesh3d, shard_state
         from ..parallel.sharded import (ring_direct_accelerations,
                                         sharded_pm_accelerations)
         cfg = self.config
-        mesh = make_mesh()
-        n_dev = mesh.shape["shard"]
+        # compute.mesh.axes with shx+shy+shz selects the full 3D block
+        # decomposition (the reference's MPI_Cart_create 3D topology,
+        # domain_decomposition.cpp:10-112): 3D ownership migration +
+        # 26-neighbor halo short-range. Otherwise: 1D slabs.
+        axes3 = dict(cfg.compute.mesh.axes or {})
+        if all(a in axes3 for a in ("shx", "shy", "shz")):
+            mesh = make_mesh3d((int(axes3["shx"]), int(axes3["shy"]),
+                                int(axes3["shz"])))
+            ax = ("shx", "shy", "shz")
+        else:
+            mesh = make_mesh()
+            ax = "shard"
+        self._mesh_axis = ax
+        n_dev = 1
+        for v in mesh.shape.values():
+            n_dev *= int(v)
         pos, vel, mass = pad_particles(
             state.positions, state.velocities, state.masses, n_dev=n_dev,
             factor=cfg.compute.mesh.migrate_capacity_factor)
         state = state.replace(positions=pos, velocities=vel, masses=mass)
-        state = shard_state(state, mesh)
+        state = shard_state(state, mesh, ax)
         self._mesh = mesh
         self._mesh_solver = cfg.forces.type
 
@@ -259,24 +273,39 @@ class SimulationEngine:
             def accel_fn(st):
                 return ring_direct_accelerations(
                     st.positions, st.masses, box_size=box, softening=soft,
-                    g_const=g, mesh=mesh)
+                    g_const=g, mesh=mesh, axis_name=ax)
         elif solver in ("treepm", "treepm_fast"):
             # full sharded TreePM: GSPMD PM long-range + halo-exchange
             # cell-bucket short-range (the reference's migrate -> ghost ->
             # local-force -> allreduce pipeline, cluster_comm.cpp:90-216)
             from ..parallel.sharded_treepm import (
-                sharded_treepm_accelerations, sharded_treepm_plan)
+                sharded_treepm_accelerations, sharded_treepm_plan,
+                sharded_treepm_plan_3d)
             ng = auto_pm_grid(cfg)
-            plan = sharded_treepm_plan(
-                state.positions.shape[0], box, ng, n_dev,
-                split_factor=cfg.forces.split_factor,
-                cut_factor=cfg.forces.cut_factor,
-                capacity=cfg.forces.bucket_capacity)
-            if plan is None:
-                import logging
-                logging.getLogger("lambda_cdm_tpu").info(
-                    "mesh treepm: box too small for one r_cut cell plane "
-                    "per device; using the exact ring short-range")
+            if isinstance(ax, tuple):
+                dims = tuple(mesh.shape[a] for a in ax)
+                plan = sharded_treepm_plan_3d(
+                    state.positions.shape[0], box, ng, dims,
+                    split_factor=cfg.forces.split_factor,
+                    cut_factor=cfg.forces.cut_factor,
+                    capacity=cfg.forces.bucket_capacity)
+                if plan is None:
+                    raise ValueError(
+                        "compute.mesh 3D axes: box too small for one "
+                        "r_cut cell per device along every axis; use the "
+                        "1D slab mesh (omit shz) for this geometry")
+            else:
+                plan = sharded_treepm_plan(
+                    state.positions.shape[0], box, ng, n_dev,
+                    split_factor=cfg.forces.split_factor,
+                    cut_factor=cfg.forces.cut_factor,
+                    capacity=cfg.forces.bucket_capacity)
+                if plan is None:
+                    import logging
+                    logging.getLogger("lambda_cdm_tpu").info(
+                        "mesh treepm: box too small for one r_cut cell "
+                        "plane per device; using the exact ring "
+                        "short-range")
 
             def accel_fn(st):
                 return sharded_treepm_accelerations(
@@ -284,13 +313,15 @@ class SimulationEngine:
                     softening=soft, g_const=g,
                     split_factor=cfg.forces.split_factor,
                     cut_factor=cfg.forces.cut_factor,
-                    capacity=cfg.forces.bucket_capacity, mesh=mesh)
+                    capacity=cfg.forces.bucket_capacity, mesh=mesh,
+                    axis_name=ax)
         else:
             ng = auto_pm_grid(cfg)
 
             def accel_fn(st):
                 return sharded_pm_accelerations(
-                    st.positions, st.masses, ng, box, g, mesh=mesh)
+                    st.positions, st.masses, ng, box, g, mesh=mesh,
+                    axis_name=ax)
         self._accel_fn = accel_fn
         # establish slab ownership BEFORE the first force evaluation: the
         # halo short-range buckets each device's rows into ITS cell block,
@@ -318,25 +349,30 @@ class SimulationEngine:
                                          migrate_particles_emigrant)
         cfg = self.config
         st = self._state
-        n_loc = st.positions.shape[0] // self._mesh.shape["shard"]
+        ax = getattr(self, "_mesh_axis", "shard")
+        n_dev = 1
+        for v in self._mesh.shape.values():
+            n_dev *= int(v)
+        n_loc = st.positions.shape[0] // n_dev
         box = cfg.particles.box_size
 
         bounds = None
         if (cfg.compute.mesh.load_balancing
+                and not isinstance(ax, tuple)   # adaptive bounds: 1D only
                 and self._mesh_solver in ("direct", "direct_reference",
                                           "pm")):
             imb = float(load_imbalance(st.masses, mesh=self._mesh))
             if imb > cfg.compute.mesh.rebalance_threshold:
                 bounds = adaptive_slab_bounds(
-                    st.positions, st.masses,
-                    self._mesh.shape["shard"], box)
+                    st.positions, st.masses, n_dev, box)
 
         cap = max(128, int(cfg.compute.mesh.migrate_fraction * n_loc))
         cap = min(cap, n_loc)
         while True:
             pos, vel, mass, overflow = migrate_particles_emigrant(
                 st.positions, st.velocities, st.masses, box_size=box,
-                capacity=cap, mesh=self._mesh, bounds=bounds)
+                capacity=cap, mesh=self._mesh, bounds=bounds,
+                axis_name=ax)
             if int(overflow) == 0:
                 self._state = st.replace(positions=pos, velocities=vel,
                                          masses=mass)
@@ -399,6 +435,11 @@ class SimulationEngine:
         # 2D-pencil rod decomposition (parallel/fast_mesh2d); the default
         # {"shard": -1} keeps the 1D slab stepper
         axes = dict(cfg.compute.mesh.axes or {})
+        if "shz" in axes:
+            # 3D block topology: no persistent 3D fast stepper (z must
+            # stay rod-global for the pencil kernels); use the stateless
+            # sharded TreePM with the 26-neighbor halo exchange instead
+            return False
         self._fast_mesh_2d = "shx" in axes and "shy" in axes
         if self._fast_mesh_2d:
             from ..parallel.fast_mesh2d import initialize_mesh_fast2d
@@ -726,7 +767,8 @@ class SimulationEngine:
                 st.positions, st.velocities, st.masses,
                 box_size=cfg.particles.box_size,
                 softening=cfg.forces.softening_length,
-                g_const=cfg.units.G, mesh=self._mesh)
+                g_const=cfg.units.G, mesh=self._mesh,
+                axis_name=getattr(self, "_mesh_axis", "shard"))
         from ..forces.direct import kinetic_energy, potential_energy
         ke = kinetic_energy(st.velocities, st.masses)
         pe = potential_energy(st.positions, st.masses,

@@ -59,6 +59,19 @@ def find_owner(positions, box_size, n_dev: int, bounds=None):
     return jnp.clip(d.astype(jnp.int32), 0, n_dev - 1)
 
 
+def find_owner_3d(positions, box_size, dims: tuple[int, int, int]):
+    """Owning flat device id for a 3D block decomposition: device (i,j,k)
+    of a row-major (dx, dy, dz) mesh owns the box block
+    [i,i+1)x[j,j+1)x[k,k+1) * box/dims. Matches make_mesh3d's device
+    order (and lax.axis_index over the 3-axis tuple)."""
+    ids = []
+    for a in range(3):
+        d = jnp.floor(positions[:, a] / box_size * dims[a]).astype(
+            jnp.int32)
+        ids.append(jnp.clip(d, 0, dims[a] - 1))
+    return (ids[0] * dims[1] + ids[1]) * dims[2] + ids[2]
+
+
 def adaptive_slab_bounds(positions, masses, n_dev: int, box_size, *,
                          resolution: int = 512):
     """Equal-load slab boundaries from the particle x-distribution
@@ -79,6 +92,30 @@ def adaptive_slab_bounds(positions, masses, n_dev: int, box_size, *,
     inner = (cuts + 1.0) * (box_size / resolution)
     return jnp.concatenate([jnp.zeros((1,)), inner,
                             jnp.full((1,), box_size)])
+
+
+
+def _axis_size(mesh: Mesh, axis_name) -> int:
+    if isinstance(axis_name, tuple):
+        n = 1
+        for a in axis_name:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis_name]
+
+
+def _owner_of(pos, mass, box_size, mesh, axis_name, bounds, my_id):
+    """Owner per particle: 1D slabs (str axis) or 3D blocks (3-tuple
+    axis, row-major device order). Dead rows stay home."""
+    if isinstance(axis_name, tuple):
+        if bounds is not None:
+            raise ValueError("adaptive bounds are 1D-slab only")
+        dims = tuple(mesh.shape[a] for a in axis_name)
+        owner = find_owner_3d(pos, box_size, dims)
+    else:
+        owner = find_owner(pos, box_size, _axis_size(mesh, axis_name),
+                           bounds=bounds)
+    return jnp.where(mass > 0, owner, my_id)
 
 
 def _bucket_by_owner(pos, vel, mass, owner, my_id, n_dev, capacity):
@@ -125,14 +162,12 @@ def migrate_particles(positions, velocities, masses, *, box_size,
     capacity >= n_loc (the engine does); smaller capacities only suit
     first-time scatter from shuffled input.
     """
-    n_dev = mesh.shape[axis_name]
+    n_dev = _axis_size(mesh, axis_name)
 
     def local(pos, vel, mass, bnd):
         my_id = jax.lax.axis_index(axis_name)
-        owner = find_owner(pos, box_size, n_dev,
-                           bounds=None if bnd is None else bnd)
-        # empty padding rows (mass 0) stay home
-        owner = jnp.where(mass > 0, owner, my_id)
+        owner = _owner_of(pos, mass, box_size, mesh, axis_name,
+                          None if bnd is None else bnd, my_id)
         bpos, bvel, bmass, ovf = _bucket_by_owner(
             pos, vel, mass, owner, my_id, n_dev, capacity)
 
@@ -198,15 +233,14 @@ def migrate_particles_emigrant(positions, velocities, masses, *, box_size,
 
     Returns (positions, velocities, masses, overflow_total).
     """
-    n_dev = mesh.shape[axis_name]
+    n_dev = _axis_size(mesh, axis_name)
     buf = n_dev * capacity
 
     def local(pos, vel, mass, bnd):
         my_id = jax.lax.axis_index(axis_name)
-        owner = find_owner(pos, box_size, n_dev,
-                           bounds=None if bnd is None else bnd)
         live = mass > 0
-        owner = jnp.where(live, owner, my_id)
+        owner = _owner_of(pos, mass, box_size, mesh, axis_name,
+                          None if bnd is None else bnd, my_id)
         emig = live & (owner != my_id)
 
         onehot = (emig[:, None]

@@ -56,6 +56,35 @@ def make_mesh2d(shape: tuple[int, int] | None = None,
     return Mesh(np.asarray(devs[:dx * dy]).reshape(dx, dy), axis_names)
 
 
+Z_AXIS = "shz"
+AXES_3D = (X_AXIS, Y_AXIS, Z_AXIS)
+
+
+def make_mesh3d(shape: tuple[int, int, int] | None = None,
+                axis_names: tuple[str, str, str] = AXES_3D,
+                devices=None) -> Mesh:
+    """3D device mesh for block decompositions -- the full analogue of
+    the reference's MPI_Dims_create(3) Cartesian communicator
+    (domain_decomposition.cpp:10-112). `shape=None` picks the most-cubic
+    factorization of the device count."""
+    devs = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        n = len(devs)
+        dx = max(d for d in range(1, int(round(n ** (1 / 3))) + 1)
+                 if n % d == 0)
+        rem = n // dx
+        dy = int(np.floor(np.sqrt(rem)))
+        while rem % dy:
+            dy -= 1
+        shape = (dx, dy, rem // dy)
+    dx, dy, dz = shape
+    if dx * dy * dz > len(devs):
+        raise ValueError(f"mesh {shape} needs {dx*dy*dz} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.asarray(devs[:dx * dy * dz]).reshape(dx, dy, dz),
+                axis_names)
+
+
 def particle_sharding(mesh: Mesh, axis_name=SHARD_AXIS):
     """[N, ...] arrays sharded along N. `axis_name` may be a tuple of
     mesh axes (2D mesh: particles sharded over the flattened device

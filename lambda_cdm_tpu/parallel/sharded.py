@@ -36,6 +36,15 @@ from .mesh import SHARD_AXIS, particle_sharding
 from ..forces.direct import min_image
 
 
+def _axis_size(mesh: Mesh, axis_name) -> int:
+    if isinstance(axis_name, tuple):
+        n = 1
+        for a in axis_name:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis_name]
+
+
 def _partial_direct(pos_i, pos_j, mass_j, box_size, softening2):
     """Accelerations on pos_i from sources pos_j (both local blocks)."""
     dx = min_image(pos_j[None, :, :] - pos_i[:, None, :], box_size)
@@ -54,9 +63,11 @@ def ring_direct_accelerations(positions, masses, *, box_size, softening,
 
     positions/masses may live anywhere; they are resharded along N.
     Requires N % n_devices == 0 (pad with zero-mass particles otherwise --
-    the engine's sharded path does this automatically).
+    the engine's sharded path does this automatically). `axis_name` may
+    be a tuple of mesh axes (3D block mesh): the ring then runs over the
+    flattened device order.
     """
-    n_dev = mesh.shape[axis_name]
+    n_dev = _axis_size(mesh, axis_name)
     soft2 = softening * softening
 
     def local(pos_i, m_i):
@@ -104,7 +115,7 @@ def sharded_energy(positions, velocities, masses, *, box_size, softening,
                    g_const, mesh: Mesh, axis_name: str = SHARD_AXIS):
     """KE + ring-pass PE with psum reduction (the MPI_Allreduce analogue,
     cluster_comm.cpp:208-216)."""
-    n_dev = mesh.shape[axis_name]
+    n_dev = _axis_size(mesh, axis_name)
     soft2 = softening * softening
 
     def local(pos_i, vel_i, m_i):

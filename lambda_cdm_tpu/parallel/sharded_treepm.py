@@ -206,7 +206,8 @@ def ring_short_range_accelerations(positions, masses, *, box_size, rs,
     (no G factor). O(N^2/D) per device: the fallback when the box can't
     host one r_cut cell plane per device, and the test oracle for the
     halo version."""
-    n_dev = mesh.shape[axis_name]
+    from .sharded import _axis_size
+    n_dev = _axis_size(mesh, axis_name)
     soft2 = softening * softening
     s_fn = short_range_factor_poly if use_poly else short_range_factor
 
@@ -249,20 +250,40 @@ def sharded_treepm_accelerations(positions, masses, *, box_size,
     degenerate geometries). The multi-chip twin of
     forces/treepm.py::treepm_accelerations."""
     from .sharded import sharded_pm_accelerations
-    n_dev = mesh.shape[axis_name]
-    plan = sharded_treepm_plan(positions.shape[0], float(box_size), pm_grid,
-                               n_dev, split_factor=split_factor,
-                               cut_factor=cut_factor, capacity=capacity)
+    is_3d = isinstance(axis_name, tuple)
     rs = split_factor * box_size / pm_grid
+    if is_3d:
+        dims = tuple(mesh.shape[a] for a in axis_name)
+        plan = sharded_treepm_plan_3d(
+            positions.shape[0], float(box_size), pm_grid, dims,
+            split_factor=split_factor, cut_factor=cut_factor,
+            capacity=capacity)
+    else:
+        plan = sharded_treepm_plan(
+            positions.shape[0], float(box_size), pm_grid,
+            mesh.shape[axis_name], split_factor=split_factor,
+            cut_factor=cut_factor, capacity=capacity)
     acc_long = sharded_pm_accelerations(positions, masses, pm_grid,
                                         box_size, g_const, split_scale=rs,
-                                        mesh=mesh, axis_name=axis_name)
+                                        mesh=mesh,
+                                        axis_name=(tuple(axis_name)
+                                                   if is_3d else axis_name))
     if plan is None:
+        if is_3d:
+            raise ValueError(
+                "box too small for one r_cut cell per device along every "
+                "3D mesh axis; use a 1D slab mesh (ring fallback) instead")
         acc_short = ring_short_range_accelerations(
             positions, masses, box_size=float(box_size), rs=float(rs),
             softening=float(softening), use_poly=use_poly, mesh=mesh,
             axis_name=axis_name)
         overflow = jnp.zeros((), jnp.int32)
+    elif is_3d:
+        acc_short, overflow = halo_short_range_accelerations_3d(
+            positions, masses, box_size=float(box_size), nc=plan["nc"],
+            capacity=plan["capacity"], rs=float(plan["rs"]),
+            softening=float(softening), use_poly=use_poly, mesh=mesh,
+            axis_names=tuple(axis_name))
     else:
         acc_short, overflow = halo_short_range_accelerations(
             positions, masses, box_size=float(box_size), nc=plan["nc"],
@@ -273,3 +294,178 @@ def sharded_treepm_accelerations(positions, masses, *, box_size,
     if return_diagnostics:
         return acc, {"overflow": overflow, "plan": plan}
     return acc
+
+
+# ---------------------------------------------------------------------------
+# 3D block decomposition (the reference's full 3D Cartesian topology with
+# 26-neighbor ghost exchange, domain_decomposition.cpp:10-112 +
+# cluster_comm.cpp:25-88) -- dimension-ordered halo exchange: 2 ppermutes
+# per axis (6 total) deliver all 26 neighbors because each axis ships the
+# halos accumulated by the previous axes (faces -> edges -> corners).
+# ---------------------------------------------------------------------------
+
+AXES_3D = ("shx", "shy", "shz")
+
+
+def sharded_treepm_plan_3d(num_particles: int, box_size: float,
+                           pm_grid: int, dims: tuple[int, int, int], *,
+                           split_factor: float = 1.25,
+                           cut_factor: float = 4.5, capacity: int = 0,
+                           occupancy_headroom: float = 3.0) -> dict | None:
+    """Static geometry for the 3D-block halo pass: the global cell count
+    nc must be a multiple of every mesh dim with cells >= r_cut. Returns
+    None when the box cannot host one r_cut cell per device along some
+    axis (callers fall back to the ring short-range)."""
+    rs = split_factor * box_size / pm_grid
+    r_cut = cut_factor * rs
+    nc_max = int(math.floor(box_size / r_cut))
+    step = math.lcm(*dims)
+    nc = (nc_max // step) * step
+    if nc < max(3, *dims):
+        return None
+    if capacity > 0:
+        cap = capacity
+    else:
+        mean_occ = num_particles / nc ** 3
+        cap = int(max(16, math.ceil(occupancy_headroom * mean_occ)))
+    cap = ((cap + 7) // 8) * 8
+    return {"rs": rs, "r_cut": r_cut, "nc": nc, "capacity": cap}
+
+
+def _bucket_local_3d(pos, mass, nc: int, nloc, my_ids, box_size,
+                     capacity: int):
+    """Bucket local particles into this device's
+    [nloc_x, nloc_y, nloc_z, K] cell block (all three cell coordinates
+    rebased to the local block; stragglers clip into boundary cells,
+    their true positions still enter the pair math)."""
+    n = pos.shape[0]
+    ncells = nloc[0] * nloc[1] * nloc[2]
+    cell = jnp.clip(jnp.floor(pos / box_size * nc).astype(jnp.int32),
+                    0, nc - 1)
+    loc = [jnp.clip(cell[:, a] - my_ids[a] * nloc[a], 0, nloc[a] - 1)
+           for a in range(3)]
+    cid = (loc[0] * nloc[1] + loc[1]) * nloc[2] + loc[2]
+    live = mass > 0
+    cid = jnp.where(live, cid, ncells)
+
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+    pos_s = pos[order]
+    mass_s = mass[order]
+    live_s = live[order]
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool),
+                                cid_s[1:] != cid_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - run_start
+    ok = (rank < capacity) & live_s
+    slot = jnp.where(ok, cid_s * capacity + rank, ncells * capacity)
+
+    bpos = jnp.zeros((ncells * capacity, 3), pos.dtype)
+    bmass = jnp.zeros((ncells * capacity,), mass.dtype)
+    bpos = bpos.at[slot].set(pos_s, mode="drop")
+    bmass = bmass.at[slot].set(jnp.where(ok, mass_s, 0.0), mode="drop")
+    pslot = jnp.full((n,), -1, jnp.int32)
+    pslot = pslot.at[order].set(jnp.where(ok, slot, -1).astype(jnp.int32))
+    overflow = jnp.sum(~ok & live_s)
+    return (bpos.reshape(nloc[0], nloc[1], nloc[2], capacity, 3),
+            bmass.reshape(nloc[0], nloc[1], nloc[2], capacity),
+            pslot, overflow)
+
+
+def _exchange_halo_axis(arr, axis_name: str, n_dev: int, block_axis: int):
+    """Extend `arr` with one ghost plane per side along `block_axis` via
+    two ppermutes (periodic). Including halos accumulated by earlier axes
+    makes the dimension-ordered exchange deliver edges and corners."""
+    fwd = [(s, (s + 1) % n_dev) for s in range(n_dev)]
+    bwd = [(s, (s - 1) % n_dev) for s in range(n_dev)]
+    take_last = [slice(None)] * arr.ndim
+    take_last[block_axis] = slice(-1, None)
+    take_first = [slice(None)] * arr.ndim
+    take_first[block_axis] = slice(0, 1)
+    from_left = jax.lax.ppermute(arr[tuple(take_last)], axis_name, fwd)
+    from_right = jax.lax.ppermute(arr[tuple(take_first)], axis_name, bwd)
+    return jnp.concatenate([from_left, arr, from_right], axis=block_axis)
+
+
+def _halo_stencil_accel_3d(bp, bm, ep, em, box_size, rs, softening,
+                           use_poly: bool):
+    """27-offset short-range on a fully halo-extended 3D block. All
+    offsets are pure slices into the extended block (no rolls; the
+    periodic wrap is carried by the neighbor exchange + min_image)."""
+    nx, ny, nz, k = bm.shape
+    cc = nx * ny * nz
+    soft2 = softening * softening
+    s_fn = short_range_factor_poly if use_poly else short_range_factor
+    cp = bp.reshape(cc, k, 3)
+    acc = jnp.zeros_like(cp)
+
+    for ox in (0, 1, 2):
+        for oy in (0, 1, 2):
+            for oz in (0, 1, 2):
+                np_pos = ep[ox:ox + nx, oy:oy + ny, oz:oz + nz] \
+                    .reshape(cc, k, 3)
+                np_mass = em[ox:ox + nx, oy:oy + ny, oz:oz + nz] \
+                    .reshape(cc, k)
+
+                def pair(carry, xs):
+                    c_pos, n_pos, n_mass = xs
+                    dx = min_image(n_pos[None, :, :] - c_pos[:, None, :],
+                                   box_size)
+                    r2 = jnp.sum(dx * dx, axis=-1) + soft2
+                    inv_r = jax.lax.rsqrt(r2)
+                    r = r2 * inv_r
+                    w = n_mass[None, :] * s_fn(r, rs) \
+                        * (inv_r * inv_r * inv_r)
+                    return carry, jnp.sum(w[..., None] * dx, axis=1)
+
+                _, a = jax.lax.scan(pair, None, (cp, np_pos, np_mass))
+                acc = acc + a
+    return acc.reshape(bp.shape)
+
+
+@partial(jax.jit, static_argnames=("box_size", "nc", "capacity", "rs",
+                                   "softening", "use_poly", "mesh",
+                                   "axis_names"))
+def halo_short_range_accelerations_3d(positions, masses, *, box_size,
+                                      nc: int, capacity: int, rs,
+                                      softening, use_poly: bool = False,
+                                      mesh: Mesh,
+                                      axis_names=AXES_3D):
+    """Short-range accelerations [N,3] (no G factor) for block-sharded
+    particles on a 3D device mesh: local cell buckets + dimension-ordered
+    26-neighbor ghost exchange. Returns (acc, overflow_total).
+
+    The 3D twin of halo_short_range_accelerations: use past the 1D slab
+    scaling limit (n_dev > nc) or to cut ghost volume at high device
+    counts -- face area scales as (nc/dx)(nc/dy) instead of nc^2."""
+    dims = tuple(mesh.shape[a] for a in axis_names)
+    nloc = tuple(nc // d for d in dims)
+    for a, d in zip(axis_names, dims):
+        if nc % d:
+            raise ValueError(f"nc={nc} not divisible by mesh axis "
+                             f"{a}={d}")
+
+    def local(pos, mass):
+        my_ids = [jax.lax.axis_index(a) for a in axis_names]
+        bp, bm, pslot, ovf = _bucket_local_3d(
+            pos, mass, nc, nloc, my_ids, box_size, capacity)
+        ep, em = bp, bm
+        for ax in range(3):
+            ep = _exchange_halo_axis(ep, axis_names[ax], dims[ax], ax)
+            em = _exchange_halo_axis(em, axis_names[ax], dims[ax], ax)
+        acc_b = _halo_stencil_accel_3d(bp, bm, ep, em, box_size, rs,
+                                       softening, use_poly)
+        flat = acc_b.reshape(-1, 3)
+        safe = jnp.maximum(pslot, 0)
+        acc = jnp.where((pslot >= 0)[:, None], flat[safe], 0.0)
+        return acc, jax.lax.psum(ovf, axis_names)
+
+    ps = particle_sharding(mesh, tuple(axis_names))
+    positions = jax.lax.with_sharding_constraint(positions, ps)
+    masses = jax.lax.with_sharding_constraint(masses, ps)
+    ax = tuple(axis_names)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax), P(ax)),
+        out_specs=(P(ax), P()))(positions, masses)
