@@ -21,6 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.matmul_fft import rfftn as _rfftn
+
 from ..physics.initial_conditions import fourier_grid
 
 
@@ -164,7 +166,7 @@ def power_from_delta(delta, *, ng: int, box_size, num_particles,
     """Spherically binned P(k) from a real-space density-contrast grid
     (reference: bin_power_spectrum, power_spectrum.cu:207-285)."""
     volume = box_size ** 3
-    delta_k = jnp.fft.rfftn(delta)
+    delta_k = _rfftn(delta)
     if deconvolve:
         delta_k = delta_k / assignment_window(ng, box_size, assignment)
     # |delta_k|^2 * V / ng^6 is the standard P(k) estimator
@@ -236,8 +238,8 @@ def cross_power_spectrum(positions_a, positions_b, box_size, ng: int = 128,
     da = density_contrast(DEPOSITS[assignment](positions_a, ng, box_size))
     db = density_contrast(DEPOSITS[assignment](positions_b, ng, box_size))
     volume = box_size ** 3
-    fa = jnp.fft.rfftn(da)
-    fb = jnp.fft.rfftn(db)
+    fa = _rfftn(da)
+    fb = _rfftn(db)
     if assignment in _WINDOW_POWER:
         w = assignment_window(ng, box_size, assignment)
         fa, fb = fa / w, fb / w
@@ -286,7 +288,7 @@ def power_spectrum_multipoles(positions, box_size, *, ng: int = 128,
     grid = DEPOSITS[assignment](positions, ng, box_size, weights)
     delta = density_contrast(grid)
     volume = box_size ** 3
-    dk = jnp.fft.rfftn(delta)
+    dk = _rfftn(delta)
     dk = dk / assignment_window(ng, box_size, assignment)
     pk3d = (dk.real ** 2 + dk.imag ** 2) * (volume / float(ng) ** 6)
 

@@ -485,6 +485,17 @@ class SimulationEngine:
         cfg = self.config
         params = cfg.cosmology_params()
         dropped_before = int(self._fstate.dropped)
+        # adaptive rebucket cadence: halved whenever a chunk drops
+        # deposits (drift beyond the block margin), so fast-moving
+        # states self-correct instead of warning forever (drops stay
+        # counted; the cadence recovers only via config)
+        rebucket_every = getattr(self, "_fast_rebucket_every", None) \
+            or cfg.forces.rebucket_every
+        # rebucket cadence carries ACROSS chunks: without this offset a
+        # chunk size <= rebucket_every would never trigger a rebucket
+        # between fast_run calls and the bucketing would go permanently
+        # stale (unbounded deposit drops)
+        since = getattr(self, "_fast_since_rebucket", 0)
         if getattr(self, "_fast_mesh_kw", None) is not None:
             if getattr(self, "_fast_mesh_2d", False):
                 from ..parallel.fast_mesh2d import mesh_fast_run2d as runm
@@ -492,8 +503,9 @@ class SimulationEngine:
                 from ..parallel.fast_mesh import mesh_fast_run as runm
             self._fstate = runm(
                 self._fstate, params, float(self._dt), mesh=self._mesh,
-                n_steps=n, rebucket_every=cfg.forces.rebucket_every,
-                **self._fast_mesh_kw)
+                n_steps=n, rebucket_every=rebucket_every,
+                steps_since_rebucket=since, **self._fast_mesh_kw)
+            since = (since + n - 1) % rebucket_every + 1
         else:
             # grow-and-retry: a clustering state can exceed the static
             # bucket capacity -- instead of silently zero-massing the
@@ -506,19 +518,31 @@ class SimulationEngine:
                     self._fstate = fast_run(
                         self._fstate, params, float(self._dt),
                         n_steps=remaining, on_overflow="raise",
-                        rebucket_every=cfg.forces.rebucket_every,
+                        rebucket_every=rebucket_every,
+                        steps_since_rebucket=since,
                         **self._fast_kw)
+                    since = (since + remaining - 1) % rebucket_every + 1
                     remaining = 0
                 except BucketOverflowError as exc:
                     remaining -= exc.steps_done
+                    since = 0   # capacity growth rebuilds the bucketing
                     self._grow_fast_capacity(exc.fstate)
+        self._fast_since_rebucket = since
         new_drops = int(self._fstate.dropped) - dropped_before
         if new_drops > 0:
             import logging
-            logging.getLogger("lambda_cdm_tpu").warning(
-                "treepm_fast: %d particle-deposits dropped this chunk "
-                "(drift exceeded the block margin) -- reduce "
-                "forces.rebucket_every or the timestep", new_drops)
+            if rebucket_every > 1:
+                self._fast_rebucket_every = max(1, rebucket_every // 2)
+                logging.getLogger("lambda_cdm_tpu").warning(
+                    "treepm_fast: %d particle-deposits dropped this "
+                    "chunk (drift exceeded the block margin) -- "
+                    "halving rebucket cadence to every %d steps",
+                    new_drops, self._fast_rebucket_every)
+            else:
+                logging.getLogger("lambda_cdm_tpu").warning(
+                    "treepm_fast: %d particle-deposits dropped this "
+                    "chunk even at rebucket_every=1 -- reduce the "
+                    "timestep or increase forces margin", new_drops)
         self._sync_state_from_fast()
 
     def _grow_fast_capacity(self, fstate) -> None:
@@ -576,8 +600,12 @@ class SimulationEngine:
         cadence, host-side."""
         import numpy as np
         from ..ops.fast_treepm import flatten_fast_state
+        from ..physics.integrators import wrap_positions
         fpos, fvel, fmass, fids = flatten_fast_state(self._fstate,
                                                      with_ids=True)
+        # positions drift unwrapped between rebuckets inside the fast
+        # stepper; the public SimState is always in [0, box)
+        fpos = wrap_positions(fpos, self.config.particles.box_size)
         ids = np.asarray(fids)
         live = ids >= 0
         n = self._fast_n

@@ -26,6 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.matmul_fft import irfftn as _irfftn, rfftn as _rfftn
+
 from ..analysis.power_spectrum import cic_deposit, assignment_window
 from ..physics.initial_conditions import fourier_grid
 
@@ -82,7 +84,7 @@ def pm_accelerations(positions, masses, ng: int, box_size,
 
     # mass -> density grid
     grid = cic_deposit(positions, ng, box_size, weights=masses)
-    rho_k = jnp.fft.rfftn(grid / cell_volume)
+    rho_k = _rfftn(grid / cell_volume)
 
     green = poisson_greens_function(
         ng, box_size, split_scale=split_scale,
@@ -93,7 +95,7 @@ def pm_accelerations(positions, masses, ng: int, box_size,
     acc = []
     for kvec in (kx, ky, kz):
         acc_k = -1j * kvec * phi_k        # acc = -grad phi
-        acc_grid = jnp.fft.irfftn(acc_k, s=(ng, ng, ng))
+        acc_grid = _irfftn(acc_k, s=(ng, ng, ng))
         acc.append(cic_gather(acc_grid, positions, ng, box_size))
     return g_const * jnp.stack(acc, axis=-1)
 
@@ -105,9 +107,9 @@ def pm_potential(positions, masses, ng: int, box_size, g_const=1.0):
     box_size = jnp.asarray(box_size, jnp.float32)
     cell_volume = (box_size / ng) ** 3
     grid = cic_deposit(positions, ng, box_size, weights=masses)
-    rho_k = jnp.fft.rfftn(grid / cell_volume)
+    rho_k = _rfftn(grid / cell_volume)
     green = poisson_greens_function(ng, box_size)
-    phi = jnp.fft.irfftn(green * rho_k, s=(ng, ng, ng))
+    phi = _irfftn(green * rho_k, s=(ng, ng, ng))
     return g_const * cic_gather(phi, positions, ng, box_size)
 
 
@@ -117,7 +119,7 @@ def potential_grid(positions, masses, ng: int, box_size, g_const=1.0,
     box_size = jnp.asarray(box_size, jnp.float32)
     cell_volume = (box_size / ng) ** 3
     grid = cic_deposit(positions, ng, box_size, weights=masses)
-    rho_k = jnp.fft.rfftn(grid / cell_volume)
+    rho_k = _rfftn(grid / cell_volume)
     green = poisson_greens_function(ng, box_size,
                                     deconvolve_cic=deconvolve_cic)
-    return g_const * jnp.fft.irfftn(green * rho_k, s=(ng, ng, ng))
+    return g_const * _irfftn(green * rho_k, s=(ng, ng, ng))

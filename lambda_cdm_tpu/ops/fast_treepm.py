@@ -182,7 +182,11 @@ def _rebucket(fstate: FastState, *, box_size, ncell, capacity) -> FastState:
     from ..forces.treepm import bucket_gather, bucket_src_map
     bshape = fstate.bmass.shape
     S = bshape[0] * bshape[1]
-    pos = fstate.bpos.reshape(S, 3)
+    # positions drift UNWRAPPED between rebuckets (see _fast_segment);
+    # wrap here, where cells are re-derived from positions
+    pos = jnp.where((fstate.bmass > 0)[..., None],
+                    wrap_positions(fstate.bpos, box_size),
+                    0.0).reshape(S, 3)
     mass = fstate.bmass.reshape(S)
     src, _, _, _, overflow = bucket_src_map(
         pos, mass, box_size, ncell=ncell, capacity=capacity)
@@ -217,7 +221,8 @@ class BucketOverflowError(RuntimeError):
 
 def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
              rebucket_every: int = 16, n_steps: int = 1,
-             on_overflow: str = "drop", **kw) -> FastState:
+             on_overflow: str = "drop",
+             steps_since_rebucket: int = 0, **kw) -> FastState:
     """Advance `n_steps` KDK steps: jitted `lax.scan` segments of
     `rebucket_every` steps with a re-bucketing pass between segments.
 
@@ -225,16 +230,22 @@ def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
     scan body gets cond->select-converted by XLA and would execute the
     sort on EVERY step (measured: 275 -> 901 ms/step at 1M).
 
+    `steps_since_rebucket` carries the cadence ACROSS calls: chunked
+    callers (the engine's run loop) pass how many steps the incoming
+    state has already taken on its current bucketing, so the global
+    rebucket cadence stays every `rebucket_every` steps regardless of
+    chunking. (Without it, an engine chunk size <= rebucket_every never
+    rebuckets at all and deposit drops accumulate forever.) The
+    caller's next offset is (offset + n_steps - 1) % rebucket_every + 1.
+
     on_overflow: "drop" keeps the historical behavior (overflowed
     particles become zero-mass padding, COUNTED in fstate.overflow);
     "raise" aborts BEFORE accepting a lossy rebucket with a
     BucketOverflowError carrying the intact pre-rebucket state."""
     remaining = n_steps
+    since = max(0, int(steps_since_rebucket))
     while remaining > 0:
-        seg = min(rebucket_every, remaining)
-        fstate = _fast_segment(fstate, params, dt, n_steps=seg, **kw)
-        remaining -= seg
-        if remaining > 0:
+        if since >= rebucket_every:
             rb = _rebucket_jit(fstate, box_size=kw["box_size"],
                                ncell=kw["ncell"],
                                capacity=kw["capacity"])
@@ -242,6 +253,11 @@ def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
                     and int(rb.overflow) > int(fstate.overflow)):
                 raise BucketOverflowError(fstate, n_steps - remaining)
             fstate = rb
+            since = 0
+        seg = min(rebucket_every - since, remaining)
+        fstate = _fast_segment(fstate, params, dt, n_steps=seg, **kw)
+        remaining -= seg
+        since += seg
     return fstate
 
 
@@ -279,9 +295,16 @@ def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
         else:
             a_half, a1 = a0, a0
         pos = fs.bpos + vel * dt * drift_factor(a_half, kick_mode)
-        # wrap only live slots (keep padding at origin-with-mass-0)
-        pos = jnp.where((fs.bmass > 0)[..., None],
-                        wrap_positions(pos, box_size), 0.0)
+        # NO box wrap between rebuckets: a wrapped particle sits a whole
+        # box away from its (stale) bucket cell, so its deposit would be
+        # margin-dropped until the next rebucket (and its short-range
+        # pairs mis-shifted). Slightly-out-of-box positions are exact for
+        # every kernel: the deposit/gather one-hots use block-relative
+        # indices whose ghost folds wrap periodically, and the
+        # short-range rod shifts come from CELL indices, not positions.
+        # Positions wrap at rebucket time (where cells are re-derived)
+        # and on export to SimState.
+        pos = jnp.where((fs.bmass > 0)[..., None], pos, 0.0)
         fs = fs.replace(bpos=pos, bvel=vel, scale_factor=a1,
                         time=fs.time + dt, step=fs.step + 1)
 

@@ -472,3 +472,17 @@ def _pallas_direct_sym(positions, masses, box_size, softening, g_const, *,
 # per tile (they share the anchor), not random. Measured p50 per-particle
 # force error was 4x at 100k uniform. Periodic gravity needs the exact
 # per-pair minimum image; approximate it only through the TreePM split.
+
+# NOTE (round-2 cont. finding): the sym kernel is effectively at the VPU
+# speed-of-light for exact periodic gravity on v5e. Measured at 100k:
+# sym 75.8 ms; the SAME kernel with the min-image wrap compiled out
+# (periodic=False ceiling probe) is 65.1 ms -- the exact per-pair image
+# costs only ~14%, and the remaining ~26 VPU ops/pair are irreducible
+# (rsqrt + r^2 + force assembly + Newton's-third-law bookkeeping).
+# sym2 (box-unit coords, 2-op wrap) measured SLOWER (78.6 ms) despite
+# fewer ops -- not worth its 60x accuracy cost. Tile edges 768/1024 fail
+# to compile (VMEM). MXU offload is precision-dead: r^2 via the Gram
+# identity cancels catastrophically in f32 at softening scales
+# (soft^2/coord^2 ~ 1e-7 << f32 eps * |x|^2). The reference's RTX-4090
+# number (120 ms, README.md:155) is beaten 1.6x; further direct-sum
+# gains on this chip require lower-precision physics, not engineering.

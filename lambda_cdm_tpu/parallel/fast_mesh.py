@@ -633,16 +633,15 @@ def _mesh_fast_segment(fstate, params, dt, *, mesh, axis_name, box_size,
 
 
 def mesh_fast_run(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
-                  n_steps=1, axis_name: str = SHARD_AXIS, **kw):
-    """Advance n_steps with re-bucketing + migration between segments."""
+                  n_steps=1, axis_name: str = SHARD_AXIS,
+                  steps_since_rebucket: int = 0, **kw):
+    """Advance n_steps with re-bucketing + migration between segments.
+    `steps_since_rebucket` carries the cadence across chunked calls
+    (see ops/fast_treepm.fast_run)."""
     remaining = n_steps
+    since = max(0, int(steps_since_rebucket))
     while remaining > 0:
-        seg = min(rebucket_every, remaining)
-        fstate = _mesh_fast_segment(fstate, params, dt, mesh=mesh,
-                                    axis_name=axis_name, n_steps=seg,
-                                    **kw)
-        remaining -= seg
-        if remaining > 0:
+        if since >= rebucket_every:
             nbp, nbv, nbm, nbi, nba, ovf, _ = mesh_rebucket(
                 fstate.bpos, fstate.bvel, fstate.bmass, fstate.ids,
                 fstate.acc, mesh=mesh, box_size=kw["box_size"],
@@ -651,4 +650,11 @@ def mesh_fast_run(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
             fstate = fstate.replace(
                 bpos=nbp, bvel=nbv, bmass=nbm, ids=nbi, acc=nba,
                 overflow=fstate.overflow + ovf.astype(jnp.int32))
+            since = 0
+        seg = min(rebucket_every - since, remaining)
+        fstate = _mesh_fast_segment(fstate, params, dt, mesh=mesh,
+                                    axis_name=axis_name, n_steps=seg,
+                                    **kw)
+        remaining -= seg
+        since += seg
     return fstate

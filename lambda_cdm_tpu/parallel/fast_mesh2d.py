@@ -746,15 +746,14 @@ def _mesh_fast_segment2d(fstate, params, dt, *, mesh, box_size, ng,
 
 
 def mesh_fast_run2d(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
-                    n_steps=1, **kw):
-    """Advance n_steps with two-phase re-bucketing between segments."""
+                    n_steps=1, steps_since_rebucket: int = 0, **kw):
+    """Advance n_steps with two-phase re-bucketing between segments.
+    `steps_since_rebucket` carries the cadence across chunked calls
+    (see ops/fast_treepm.fast_run)."""
     remaining = n_steps
+    since = max(0, int(steps_since_rebucket))
     while remaining > 0:
-        seg = min(rebucket_every, remaining)
-        fstate = _mesh_fast_segment2d(fstate, params, dt, mesh=mesh,
-                                      n_steps=seg, **kw)
-        remaining -= seg
-        if remaining > 0:
+        if since >= rebucket_every:
             nbp, nbv, nbm, nbi, nba, bad = mesh_rebucket2d(
                 fstate.bpos, fstate.bvel, fstate.bmass, fstate.ids,
                 fstate.acc, mesh=mesh, box_size=kw["box_size"],
@@ -762,4 +761,10 @@ def mesh_fast_run2d(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
             fstate = fstate.replace(
                 bpos=nbp, bvel=nbv, bmass=nbm, ids=nbi, acc=nba,
                 overflow=fstate.overflow + bad.astype(jnp.int32))
+            since = 0
+        seg = min(rebucket_every - since, remaining)
+        fstate = _mesh_fast_segment2d(fstate, params, dt, mesh=mesh,
+                                      n_steps=seg, **kw)
+        remaining -= seg
+        since += seg
     return fstate

@@ -304,3 +304,58 @@ class TestBucketOverflowGrowth:
         live = np.asarray(eng.state.masses) > 0
         assert int(live.sum()) == n, \
             f"lost {n - int(live.sum())} particles to bucket overflow"
+
+
+class TestAdaptiveRebucketCadence:
+    def test_drops_halve_the_cadence(self):
+        """A chunk that drops deposits (drift beyond the block margin)
+        halves the engine's rebucket cadence so later chunks
+        self-correct instead of warning forever."""
+        from lambda_cdm_tpu.core.config import SimulationConfig
+        from lambda_cdm_tpu.core.engine import SimulationEngine
+        from lambda_cdm_tpu.core.state import make_state
+
+        n, box = 512, 32.0
+        key = jax.random.PRNGKey(9)
+        pos = jax.random.uniform(key, (n, 3), maxval=box)
+        # uniform streaming: ~0.6 PM cells per step -> safely inside the
+        # margin over <=2 steps, far beyond it over a 16-step segment
+        vel = jnp.tile(jnp.asarray([[0.8, 0.3, 0.0]]), (n, 1))
+        mass = jnp.full((n,), 1e-6)
+
+        cfg = SimulationConfig()
+        cfg.particles.num_particles = n
+        cfg.particles.box_size = box
+        cfg.forces.type = "treepm_fast"
+        cfg.forces.pm_grid_size = 24
+        cfg.forces.softening_length = 1.0
+        cfg.forces.rebucket_every = 16
+        cfg.cosmology.model = "Newtonian"
+        cfg.cosmology.final_redshift = -0.5
+        cfg.time.initial_timestep = 1.0
+        cfg.time.final_time = 1e9
+        cfg.units.system = "box"
+        cfg.units.G = 1e-8
+        cfg.simulation.output_frequency = 16
+        cfg.simulation.checkpoint_frequency = 0
+        cfg.profiling.output_file = ""
+
+        eng = SimulationEngine(cfg)
+        eng.initialize(state=make_state(pos, vel, mass, scale_factor=1.0))
+        eng.run(num_steps=16)
+        assert int(eng._fstate.dropped) > 0, "setup should drop deposits"
+        assert getattr(eng, "_fast_rebucket_every", 16) < 16
+
+        drops_before = int(eng._fstate.dropped)
+        cadence = eng._fast_rebucket_every
+        # keep running: cadence keeps halving until drops stop
+        for _ in range(4):
+            eng.run(num_steps=16)
+            if int(eng._fstate.dropped) == drops_before:
+                break
+            drops_before = int(eng._fstate.dropped)
+        assert eng._fast_rebucket_every <= cadence
+        final_drops = int(eng._fstate.dropped)
+        eng.run(num_steps=16)
+        assert int(eng._fstate.dropped) == final_drops, \
+            "cadence adaptation should eliminate drops"
