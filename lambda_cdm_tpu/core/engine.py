@@ -481,7 +481,8 @@ class SimulationEngine:
         return True
 
     def _fast_chunk(self, n: int) -> None:
-        from ..ops.fast_treepm import BucketOverflowError, fast_run
+        from ..ops.fast_treepm import (BucketOverflowError, fast_run,
+                                       next_rebucket_offset)
         cfg = self.config
         params = cfg.cosmology_params()
         dropped_before = int(self._fstate.dropped)
@@ -505,7 +506,7 @@ class SimulationEngine:
                 self._fstate, params, float(self._dt), mesh=self._mesh,
                 n_steps=n, rebucket_every=rebucket_every,
                 steps_since_rebucket=since, **self._fast_mesh_kw)
-            since = (since + n - 1) % rebucket_every + 1
+            since = next_rebucket_offset(since, n, rebucket_every)
         else:
             # grow-and-retry: a clustering state can exceed the static
             # bucket capacity -- instead of silently zero-massing the
@@ -521,7 +522,8 @@ class SimulationEngine:
                         rebucket_every=rebucket_every,
                         steps_since_rebucket=since,
                         **self._fast_kw)
-                    since = (since + remaining - 1) % rebucket_every + 1
+                    since = next_rebucket_offset(since, remaining,
+                                                 rebucket_every)
                     remaining = 0
                 except BucketOverflowError as exc:
                     remaining -= exc.steps_done
@@ -552,8 +554,12 @@ class SimulationEngine:
         import logging
         from ..ops.fast_treepm import _accel, build_fast_state, \
             flatten_fast_state
+        from ..physics.integrators import wrap_positions
         old_cap = self._fast_kw["capacity"]
         pos, vel, mass, ids = flatten_fast_state(fstate, with_ids=True)
+        # positions drift unwrapped between rebuckets: wrap before the
+        # rebuild re-derives cells (as _rebucket does)
+        pos = wrap_positions(pos, self._fast_kw["box_size"])
         n_live = pos.shape[0]
         t0 = time.perf_counter()
         new_cap = old_cap

@@ -219,6 +219,21 @@ class BucketOverflowError(RuntimeError):
         self.steps_done = steps_done
 
 
+def next_rebucket_offset(steps_since_rebucket: int, n_steps: int,
+                         rebucket_every: int) -> int:
+    """Closed form of fast_run's final steps-since-rebucket counter:
+    the single source of truth for chunked callers threading the cadence
+    across calls (the engine). Mirrors the loop exactly: an incoming
+    offset >= rebucket_every triggers an immediate rebucket (reset to 0)
+    before any step; thereafter rebuckets fire every `rebucket_every`
+    steps, with no trailing rebucket after the final step."""
+    if n_steps <= 0:
+        return max(0, int(steps_since_rebucket))
+    s0 = int(steps_since_rebucket)
+    s0 = s0 if 0 <= s0 < rebucket_every else 0
+    return (s0 + n_steps - 1) % rebucket_every + 1
+
+
 def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
              rebucket_every: int = 16, n_steps: int = 1,
              on_overflow: str = "drop",
@@ -235,8 +250,10 @@ def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
     state has already taken on its current bucketing, so the global
     rebucket cadence stays every `rebucket_every` steps regardless of
     chunking. (Without it, an engine chunk size <= rebucket_every never
-    rebuckets at all and deposit drops accumulate forever.) The
-    caller's next offset is (offset + n_steps - 1) % rebucket_every + 1.
+    rebuckets at all and deposit drops accumulate forever.) Compute the
+    caller's next offset with `next_rebucket_offset` -- do NOT inline
+    the modular arithmetic (an incoming offset >= rebucket_every, which
+    adaptive-cadence callers produce, resets to 0 first).
 
     on_overflow: "drop" keeps the historical behavior (overflowed
     particles become zero-mass padding, COUNTED in fstate.overflow);

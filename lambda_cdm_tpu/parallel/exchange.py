@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import SHARD_AXIS
+from .mesh import SHARD_AXIS, axis_size as _axis_size
 
 
 def pad_particles(positions, velocities, masses, *, n_dev: int,
@@ -94,14 +94,6 @@ def adaptive_slab_bounds(positions, masses, n_dev: int, box_size, *,
                             jnp.full((1,), box_size)])
 
 
-
-def _axis_size(mesh: Mesh, axis_name) -> int:
-    if isinstance(axis_name, tuple):
-        n = 1
-        for a in axis_name:
-            n *= mesh.shape[a]
-        return n
-    return mesh.shape[axis_name]
 
 
 def _owner_of(pos, mass, box_size, mesh, axis_name, bounds, my_id):

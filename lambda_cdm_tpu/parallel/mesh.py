@@ -85,6 +85,17 @@ def make_mesh3d(shape: tuple[int, int, int] | None = None,
                 axis_names)
 
 
+def axis_size(mesh: Mesh, axis_name) -> int:
+    """Device count along a mesh axis, or the flattened product for a
+    tuple of axes (3D block meshes)."""
+    if isinstance(axis_name, tuple):
+        n = 1
+        for a in axis_name:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis_name]
+
+
 def particle_sharding(mesh: Mesh, axis_name=SHARD_AXIS):
     """[N, ...] arrays sharded along N. `axis_name` may be a tuple of
     mesh axes (2D mesh: particles sharded over the flattened device

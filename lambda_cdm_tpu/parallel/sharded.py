@@ -32,17 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import SHARD_AXIS, particle_sharding
+from .mesh import SHARD_AXIS, axis_size as _axis_size, particle_sharding
 from ..forces.direct import min_image
-
-
-def _axis_size(mesh: Mesh, axis_name) -> int:
-    if isinstance(axis_name, tuple):
-        n = 1
-        for a in axis_name:
-            n *= mesh.shape[a]
-        return n
-    return mesh.shape[axis_name]
 
 
 def _partial_direct(pos_i, pos_j, mass_j, box_size, softening2):

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import SHARD_AXIS, particle_sharding
+from .mesh import AXES_3D, SHARD_AXIS, axis_size, particle_sharding
 from ..forces.direct import min_image
 from ..forces.treepm import short_range_factor, short_range_factor_poly
 
@@ -206,8 +206,7 @@ def ring_short_range_accelerations(positions, masses, *, box_size, rs,
     (no G factor). O(N^2/D) per device: the fallback when the box can't
     host one r_cut cell plane per device, and the test oracle for the
     halo version."""
-    from .sharded import _axis_size
-    n_dev = _axis_size(mesh, axis_name)
+    n_dev = axis_size(mesh, axis_name)
     soft2 = softening * softening
     s_fn = short_range_factor_poly if use_poly else short_range_factor
 
@@ -258,6 +257,11 @@ def sharded_treepm_accelerations(positions, masses, *, box_size,
             positions.shape[0], float(box_size), pm_grid, dims,
             split_factor=split_factor, cut_factor=cut_factor,
             capacity=capacity)
+        if plan is None:
+            # fail BEFORE the expensive PM solve
+            raise ValueError(
+                "box too small for one r_cut cell per device along every "
+                "3D mesh axis; use a 1D slab mesh (ring fallback) instead")
     else:
         plan = sharded_treepm_plan(
             positions.shape[0], float(box_size), pm_grid,
@@ -269,10 +273,6 @@ def sharded_treepm_accelerations(positions, masses, *, box_size,
                                         axis_name=(tuple(axis_name)
                                                    if is_3d else axis_name))
     if plan is None:
-        if is_3d:
-            raise ValueError(
-                "box too small for one r_cut cell per device along every "
-                "3D mesh axis; use a 1D slab mesh (ring fallback) instead")
         acc_short = ring_short_range_accelerations(
             positions, masses, box_size=float(box_size), rs=float(rs),
             softening=float(softening), use_poly=use_poly, mesh=mesh,
@@ -302,9 +302,8 @@ def sharded_treepm_accelerations(positions, masses, *, box_size,
 # cluster_comm.cpp:25-88) -- dimension-ordered halo exchange: 2 ppermutes
 # per axis (6 total) deliver all 26 neighbors because each axis ships the
 # halos accumulated by the previous axes (faces -> edges -> corners).
+# AXES_3D is shared from parallel.mesh.
 # ---------------------------------------------------------------------------
-
-AXES_3D = ("shx", "shy", "shz")
 
 
 def sharded_treepm_plan_3d(num_particles: int, box_size: float,

@@ -162,15 +162,13 @@ def bilinear_sample(field, xy, extent):
             + v01 * (1 - wx) * wy + v11 * wx * wy)
 
 
-def bilinear_sample_matmul(fields, xy, extent,
-                           precision=jax.lax.Precision.HIGHEST):
+def bilinear_sample_matmul(fields, xy, extent):
     """Bilinear sampling of a [F, ng, ng] field stack at xy [R, 2] via
     one-hot MXU contractions (XLA gathers serialize on TPU: the ray
     tracer spent ~9 ms/plane in them; this form is two GEMMs):
         out[f, r] = sum_ij Wx[r, i] fields[f, i, j] Wy[r, j]
-    Returns [F, R]. `precision` tunes the one-hot GEMM passes (the
-    weights are exact one-hots scaled by the fractional offset, so
-    HIGH -- bf16x3 -- loses <1e-6 relative vs HIGHEST here)."""
+    Returns [F, R]. (GEMM precision is a measured non-lever here:
+    HIGHEST/HIGH/DEFAULT all time identically at the bench geometry.)"""
     ng = fields.shape[-1]
     u = xy / extent * ng - 0.5
     i0 = jnp.floor(u)
@@ -188,7 +186,8 @@ def bilinear_sample_matmul(fields, xy, extent,
     wx = weights(0)
     wy = weights(1)
     # t[f, r, j] = sum_i Wx[r, i] fields[f, i, j]
-    t = jnp.einsum("ri,fij->frj", wx, fields, precision=precision)
+    t = jnp.einsum("ri,fij->frj", wx, fields,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(t * wy[None, :, :], axis=-1)        # [F, R]
 
 

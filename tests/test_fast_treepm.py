@@ -359,3 +359,30 @@ class TestAdaptiveRebucketCadence:
         eng.run(num_steps=16)
         assert int(eng._fstate.dropped) == final_drops, \
             "cadence adaptation should eliminate drops"
+
+
+class TestNextRebucketOffset:
+    def test_matches_fast_run_loop(self):
+        """The closed form must track fast_run's internal cadence for
+        every (offset, n, rebucket_every) -- including offsets beyond
+        the cadence, which adaptive-cadence halving produces."""
+        from lambda_cdm_tpu.ops.fast_treepm import next_rebucket_offset
+
+        def simulate(since, n, r):
+            remaining = n
+            since = max(0, since)
+            while remaining > 0:
+                if since >= r:
+                    since = 0
+                seg = min(r - since, remaining)
+                remaining -= seg
+                since += seg
+            return since
+
+        for r in (1, 2, 4, 8, 16):
+            for since in range(0, 2 * r + 2):
+                for n in (1, 2, r - 1, r, r + 1, 3 * r, 50):
+                    if n <= 0:
+                        continue
+                    assert next_rebucket_offset(since, n, r) == \
+                        simulate(since, n, r), (since, n, r)
