@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..forces.direct import min_image
-from ..forces.treepm import bucket_particles
+from ..forces.treepm import bucket_gather, bucket_src_map  # noqa: F401
 
 
 @jax.tree_util.register_dataclass
@@ -52,181 +52,310 @@ class HaloCatalog:
 # FoF via label propagation
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ncell", "capacity", "max_rounds"))
+_NEIGHBOR_SHIFTS = [(ox, oy, oz)
+                    for ox in (-1, 0, 1)
+                    for oy in (-1, 0, 1)
+                    for oz in (-1, 0, 1)]
+
+
+@partial(jax.jit, static_argnames=("ncell", "capacity"))
+def _fof_setup(positions, live, box_size, ncell: int, capacity: int):
+    """Bucket particles and build the slot<->particle maps. Dead rows
+    (live == False, the zero-mass padding convention) go to
+    bucket_src_map's virtual overflow cell: never bucketed, never
+    counted as overflow.
+
+    Bucketed coordinates come back as THREE [C, K] arrays, never one
+    [C, K, 3]: TPU tiling pads the two minor dims to (8, 128), so a
+    3-minor coordinate axis padds 3 -> 128 = 42.7x memory -- a
+    [32768, 1024, 3] lattice copy is 16 GB of HBM (the round-2 1M
+    clustered OOM)."""
+    n = positions.shape[0]
+    ncells = ncell ** 3
+    masses = jnp.where(live, 1.0, 0.0).astype(jnp.float32)
+    src, slot, order, ok, overflow = bucket_src_map(
+        positions, masses, box_size, ncell=ncell, capacity=capacity)
+    bxyz = tuple(
+        bucket_gather(positions[:, c], src, 0.0).reshape(ncells, capacity)
+        for c in range(3))
+    occupied = bucket_gather(masses, src, 0.0) \
+        .reshape(ncells, capacity) > 0        # [C, K]
+    pslot = jnp.full((n,), -1, jnp.int32)
+    pslot = pslot.at[order].set(jnp.where(ok, slot, -1).astype(jnp.int32))
+    # slot -> particle index (n where empty); bucketing is one-to-one on
+    # occupied slots so .min is exact
+    safe_slot = jnp.maximum(pslot, 0)
+    slot_particle = jnp.full((ncells * capacity,), n, jnp.int32)
+    slot_particle = slot_particle.at[safe_slot].min(
+        jnp.where(pslot >= 0, jnp.arange(n, dtype=jnp.int32), n))
+    return bxyz, occupied, pslot, slot_particle, overflow
+
+
+@partial(jax.jit, static_argnames=("ncell", "capacity"))
+def _fof_round(lab_p, bxyz, occupied, pslot, box_size, linking_length,
+               *, ncell: int, capacity: int):
+    """One hook-and-compress round as a single bounded device program.
+
+    `lab_p` [N] int32 holds particle-space labels (candidate root
+    particle ids, invariant lab_p[i] <= i). One round = scatter labels
+    into the cell lattice, min-propagate over the 27-stencil (hook),
+    gather back, pointer-jump to convergence (compress). Returns
+    (new lab_p, changed?). The caller loops rounds on the HOST: a
+    `while_loop` over hooks compiles into one device program whose
+    runtime scales as rounds x lattice work -- minutes at 1M clustered,
+    which the axon TPU watchdog kills (round-2 crash). One bounded
+    program per round + a scalar readback is robust and costs ~ms.
+    """
+    n = lab_p.shape[0]
+    k = capacity
+    ncells = ncell ** 3
+    big = jnp.int32(n)
+
+    # particle labels -> slot lattice (empty slots carry `big`)
+    safe_slot = jnp.maximum(pslot, 0)
+    slot_lab = jnp.full((ncells * k,), big, jnp.int32)
+    slot_lab = slot_lab.at[safe_slot].min(
+        jnp.where(pslot >= 0, lab_p, big))
+
+    bp3 = [b.reshape(ncell, ncell, ncell, k) for b in bxyz]
+    occ = occupied.reshape(ncell, ncell, ncell, k)
+    lab3 = slot_lab.reshape(ncell, ncell, ncell, k)
+    b2 = linking_length * linking_length
+    rows = ncell * ncell
+    bp_r = [b.reshape(rows, ncell, k) for b in bp3]
+    occ_r = occ.reshape(rows, ncell, k)
+    # chunk the neighbor (j) slot axis so pair temporaries stay
+    # [nc, K, jc] regardless of capacity (K=1024 direct calls would
+    # otherwise build 27 x 134MB+ temporaries per shift)
+    jc = min(k, 256)
+    # exact periodic image offset per lattice site: rolling the lattice
+    # by (ox,oy,oz) wraps only the boundary planes, and the wrapped
+    # plane's true displacement differs by exactly +-box along that
+    # axis. Adding box*((coord+shift)//ncell) to the rolled positions
+    # makes plain differences exact -- cells are axis-aligned, so unlike
+    # the direct kernel's per-tile image anchor this is NOT an
+    # approximation, and it deletes the per-PAIR min_image (6 ops/pair).
+    iota = jnp.arange(ncell, dtype=jnp.int32)
+
+    dtype = bxyz[0].dtype
+    new = lab3
+    for (ox, oy, oz) in _NEIGHBOR_SHIFTS:
+        shift3 = (ox, oy, oz)
+        off = [jnp.asarray(box_size, dtype)
+               * ((iota + s) // ncell).astype(dtype)
+               for s in shift3]
+        # per-axis wrap offsets live on the matching lattice axes
+        osh = [(ncell, 1, 1, 1), (1, ncell, 1, 1), (1, 1, ncell, 1)]
+        nb_p = [
+            (jnp.roll(bp3[c], (-ox, -oy, -oz), axis=(0, 1, 2))
+             + off[c].reshape(osh[c])).reshape(rows, ncell, k)
+            for c in range(3)]
+        nb_lab = jnp.roll(lab3, (-ox, -oy, -oz), axis=(0, 1, 2)) \
+            .reshape(rows, ncell, k)
+        nb_occ = jnp.roll(occ, (-ox, -oy, -oz), axis=(0, 1, 2)) \
+            .reshape(rows, ncell, k)
+        cur = new.reshape(rows, ncell, k)
+
+        def row(carry, xs):
+            cpx, cpy, cpz, co, cl, npx, npy, npz, nlab, nocc = xs
+            out = cl
+            for j0 in range(0, k, jc):
+                je = min(j0 + jc, k)
+                r2 = jnp.zeros((ncell, k, je - j0), jnp.float32)
+                for cp, np_ in ((cpx, npx), (cpy, npy), (cpz, npz)):
+                    d = np_[:, j0:je][:, None, :] - cp[:, :, None]
+                    r2 += d * d
+                linked = ((r2 < b2) & nocc[:, j0:je][:, None, :]
+                          & co[:, :, None])
+                cand = jnp.where(linked, nlab[:, j0:je][:, None, :], big)
+                out = jnp.minimum(out, jnp.min(cand, axis=-1))
+            return carry, out
+
+        _, upd = jax.lax.scan(
+            row, None, (bp_r[0], bp_r[1], bp_r[2], occ_r, cur,
+                        nb_p[0], nb_p[1], nb_p[2], nb_lab, nb_occ))
+        new = upd.reshape(ncell, ncell, ncell, k)
+
+    # back to particle space; capacity-overflow particles (pslot < 0)
+    # keep their current label here (they adopt the cell anchor at
+    # finalize)
+    hooked = new.reshape(ncells * k)
+    lab1 = jnp.where(pslot >= 0,
+                     jnp.minimum(lab_p, hooked[safe_slot]), lab_p)
+
+    # pointer-jump compression on the [N] particle array (lab[i] <= i
+    # so chains strictly descend; bounded gathers, converges ~log)
+    def cond(st):
+        lab, prev, i = st
+        return (i < 16) & jnp.any(lab != prev)
+
+    def body(st):
+        lab, _, i = st
+        return lab[lab], lab, i + 1
+
+    lab2, _, _ = jax.lax.while_loop(cond, body,
+                                    (lab1[lab1], lab1, jnp.int32(0)))
+    return lab2, jnp.any(lab2 != lab_p)
+
+
+@partial(jax.jit, static_argnames=("ncell", "capacity"))
+def _fof_adopt_overflow(lab_p, pslot, slot_particle, live, positions,
+                        box_size, *, ncell: int, capacity: int):
+    """Capacity-overflow particles (dense halo-core cells, occupancy >
+    capacity) merge into their own cell's group via the cell's slot-0
+    anchor particle: a cell that overflows a sane capacity is orders of
+    magnitude above the linking density, so standard FoF would link its
+    contents anyway -- the approximation is COUNTED (`overflow`),
+    bounding memory at [ncell^3, capacity] instead of sizing every cell
+    for the densest core."""
+    n = lab_p.shape[0]
+    cell = jnp.clip(jnp.floor(positions / box_size * ncell).astype(
+        jnp.int32), 0, ncell - 1)
+    cid = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
+    anchor = slot_particle[cid * capacity]    # own cell's slot-0 owner
+    anchor = jnp.minimum(anchor, n - 1)       # (full cell => occupied)
+    # dead padding rows keep their self-label (field singletons)
+    return jnp.where(pslot >= 0, lab_p,
+                     jnp.where(live, lab_p[anchor], lab_p))
+
+
 def fof_labels(positions, box_size, linking_length, *, ncell: int,
-               capacity: int, max_rounds: int = 64):
+               capacity: int, max_rounds: int = 64, live=None):
     """Connected components under the FoF relation |xi - xj| < b.
 
     Returns (label [N] int32 = root particle index per group, overflow).
     Algorithm: bucket particles into cells of size >= b; repeat
     { hook: label_i <- min over 27-stencil neighbors within b;
       compress: label <- label[label] (pointer jumping) } until fixpoint.
+    Labels live in PARTICLE space throughout (the round-1 slot-space
+    compression gathered over the full [C*K] padded lattice -- 134M
+    slots at production plans). Host-side round loop; see _fof_round.
+    `live` (bool [N], default all) excludes zero-mass padding rows:
+    they come back as field singletons.
     """
     n = positions.shape[0]
-    masses = jnp.ones((n,), jnp.float32)
-    bpos, bmass, pslot, overflow = bucket_particles(
-        positions, masses, box_size, ncell=ncell, capacity=capacity)
-    ncells = ncell ** 3
-    k = capacity
-    occupied = bmass > 0                      # [C, K]
+    if live is None:
+        live = jnp.ones((n,), bool)
+    bxyz, occupied, pslot, slot_particle, overflow = _fof_setup(
+        positions, live, box_size, ncell, capacity)
+    lab = jnp.arange(n, dtype=jnp.int32)
+    for _ in range(max_rounds):
+        lab, changed = _fof_round(
+            lab, bxyz, occupied, pslot, box_size, linking_length,
+            ncell=ncell, capacity=capacity)
+        if not bool(changed):
+            break
+    lab = _fof_adopt_overflow(lab, pslot, slot_particle, live, positions,
+                              box_size, ncell=ncell, capacity=capacity)
+    return lab, overflow
 
-    # label per slot = own flat slot index where occupied, else huge
-    flat_ids = jnp.arange(ncells * k, dtype=jnp.int32).reshape(ncells, k)
-    big = jnp.int32(ncells * k)
-    label0 = jnp.where(occupied, flat_ids, big)
 
-    bp = bpos.reshape(ncell, ncell, ncell, k, 3)
-    occ = occupied.reshape(ncell, ncell, ncell, k)
-    b2 = linking_length * linking_length
-
-    neighbor_shifts = [(ox, oy, oz)
-                       for ox in (-1, 0, 1)
-                       for oy in (-1, 0, 1)
-                       for oz in (-1, 0, 1)]
-
-    def hook(lab):
-        """One min-label sweep over the 27-stencil, scanned over cell
-        ROWS so the pair temporaries are [nc, K, K] (a full-lattice
-        [nc^3, K, K, 3] tensor is ~0.5 TB at production ncell/K -- the
-        round-2 memory blowup)."""
-        lab3 = lab.reshape(ncell, ncell, ncell, k)
-        rows = ncell * ncell
-        bp_r = bp.reshape(rows, ncell, k, 3)
-        occ_r = occ.reshape(rows, ncell, k)
-        new = lab3
-        for (ox, oy, oz) in neighbor_shifts:
-            nb_pos = jnp.roll(bp, (-ox, -oy, -oz), axis=(0, 1, 2)) \
-                .reshape(rows, ncell, k, 3)
-            nb_lab = jnp.roll(lab3, (-ox, -oy, -oz), axis=(0, 1, 2)) \
-                .reshape(rows, ncell, k)
-            nb_occ = jnp.roll(occ, (-ox, -oy, -oz), axis=(0, 1, 2)) \
-                .reshape(rows, ncell, k)
-            cur = new.reshape(rows, ncell, k)
-
-            def row(carry, xs):
-                cp, co, cl, npos, nlab, nocc = xs      # [nc(z), K, ...]
-                r2 = jnp.zeros((ncell, k, k), jnp.float32)
-                for c in range(3):
-                    d = min_image(npos[:, None, :, c]
-                                  - cp[:, :, None, c], box_size)
-                    r2 += d * d
-                linked = (r2 < b2) & nocc[:, None, :] & co[:, :, None]
-                cand = jnp.where(linked, nlab[:, None, :], big)
-                return carry, jnp.minimum(cl, jnp.min(cand, axis=-1))
-
-            _, upd = jax.lax.scan(
-                row, None, (bp_r, occ_r, cur, nb_pos, nb_lab, nb_occ))
-            new = upd.reshape(ncell, ncell, ncell, k)
-        return new.reshape(ncells, k)
-
-    def compress_full(lab):
-        """Pointer-jump to convergence (cheap gathers; full compression
-        between stencil hooks minimizes the expensive hook rounds)."""
-        def one(lab_flat):
-            safe = jnp.minimum(lab_flat, big - 1)
-            return jnp.where(lab_flat < big, lab_flat[safe], big)
-
-        def cond(st):
-            lab_flat, prev, i = st
-            return (i < 16) & jnp.any(lab_flat != prev)
-
-        def body(st):
-            lab_flat, _, i = st
-            return one(lab_flat), lab_flat, i + 1
-
-        flat = lab.ravel()
-        flat, _, _ = jax.lax.while_loop(cond, body,
-                                        (one(flat), flat, jnp.int32(0)))
-        return flat.reshape(ncells, k)
-
-    def cond(state):
-        lab, prev, i = state
-        return (i < max_rounds) & jnp.any(lab != prev)
-
-    def body(state):
-        lab, _, i = state
-        new = compress_full(hook(lab))
-        return new, lab, i + 1
-
-    lab = compress_full(hook(label0))
-    lab, _, rounds = jax.lax.while_loop(
-        cond, body, (lab, label0, jnp.int32(0)))
-
-    # slot labels -> per original particle. Capacity-overflow particles
-    # (dense halo-core cells, occupancy > capacity) merge into their own
-    # cell's group via the cell's slot-0 anchor: a cell that overflows a
-    # sane capacity is orders of magnitude above the linking density, so
-    # standard FoF would link its contents anyway -- the approximation
-    # is COUNTED (`overflow`), bounding memory at [ncell^3, capacity]
-    # instead of sizing every cell for the densest core (the round-2
-    # known gap: clustered 1e6+ fields blew up the padded layout).
-    flat_lab = lab.ravel()
-    safe_slot = jnp.maximum(pslot, 0)
-    cell = jnp.clip(jnp.floor(positions / box_size * ncell).astype(
-        jnp.int32), 0, ncell - 1)
-    cid = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
-    anchor = flat_lab[cid * k]               # own cell's slot-0 label
-    plabel = jnp.where(pslot >= 0, flat_lab[safe_slot], anchor)
-    # canonicalize: map slot-space roots to particle-space roots
-    # root slot -> the first particle owning it: build inverse map
-    inv = jnp.full((ncells * k + 1,), n, jnp.int32)
-    inv = inv.at[safe_slot].min(
-        jnp.where(pslot >= 0, jnp.arange(n, dtype=jnp.int32), n))
-    plabel = jnp.where(plabel < big, inv[plabel], jnp.arange(n))
-    return plabel, overflow
+_FOF_CAPS = (16, 32, 64, 128, 256, 512, 1024)
 
 
 def fof_plan(num_particles: int, box_size: float, linking_length: float,
              capacity: int = 0, positions=None,
-             max_capacity: int = 1024) -> dict:
+             max_capacity: int = 1024,
+             memory_budget_bytes: int = 2 << 30, live=None) -> dict:
     """Cell geometry for FoF (cells of size >= linking length).
 
     Unlike the force solvers (uniform-ish occupancy), FoF runs on
-    *clustered* data where a single cell can hold a whole halo core; if
-    `positions` is given, capacity is sized from the actual maximum cell
-    occupancy (host readback, power-of-2 rounded to bound recompiles)
-    but CAPPED at `max_capacity`: cells denser than that take the
-    counted merged-cell approximation in fof_labels instead of inflating
-    the padded [ncell^3, capacity] layout for every cell (the densest
-    core cell would otherwise set the memory bill for the whole box).
+    *clustered* data where a single cell can hold a whole halo core.
+    Any cell size >= b is correct (the 27-stencil covers all links), so
+    pick the cheapest padded layout -- work = 27 x ncell^3 x capacity^2
+    -- subject to two validity constraints per level: (i) merged-cell
+    overflow at the chosen capacity stays negligible (<0.1% of
+    particles; a capped coarse lattice otherwise over-merges the box
+    into garbage mega-groups), (ii) the [ncell^3, capacity] layout fits
+    `memory_budget_bytes` at 16 B/slot (with ~2x transient headroom for
+    the rolled neighbor copy -- unbudgeted fine lattices wedged the
+    16 GB v5e at 1M clustered). Note finer is NOT automatically
+    cheaper: capacity is bounded below by the densest cell, so
+    refining past the clustering scale multiplies cells without
+    shrinking capacity. Fall back to least-overflow if no level
+    qualifies (extreme cores -- overflow stays counted by fof_labels).
+    Occupancy for every level comes from ONE device pass: counts at the
+    finest lattice, pooled 2x per level (floor binning at ncell/2 ==
+    2^3-sum of ncell bins). The round-2 per-level recompiling scan took
+    70 s of compiles alone.
     """
-    nmax = max(min(int(math.floor(box_size / linking_length)), 128), 1)
+    nmax = max(min(int(math.floor(box_size / linking_length)), 128), 4)
+    nf = 1 << (nmax.bit_length() - 1)         # finest power-of-2 level
     if capacity > 0:
-        return {"ncell": nmax, "capacity": capacity}
+        return {"ncell": nf, "capacity": capacity}
+    caps = tuple(c for c in _FOF_CAPS if c <= max_capacity) or (16,)
+
+    def cap_from_budget(ncell):
+        cap = 16
+        for c in caps:
+            if 16 * ncell ** 3 * c <= memory_budget_bytes:
+                cap = c
+        return cap
+
     if positions is None:
-        # no occupancy information: finest admissible lattice with a
-        # generous per-cell headroom (capped)
-        mean_occ = num_particles / max(nmax ** 3, 1)
-        capacity = int(max(16, math.ceil(8.0 * mean_occ)))
-        capacity = min(((capacity + 7) // 8) * 8, max_capacity)
-        return {"ncell": nmax, "capacity": capacity}
-    # Any cell size >= b is CORRECT (the 27-stencil covers all links);
-    # finer cells cut per-cell pair work but on clustered data leave most
-    # cells empty while the densest core still sets the capacity -- the
-    # padded work C * 27 * K^2 then explodes (cell ~ b at 1M uniform:
-    # occupancy 0.5 at K >= 128 = 65000x padding). Scan halvings of the
-    # finest admissible lattice and take the cheapest padded layout.
-    best = None
-    ncell = nmax
-    while ncell >= 4:
-        max_occ = int(_max_cell_occupancy(positions, box_size, ncell))
-        cap = min(max(16, 1 << (max_occ - 1).bit_length()), max_capacity)
-        cost = ncell ** 3 * cap * cap
-        if best is None or cost < best[0]:
-            best = (cost, ncell, cap)
-        ncell //= 2
-    _, ncell, capacity = best
+        # no occupancy information: finest lattice, generous headroom
+        mean_occ = num_particles / max(nf ** 3, 1)
+        cap = int(max(16, math.ceil(8.0 * mean_occ)))
+        cap = min(((cap + 7) // 8) * 8, max_capacity, cap_from_budget(nf))
+        return {"ncell": nf, "capacity": cap}
+
+    if live is None:
+        live = jnp.ones((positions.shape[0],), bool)
+    stats = jax.device_get(
+        _occupancy_pyramid(positions, live, box_size, nf, caps))
+    n = num_particles
+    best_ok = None
+    best_any = None
+    for lvl, ncell in enumerate(_pyramid_levels(nf)):
+        max_occ = int(stats[lvl][0])
+        ovf_tab = stats[lvl][1]
+        cap_occ = max(16, 1 << (max(max_occ, 1) - 1).bit_length())
+        cap = min(cap_occ, max_capacity, cap_from_budget(ncell))
+        if 16 * ncell ** 3 * cap > memory_budget_bytes:
+            continue                          # level too fine for budget
+        ovf = 0 if cap >= max_occ else int(ovf_tab[caps.index(cap)])
+        work = 27 * ncell ** 3 * cap * cap
+        if ovf <= max(1, n // 1000):
+            if best_ok is None or work < best_ok[0]:
+                best_ok = (work, ncell, cap)
+        if best_any is None or (ovf, work) < best_any[:2]:
+            best_any = (ovf, work, ncell, cap)
+    if best_ok is not None:
+        _, ncell, capacity = best_ok
+    else:
+        _, _, ncell, capacity = best_any
     return {"ncell": ncell, "capacity": capacity}
 
 
-@partial(jax.jit, static_argnames=("ncell",))
-def _max_cell_occupancy(positions, box_size, ncell: int):
-    cell = jnp.clip(jnp.floor(positions / box_size * ncell).astype(
-        jnp.int32), 0, ncell - 1)
-    cid = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
+def _pyramid_levels(nf: int):
+    levels = []
+    ncell = nf
+    while ncell >= 4:
+        levels.append(ncell)
+        ncell //= 2
+    return levels
+
+
+@partial(jax.jit, static_argnames=("nf", "caps"))
+def _occupancy_pyramid(positions, live, box_size, nf: int, caps: tuple):
+    """Per level ncell = nf, nf/2, ..., 4: (max cell occupancy,
+    [particles beyond cap summed over cells, for cap in caps]).
+    Dead rows (zero-mass padding) are dropped via an out-of-range id."""
+    cell = jnp.clip(jnp.floor(positions / box_size * nf).astype(
+        jnp.int32), 0, nf - 1)
+    cid = (cell[:, 0] * nf + cell[:, 1]) * nf + cell[:, 2]
+    cid = jnp.where(live, cid, nf ** 3)       # segment_sum drops these
     counts = jax.ops.segment_sum(
-        jnp.ones_like(cid), cid, num_segments=ncell ** 3)
-    return jnp.max(counts)
+        jnp.ones_like(cid), cid, num_segments=nf ** 3).reshape(nf, nf, nf)
+    out = []
+    for ncell in _pyramid_levels(nf):
+        if ncell != nf:
+            counts = counts.reshape(ncell, 2, ncell, 2, ncell, 2) \
+                .sum(axis=(1, 3, 5))
+        ovf = jnp.stack([jnp.sum(jnp.maximum(counts - c, 0))
+                         for c in caps])
+        out.append((jnp.max(counts), ovf))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -355,10 +484,11 @@ def find_halos(positions, velocities, masses, box_size, *,
     """
     n = positions.shape[0]
     b = linking_length_factor * box_size / n ** (1.0 / 3.0)
-    plan = fof_plan(n, float(box_size), float(b), positions=positions)
+    plan = fof_plan(n, float(box_size), float(b), positions=positions,
+                    live=masses > 0)
     labels, overflow = fof_labels(
         positions, box_size, b, ncell=plan["ncell"],
-        capacity=plan["capacity"])
+        capacity=plan["capacity"], live=masses > 0)
     return catalog_from_labels(
         positions, velocities, masses, labels, box_size,
         max_halos=max_halos, min_particles=min_particles,

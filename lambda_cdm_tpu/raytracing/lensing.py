@@ -262,15 +262,27 @@ def snapshot_lightcone_planes(positions, masses, box_size, *, ng: int,
     [L, ng, ng] 3D-overdensity planes (the single-box light-cone
     approximation; production runs stack multiple output redshifts)."""
     d_chi = box_size / n_planes
+    rho_bar = jnp.sum(masses) / box_size ** 3
+    if ng % n_planes == 0:
+        # ONE 3D CIC deposit, then sum LOS sub-cells per slab: 16 masked
+        # per-plane scatter deposits cost 16x the particle scatter work
+        # (~3 s at 1M on TPU); the 3D-mesh projection is the standard
+        # lensing pipeline shortcut and CIC-smooths slab boundaries by
+        # at most one mesh cell.
+        from ..analysis.power_spectrum import cic_deposit
+        grid = cic_deposit(positions, ng, box_size, masses)
+        sigma = jnp.moveaxis(grid, axis, 0) \
+            .reshape(n_planes, ng // n_planes, ng, ng).sum(axis=1)
+        cell_area = (box_size / ng) ** 2
+        planes = sigma / cell_area / (rho_bar * d_chi) - 1.0
+        return planes, d_chi
     planes = []
     for i in range(n_planes):
         sigma = surface_density_plane(
             positions, masses, box_size, ng=ng, axis=axis,
             z_min=i * d_chi, z_max=(i + 1) * d_chi)
         # convert surface density to mean 3D overdensity through the slab
-        rho_bar = jnp.sum(masses) / box_size ** 3
-        delta = sigma / (rho_bar * d_chi) - 1.0
-        planes.append(delta)
+        planes.append(sigma / (rho_bar * d_chi) - 1.0)
     return jnp.stack(planes), d_chi
 
 

@@ -206,3 +206,32 @@ class TestOverfullCells:
         from lambda_cdm_tpu.analysis.halo_finder import fof_plan
         plan = fof_plan(10_000_000, 100.0, 0.02, max_capacity=512)
         assert plan["capacity"] <= 512
+
+
+class TestFofPlanClustered:
+    def test_plan_keeps_overflow_negligible(self):
+        """The padded-cost scan must not pick a coarse lattice whose
+        capped capacity over-merges the box (regression: ncell=4 'won'
+        on cost at 1M clustered with 93% merged-cell overflow)."""
+        import numpy as np
+        from lambda_cdm_tpu.analysis.halo_finder import (fof_labels,
+                                                         fof_plan)
+        n, box = 10_000, 50.0
+        n_u = int(0.7 * n)
+        pos_u = jax.random.uniform(jax.random.PRNGKey(0), (n_u, 3),
+                                   maxval=box)
+        centers = jax.random.uniform(jax.random.PRNGKey(1), (16, 3),
+                                     maxval=box)
+        which = jax.random.randint(jax.random.PRNGKey(2), (n - n_u,),
+                                   0, 16)
+        pos_c = (centers[which] + 0.3 * jax.random.normal(
+            jax.random.PRNGKey(3), (n - n_u, 3))) % box
+        pos = jnp.concatenate([pos_u, pos_c], axis=0)
+        link = 0.2 * box / n ** (1 / 3)
+        plan = fof_plan(n, box, link, positions=pos)
+        labels, ovf = fof_labels(pos, box, link, ncell=plan["ncell"],
+                                 capacity=plan["capacity"])
+        assert int(ovf) <= n // 1000
+        counts = np.unique(np.asarray(labels), return_counts=True)[1]
+        # the 16 planted clumps all resolve as separate groups
+        assert (counts >= 20).sum() >= 16

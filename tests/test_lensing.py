@@ -274,26 +274,28 @@ class TestAnalyticValidation:
         planes, d_chi = lz.snapshot_lightcone_planes(pos, mass, box,
                                                      ng=ng,
                                                      n_planes=n_planes)
-        # numpy CPU reference: same CIC, same normalization
+        # numpy CPU reference: same discretization (3D CIC deposit,
+        # slab-summed along the LOS -- what snapshot_lightcone_planes
+        # computes when ng % n_planes == 0)
         P, M = np.asarray(pos, np.float64), np.asarray(mass, np.float64)
-        ref_planes = []
-        for i in range(n_planes):
-            sel = (P[:, 2] >= i * d_chi) & (P[:, 2] < (i + 1) * d_chi)
-            w = np.where(sel, M, 0.0)
-            u = P[:, :2] / box * ng
-            i0 = np.floor(u - 0.5).astype(int)
-            f = (u - 0.5) - i0
-            g = np.zeros((ng, ng))
-            for dx in (0, 1):
-                wx = (1 - f[:, 0]) if dx == 0 else f[:, 0]
-                for dy in (0, 1):
-                    wy = (1 - f[:, 1]) if dy == 0 else f[:, 1]
+        u = P / box * ng
+        i0 = np.floor(u - 0.5).astype(int)
+        f = (u - 0.5) - i0
+        g = np.zeros((ng, ng, ng))
+        for dx in (0, 1):
+            wx = (1 - f[:, 0]) if dx == 0 else f[:, 0]
+            for dy in (0, 1):
+                wy = (1 - f[:, 1]) if dy == 0 else f[:, 1]
+                for dz in (0, 1):
+                    wz = (1 - f[:, 2]) if dz == 0 else f[:, 2]
                     np.add.at(g, ((i0[:, 0] + dx) % ng,
-                                  (i0[:, 1] + dy) % ng), w * wx * wy)
-            sigma = g / (box / ng) ** 2
-            rho_bar = M.sum() / box ** 3
-            ref_planes.append(sigma / (rho_bar * d_chi) - 1.0)
-        ref_planes = np.stack(ref_planes)
+                                  (i0[:, 1] + dy) % ng,
+                                  (i0[:, 2] + dz) % ng), M * wx * wy * wz)
+        rho_bar = M.sum() / box ** 3
+        sigma = np.moveaxis(g, 2, 0).reshape(
+            n_planes, ng // n_planes, ng, ng).sum(axis=1)
+        sigma = sigma / (box / ng) ** 2
+        ref_planes = sigma / (rho_bar * d_chi) - 1.0
         scale = np.abs(ref_planes).max()
         err = np.abs(np.asarray(planes) - ref_planes).max()
         assert err / scale < 1e-3, f"rel err {err/scale:.2e}"
