@@ -76,7 +76,12 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
     best = None
     d = 2
     while d <= pm_grid:
-        if pm_grid % d == 0 and box_size / d >= r_cut and d >= 3:
+        # ppc = pm_grid/d must be a multiple of 8: the rod-resident
+        # Pallas PM kernels DMA per-cell rods on 8-aligned sublanes
+        # (pallas_pm_rods.rod_geometry); 10M/384^3 picked ppc=6 without
+        # this and initialize_fast refused
+        if (pm_grid % d == 0 and (pm_grid // d) % 8 == 0
+                and box_size / d >= r_cut and d >= 3):
             cap = cap_for(d)
             cost = d ** 3 * 27 * cap * cap
             if best is None or cost < best[0]:

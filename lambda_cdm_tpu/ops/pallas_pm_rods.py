@@ -301,11 +301,14 @@ def _deposit_kernel(pos_ref, mass_ref, out_ref, *, nc, cap, ng, ppc, ell,
     i0 = jnp.floor(u - 0.5)
     frac = (u - 0.5) - i0
 
+    # z-cell id per slot via a [1, S] iota // cap (the [nc, cap]-iota
+    # reshape to 1D is an unsupported Mosaic shape cast when cap is not
+    # exactly one 128-lane tile -- hit at the 10M config's cap=256)
     org = jnp.stack([
         jnp.full((s,), (cx * ppc - (margin + 1)), jnp.float32),
         jnp.full((s,), (cy * ppc - (margin + 1)), jnp.float32),
-        (jax.lax.broadcasted_iota(jnp.int32, (nc, cap), 0)
-         .astype(jnp.float32).reshape(s) * ppc - (margin + 1)),
+        ((jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) // cap)
+         .astype(jnp.float32)[0] * ppc - (margin + 1)),
     ])
     il = i0 - org
     ok = jnp.all((il >= 0) & (il <= ell - 2), axis=0)

@@ -147,6 +147,16 @@ def _short_kernel_v3(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
     chq, v_scale, c1 = _poly_even_coeffs(rs)
 
     def body(rods, jrow, icol, accc, sem):
+        # rods plane layout: [0, nc) = z 0..nc-1 (the DMA target starts
+        # at sublane offset 0 -- a DMA whose slice starts at an
+        # unaligned sublane offset fails Mosaic's divisible-by-8 proof
+        # once cap > 128, i.e. more than one lane tile); plane nc = the
+        # z=-1 halo, plane nc+1 = the z=nc halo. The halo planes are
+        # periodic wraps WITHIN the same rod, so they are already in
+        # VMEM after the rod copy: register-copy them into place
+        # (register reads/writes take any static sublane offset; the
+        # old per-plane halo DMAs sliced HBM at offset nc-1, which
+        # Mosaic rejects for multi-lane-tile cap).
         src = pts_hbm
         dmas = []
         idx = 0
@@ -154,14 +164,8 @@ def _short_kernel_v3(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
             for dy in (-1, 0, 1):
                 r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
                 dmas.append(pltpu.make_async_copy(
-                    src.at[:, r_id], rods.at[idx, :, pl.ds(1, nc)],
-                    sem.at[idx, 0]))
-                dmas.append(pltpu.make_async_copy(
-                    src.at[:, r_id, pl.ds(nc - 1, 1)],
-                    rods.at[idx, :, pl.ds(0, 1)], sem.at[idx, 1]))
-                dmas.append(pltpu.make_async_copy(
-                    src.at[:, r_id, pl.ds(0, 1)],
-                    rods.at[idx, :, pl.ds(nc + 1, 1)], sem.at[idx, 2]))
+                    src.at[:, r_id], rods.at[idx, :, pl.ds(0, nc)],
+                    sem.at[idx]))
                 idx += 1
         for dma in dmas:
             dma.start()
@@ -171,36 +175,44 @@ def _short_kernel_v3(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
         idx = 0
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
+                rods[idx, :, nc:nc + 1, :] = rods[idx, :, nc - 1:nc, :]
+                rods[idx, :, nc + 1:nc + 2, :] = rods[idx, :, 0:1, :]
                 shift_x = jnp.where(cx + dx < 0, -box_size,
                                     jnp.where(cx + dx >= nc, box_size, 0.0))
                 shift_y = jnp.where(cy + dy < 0, -box_size,
                                     jnp.where(cy + dy >= nc, box_size, 0.0))
                 rods[idx, 0] = rods[idx, 0] + shift_x
                 rods[idx, 1] = rods[idx, 1] + shift_y
-                rods[idx, 2, 0:1, :] = rods[idx, 2, 0:1, :] - box_size
+                rods[idx, 2, nc:nc + 1, :] = \
+                    rods[idx, 2, nc:nc + 1, :] - box_size
                 rods[idx, 2, nc + 1:nc + 2, :] = \
                     rods[idx, 2, nc + 1:nc + 2, :] + box_size
                 idx += 1
+
+        def zplane(z):
+            """rods plane index for true z (halos live at nc, nc+1)."""
+            return nc if z == -1 else (nc + 1 if z == nc else z)
 
         for zc in range(nc):
             # assemble the 27-neighborhood as one [4, 27*cap] row set
             for r in range(9):
                 for sc in range(3):
+                    zi = zplane(zc + sc - 1)
                     off = (r * 3 + sc) * cap
                     for comp in range(3):
                         jrow[comp:comp + 1, off:off + cap] = \
-                            rods[r, comp, zc + sc:zc + sc + 1, :]
+                            rods[r, comp, zi:zi + 1, :]
                     # fold c1 into the j masses (w = m*c1 * max(...))
                     jrow[3:4, off:off + cap] = \
-                        rods[r, 3, zc + sc:zc + sc + 1, :] * c1
+                        rods[r, 3, zi:zi + 1, :] * c1
             # i coordinates as columns (lane -> sublane relayout, once)
-            icol[0, :, :] = jnp.transpose(rods[4, 0, 1 + zc:2 + zc, :])
-            icol[1, :, :] = jnp.transpose(rods[4, 1, 1 + zc:2 + zc, :])
-            icol[2, :, :] = jnp.transpose(rods[4, 2, 1 + zc:2 + zc, :])
+            icol[0, :, :] = jnp.transpose(rods[4, 0, zc:1 + zc, :])
+            icol[1, :, :] = jnp.transpose(rods[4, 1, zc:1 + zc, :])
+            icol[2, :, :] = jnp.transpose(rods[4, 2, zc:1 + zc, :])
             accc[...] = jnp.zeros_like(accc)
 
             ch = min(_CH, cap)
-            cnt = counts_ref[i, zc]
+            cnt = counts_ref[i * nc + zc]
             kiq = (cnt + ch - 1) // ch
 
             def chunk(ci, _):
@@ -238,7 +250,7 @@ def _short_kernel_v3(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
         jrow=pltpu.VMEM((4, 27 * cap), jnp.float32),
         icol=pltpu.VMEM((3, cap, 1), jnp.float32),
         accc=pltpu.VMEM((3, cap, 1), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA((9, 3)),
+        sem=pltpu.SemaphoreType.DMA((9,)),
     )
 
 
@@ -580,7 +592,12 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
         # rank 0..n_c): drives the dynamic per-cell i-chunk trip counts
         counts = jnp.sum(bmass.reshape(cc, cap) > 0, axis=1) \
             .astype(jnp.int32).reshape(ncell * ncell, ncell)
-        operands = [counts, pts]
+        # counts go to SMEM FLAT [C]: a 2D [ncell^2, ncell] SMEM array
+        # pads its minor dim to 128 lanes (1.18 MB at ncell=48, over the
+        # ~1 MB SMEM budget), and blocked SMEM specs need 8/128-divisible
+        # blocks; a 1-D scalar array stays unpadded (4 B/cell) and takes
+        # dynamic indices
+        operands = [counts.reshape(cc), pts]
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY)]
 
