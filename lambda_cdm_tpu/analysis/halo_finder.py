@@ -88,12 +88,15 @@ def _fof_setup(positions, live, box_size, ncell: int, capacity: int):
     slot_particle = jnp.full((ncells * capacity,), n, jnp.int32)
     slot_particle = slot_particle.at[safe_slot].min(
         jnp.where(pslot >= 0, jnp.arange(n, dtype=jnp.int32), n))
-    return bxyz, occupied, pslot, slot_particle, overflow
+    counts = jnp.sum(occupied, axis=1).astype(jnp.int32)  # live per cell
+    return bxyz, occupied, counts, pslot, slot_particle, overflow
 
 
-@partial(jax.jit, static_argnames=("ncell", "capacity"))
-def _fof_round(lab_p, bxyz, occupied, pslot, box_size, linking_length,
-               *, ncell: int, capacity: int):
+@partial(jax.jit, static_argnames=("ncell", "capacity", "box_size",
+                                  "linking_length", "hook"))
+def _fof_round(lab_p, bxyz, occupied, counts, pslot, *, box_size: float,
+               linking_length: float, ncell: int, capacity: int,
+               hook: str = "jnp"):
     """One hook-and-compress round as a single bounded device program.
 
     `lab_p` [N] int32 holds particle-space labels (candidate root
@@ -110,9 +113,26 @@ def _fof_round(lab_p, bxyz, occupied, pslot, box_size, linking_length,
     k = capacity
     ncells = ncell ** 3
     big = jnp.int32(n)
+    safe_slot = jnp.maximum(pslot, 0)
+
+    if hook in ("pallas", "pallas_interpret"):
+        # occupancy-aware Pallas sweep (ops/pallas_fof): labels ride as
+        # exact f32 (n < 2^24); only live i-rows are visited
+        from ..ops.pallas_fof import pallas_fof_hook
+        slot_f = jnp.full((ncells * k,), jnp.float32(n))
+        slot_f = slot_f.at[safe_slot].min(jnp.where(
+            pslot >= 0, lab_p.astype(jnp.float32), jnp.float32(n)))
+        hooked_f = pallas_fof_hook(
+            bxyz[0], bxyz[1], bxyz[2], slot_f.reshape(ncells, k),
+            counts, ncell=ncell, capacity=k, n_sentinel=n,
+            box_size=box_size, linking_length=linking_length,
+            interpret=(hook == "pallas_interpret"))
+        hooked = hooked_f.reshape(ncells * k).astype(jnp.int32)
+        lab1 = jnp.where(pslot >= 0,
+                         jnp.minimum(lab_p, hooked[safe_slot]), lab_p)
+        return _fof_compress(lab1, lab_p)
 
     # particle labels -> slot lattice (empty slots carry `big`)
-    safe_slot = jnp.maximum(pslot, 0)
     slot_lab = jnp.full((ncells * k,), big, jnp.int32)
     slot_lab = slot_lab.at[safe_slot].min(
         jnp.where(pslot >= 0, lab_p, big))
@@ -182,9 +202,13 @@ def _fof_round(lab_p, bxyz, occupied, pslot, box_size, linking_length,
     hooked = new.reshape(ncells * k)
     lab1 = jnp.where(pslot >= 0,
                      jnp.minimum(lab_p, hooked[safe_slot]), lab_p)
+    return _fof_compress(lab1, lab_p)
 
-    # pointer-jump compression on the [N] particle array (lab[i] <= i
-    # so chains strictly descend; bounded gathers, converges ~log)
+
+def _fof_compress(lab1, lab_prev):
+    """Pointer-jump compression on the [N] particle array (lab[i] <= i
+    so chains strictly descend; bounded gathers, converges ~log).
+    Returns (compressed labels, changed-vs-lab_prev?)."""
     def cond(st):
         lab, prev, i = st
         return (i < 16) & jnp.any(lab != prev)
@@ -195,7 +219,7 @@ def _fof_round(lab_p, bxyz, occupied, pslot, box_size, linking_length,
 
     lab2, _, _ = jax.lax.while_loop(cond, body,
                                     (lab1[lab1], lab1, jnp.int32(0)))
-    return lab2, jnp.any(lab2 != lab_p)
+    return lab2, jnp.any(lab2 != lab_prev)
 
 
 @partial(jax.jit, static_argnames=("ncell", "capacity"))
@@ -220,7 +244,8 @@ def _fof_adopt_overflow(lab_p, pslot, slot_particle, live, positions,
 
 
 def fof_labels(positions, box_size, linking_length, *, ncell: int,
-               capacity: int, max_rounds: int = 64, live=None):
+               capacity: int, max_rounds: int = 64, live=None,
+               hook: str = "auto"):
     """Connected components under the FoF relation |xi - xj| < b.
 
     Returns (label [N] int32 = root particle index per group, overflow).
@@ -232,17 +257,26 @@ def fof_labels(positions, box_size, linking_length, *, ncell: int,
     slots at production plans). Host-side round loop; see _fof_round.
     `live` (bool [N], default all) excludes zero-mass padding rows:
     they come back as field singletons.
+    `hook`: "auto" (occupancy-aware Pallas sweep on TPU, jnp lattice
+    elsewhere), "jnp", "pallas", or "pallas_interpret" (kernel under
+    the Pallas interpreter, for CPU validation).
     """
     n = positions.shape[0]
     if live is None:
         live = jnp.ones((n,), bool)
-    bxyz, occupied, pslot, slot_particle, overflow = _fof_setup(
+    if hook == "auto":
+        hook = ("pallas" if (jax.default_backend() == "tpu"
+                             and n < (1 << 24) and ncell >= 3
+                             and capacity % 8 == 0) else "jnp")
+    bxyz, occupied, counts, pslot, slot_particle, overflow = _fof_setup(
         positions, live, box_size, ncell, capacity)
     lab = jnp.arange(n, dtype=jnp.int32)
     for _ in range(max_rounds):
         lab, changed = _fof_round(
-            lab, bxyz, occupied, pslot, box_size, linking_length,
-            ncell=ncell, capacity=capacity)
+            lab, bxyz, occupied, counts, pslot,
+            box_size=float(box_size),
+            linking_length=float(linking_length),
+            ncell=ncell, capacity=capacity, hook=hook)
         if not bool(changed):
             break
     lab = _fof_adopt_overflow(lab, pslot, slot_particle, live, positions,
@@ -310,16 +344,22 @@ def fof_plan(num_particles: int, box_size: float, linking_length: float,
         max_occ = int(stats[lvl][0])
         ovf_tab = stats[lvl][1]
         cap_occ = max(16, 1 << (max(max_occ, 1) - 1).bit_length())
-        cap = min(cap_occ, max_capacity, cap_from_budget(ncell))
-        if 16 * ncell ** 3 * cap > memory_budget_bytes:
-            continue                          # level too fine for budget
-        ovf = 0 if cap >= max_occ else int(ovf_tab[caps.index(cap)])
-        work = 27 * ncell ** 3 * cap * cap
-        if ovf <= max(1, n // 1000):
-            if best_ok is None or work < best_ok[0]:
-                best_ok = (work, ncell, cap)
-        if best_any is None or (ovf, work) < best_any[:2]:
-            best_any = (ovf, work, ncell, cap)
+        # consider EVERY tabulated capacity <= the occupancy bound: a
+        # deliberately smaller capacity that overflows only a handful of
+        # extreme core cells often wins the work race outright (e.g.
+        # 64^3 x 256 with 0.05% merged beats 32^3 x 1024 exact by 2x)
+        for cap in caps:
+            if cap > cap_occ or cap > max_capacity:
+                break
+            if 16 * ncell ** 3 * cap > memory_budget_bytes:
+                continue                      # too fine for the budget
+            ovf = 0 if cap >= max_occ else int(ovf_tab[caps.index(cap)])
+            work = 27 * ncell ** 3 * cap * cap
+            if ovf <= max(1, n // 1000):
+                if best_ok is None or work < best_ok[0]:
+                    best_ok = (work, ncell, cap)
+            if best_any is None or (ovf, work) < best_any[:2]:
+                best_any = (ovf, work, ncell, cap)
     if best_ok is not None:
         _, ncell, capacity = best_ok
     else:

@@ -235,3 +235,49 @@ class TestFofPlanClustered:
         counts = np.unique(np.asarray(labels), return_counts=True)[1]
         # the 16 planted clumps all resolve as separate groups
         assert (counts >= 20).sum() >= 16
+
+
+class TestPallasFofHook:
+    """ops/pallas_fof must reproduce the jnp lattice hook exactly
+    (labels are integers; both paths must converge to identical
+    components)."""
+
+    def test_interpret_matches_jnp(self):
+        key = jax.random.PRNGKey(0)
+        n, box = 3000, 20.0
+        nu = int(0.7 * n)
+        pos = jnp.concatenate([
+            jax.random.uniform(key, (nu, 3), maxval=box),
+            (jax.random.uniform(jax.random.PRNGKey(1), (8, 3),
+                                maxval=box)[
+                jax.random.randint(jax.random.PRNGKey(2), (n - nu,),
+                                   0, 8)]
+             + 0.2 * jax.random.normal(jax.random.PRNGKey(3),
+                                       (n - nu, 3))) % box])
+        from lambda_cdm_tpu.analysis.halo_finder import fof_labels
+        link = 0.25 * box / n ** (1 / 3)
+        la, o1 = fof_labels(pos, box, link, ncell=8, capacity=64,
+                            hook="jnp")
+        lb, o2 = fof_labels(pos, box, link, ncell=8, capacity=64,
+                            hook="pallas_interpret")
+        assert bool(jnp.all(la == lb))
+        assert int(o1) == int(o2)
+
+    def test_interpret_matches_jnp_with_overflow_and_dead_rows(self):
+        key = jax.random.PRNGKey(5)
+        box = 20.0
+        core = 10.0 + 0.15 * jax.random.normal(key, (900, 3))
+        bg = jax.random.uniform(jax.random.PRNGKey(6), (600, 3),
+                                maxval=box)
+        pos = jnp.concatenate([core, bg, jnp.zeros((24, 3))]) % box
+        live = jnp.concatenate([jnp.ones((1500,), bool),
+                                jnp.zeros((24,), bool)])
+        from lambda_cdm_tpu.analysis.halo_finder import fof_labels
+        la, o1 = fof_labels(pos, box, 0.5, ncell=8, capacity=64,
+                            hook="jnp", live=live)
+        lb, o2 = fof_labels(pos, box, 0.5, ncell=8, capacity=64,
+                            hook="pallas_interpret", live=live)
+        assert bool(jnp.all(la == lb))
+        assert int(o1) == int(o2) and int(o1) > 0
+        # dead rows stay field singletons
+        assert bool(jnp.all(lb[-24:] == jnp.arange(1500, 1524)))
