@@ -35,17 +35,25 @@ def timeit(f, *a, reps=3):
 def main():
     print("devices:", jax.devices())
     n, box, ng = 1_000_000, 100.0, 256
-    key = jax.random.PRNGKey(0)
+
     # mildly clustered field: uniform + a clumped fraction (FoF needs
-    # some linking structure to exercise the union-find iterations)
-    n_u = int(0.8 * n)
-    pos_u = jax.random.uniform(key, (n_u, 3), maxval=box)
-    centers = jax.random.uniform(jax.random.PRNGKey(1), (256, 3),
-                                 maxval=box)
-    which = jax.random.randint(jax.random.PRNGKey(2), (n - n_u,), 0, 256)
-    pos_c = (centers[which] + 0.5 * jax.random.normal(
-        jax.random.PRNGKey(3), (n - n_u, 3))) % box
-    pos = jnp.concatenate([pos_u, pos_c], axis=0)
+    # some linking structure to exercise the union-find iterations).
+    # Built under jit: eager ops on the axon TPU take MINUTES at 1M.
+    @jax.jit
+    def build():
+        n_u = int(0.8 * n)
+        pos_u = jax.random.uniform(jax.random.PRNGKey(0), (n_u, 3),
+                                   maxval=box)
+        centers = jax.random.uniform(jax.random.PRNGKey(1), (256, 3),
+                                     maxval=box)
+        which = jax.random.randint(jax.random.PRNGKey(2), (n - n_u,),
+                                   0, 256)
+        pos_c = (centers[which] + 0.5 * jax.random.normal(
+            jax.random.PRNGKey(3), (n - n_u, 3))) % box
+        return jnp.concatenate([pos_u, pos_c], axis=0)
+
+    pos = build()
+    sync(pos)
     m = jnp.full((n,), 27.7536 * 0.31 * box ** 3 / n, jnp.float32)
 
     # P(k) at 256^3
