@@ -6,15 +6,18 @@ binning), FoF halo finding + catalog at 1M particles, and the lens-plane
 build. Run manually; results recorded in BASELINE.md.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    sys.path[0], ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 

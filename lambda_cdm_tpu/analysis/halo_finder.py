@@ -265,9 +265,11 @@ def fof_labels(positions, box_size, linking_length, *, ncell: int,
     if live is None:
         live = jnp.ones((n,), bool)
     if hook == "auto":
+        # capacity must be a whole number of 128-lane tiles: the kernel
+        # slices jrow at lane offsets that are multiples of capacity
         hook = ("pallas" if (jax.default_backend() == "tpu"
                              and n < (1 << 24) and ncell >= 3
-                             and capacity % 8 == 0) else "jnp")
+                             and capacity % 128 == 0) else "jnp")
     bxyz, occupied, counts, pslot, slot_particle, overflow = _fof_setup(
         positions, live, box_size, ncell, capacity)
     lab = jnp.arange(n, dtype=jnp.int32)
@@ -313,7 +315,12 @@ def fof_plan(num_particles: int, box_size: float, linking_length: float,
     2^3-sum of ncell bins). The round-2 per-level recompiling scan took
     70 s of compiles alone.
     """
-    nmax = max(min(int(math.floor(box_size / linking_length)), 128), 4)
+    # cells must stay >= b for the 27-stencil to cover all links; do NOT
+    # clamp nmax up (cells < b silently drop real links -- for b >
+    # box/4 the correct lattice is 1-3 cells across, which the hook
+    # handles: min-propagation is idempotent, so the degenerate rolls
+    # that alias neighbors on tiny lattices cannot double-count)
+    nmax = max(min(int(math.floor(box_size / linking_length)), 128), 1)
     nf = 1 << (nmax.bit_length() - 1)         # finest power-of-2 level
     if capacity > 0:
         return {"ncell": nf, "capacity": capacity}
@@ -370,8 +377,10 @@ def fof_plan(num_particles: int, box_size: float, linking_length: float,
 def _pyramid_levels(nf: int):
     levels = []
     ncell = nf
-    while ncell >= 4:
+    while ncell >= 1:
         levels.append(ncell)
+        if ncell == 1:
+            break
         ncell //= 2
     return levels
 

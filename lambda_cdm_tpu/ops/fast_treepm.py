@@ -74,20 +74,32 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
         return max(128, ((c + 127) // 128) * 128)
 
     best = None
+    geom_ok = False
     d = 2
     while d <= pm_grid:
-        # ppc = pm_grid/d must be a multiple of 8: the rod-resident
-        # Pallas PM kernels DMA per-cell rods on 8-aligned sublanes
-        # (pallas_pm_rods.rod_geometry); 10M/384^3 picked ppc=6 without
-        # this and initialize_fast refused
-        if (pm_grid % d == 0 and (pm_grid // d) % 8 == 0
-                and box_size / d >= r_cut and d >= 3):
-            cap = cap_for(d)
-            cost = d ** 3 * 27 * cap * cap
-            if best is None or cost < best[0]:
-                best = (cost, d, cap)
+        if pm_grid % d == 0 and box_size / d >= r_cut and d >= 3:
+            geom_ok = True
+            # ppc = pm_grid/d must be a multiple of 8: the rod-resident
+            # Pallas PM kernels DMA per-cell rods on 8-aligned sublanes
+            # (pallas_pm_rods.rod_geometry); 10M/384^3 picked ppc=6
+            # without this and initialize_fast refused
+            if (pm_grid // d) % 8 == 0:
+                cap = cap_for(d)
+                cost = d ** 3 * 27 * cap * cap
+                if best is None or cost < best[0]:
+                    best = (cost, d, cap)
         d += 1
     if best is None:
+        if geom_ok:
+            # geometry admits a decomposition but no divisor keeps
+            # pm_grid/ncell a multiple of 8 -- silently degrading to
+            # the single-cell plan would turn the short-range pass into
+            # an O(N^2/1) monster; fail with the actionable constraint
+            raise ValueError(
+                f"pm_grid={pm_grid} has no divisor d >= 3 with cells "
+                f">= r_cut and pm_grid/d % 8 == 0; pick a PM grid with "
+                f"an 8-aligned cells-per-rod divisor (e.g. 192, 256, "
+                f"384, 448, 512)")
         # box too small for a 3^3 stencil: single-cell degenerate plan
         return {"rs": rs, "r_cut": r_cut, "ncell": 1,
                 "capacity": cap_for(1), "margin": margin}

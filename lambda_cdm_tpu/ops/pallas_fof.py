@@ -143,11 +143,17 @@ def pallas_fof_hook(bx, by, bz, slot_lab_f32, counts, *, ncell: int,
 
     bx/by/bz [C, K] bucketed coordinates, slot_lab_f32 [C, K] labels
     (empty slots = n_sentinel encoded f32), counts [C] int32 live
-    counts per cell.  Requires ncell >= 3, capacity a multiple of 8,
-    and n_sentinel < 2^24 (f32-exact integer range).
+    counts per cell.  Requires ncell >= 3, capacity a multiple of 128
+    (jrow lane slices sit at multiples of capacity and Mosaic needs
+    them 128-aligned), and n_sentinel < 2^24 (f32-exact range).
     """
     if n_sentinel >= 1 << 24:
         raise ValueError("labels must stay in the f32-exact range")
+    if capacity % 128:
+        raise ValueError("pallas_fof_hook needs capacity % 128 == 0 "
+                         "(use the jnp hook for smaller capacities)")
+    if ncell < 3:
+        raise ValueError("pallas_fof_hook needs ncell >= 3")
     cc = ncell ** 3
     cap = capacity
     pts = jnp.stack([bx, by, bz, slot_lab_f32], axis=0) \

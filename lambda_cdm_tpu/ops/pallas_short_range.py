@@ -140,6 +140,11 @@ def _short_kernel_v3(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
 
     Also uses the even-polynomial split (_poly_even_coeffs): the pair
     weight is evaluated straight from r^2 (no r, no endpoint factor).
+
+    MAINTENANCE: ops/pallas_fof._fof_hook_kernel mirrors this kernel's
+    rod-DMA / halo-register-copy / jrow-assembly scaffolding (payload:
+    min-label instead of force). Fixes to the Mosaic-constrained
+    scaffolding here almost certainly apply there too.
     """
     i = pl.program_id(0)
     cx = i // nc
@@ -591,13 +596,13 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
         # live-first bucket counts (bucket_particles packs live slots at
         # rank 0..n_c): drives the dynamic per-cell i-chunk trip counts
         counts = jnp.sum(bmass.reshape(cc, cap) > 0, axis=1) \
-            .astype(jnp.int32).reshape(ncell * ncell, ncell)
+            .astype(jnp.int32)
         # counts go to SMEM FLAT [C]: a 2D [ncell^2, ncell] SMEM array
         # pads its minor dim to 128 lanes (1.18 MB at ncell=48, over the
         # ~1 MB SMEM budget), and blocked SMEM specs need 8/128-divisible
         # blocks; a 1-D scalar array stays unpadded (4 B/cell) and takes
         # dynamic indices
-        operands = [counts.reshape(cc), pts]
+        operands = [counts, pts]
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY)]
 

@@ -256,9 +256,9 @@ class TestPallasFofHook:
                                        (n - nu, 3))) % box])
         from lambda_cdm_tpu.analysis.halo_finder import fof_labels
         link = 0.25 * box / n ** (1 / 3)
-        la, o1 = fof_labels(pos, box, link, ncell=8, capacity=64,
+        la, o1 = fof_labels(pos, box, link, ncell=8, capacity=128,
                             hook="jnp")
-        lb, o2 = fof_labels(pos, box, link, ncell=8, capacity=64,
+        lb, o2 = fof_labels(pos, box, link, ncell=8, capacity=128,
                             hook="pallas_interpret")
         assert bool(jnp.all(la == lb))
         assert int(o1) == int(o2)
@@ -266,16 +266,18 @@ class TestPallasFofHook:
     def test_interpret_matches_jnp_with_overflow_and_dead_rows(self):
         key = jax.random.PRNGKey(5)
         box = 20.0
-        core = 10.0 + 0.15 * jax.random.normal(key, (900, 3))
+        # centered IN a cell (11.25 at ncell=8/box=20): a corner-seated
+        # clump splits over 8 cells and ducks under capacity
+        core = 11.25 + 0.15 * jax.random.normal(key, (900, 3))
         bg = jax.random.uniform(jax.random.PRNGKey(6), (600, 3),
                                 maxval=box)
         pos = jnp.concatenate([core, bg, jnp.zeros((24, 3))]) % box
         live = jnp.concatenate([jnp.ones((1500,), bool),
                                 jnp.zeros((24,), bool)])
         from lambda_cdm_tpu.analysis.halo_finder import fof_labels
-        la, o1 = fof_labels(pos, box, 0.5, ncell=8, capacity=64,
+        la, o1 = fof_labels(pos, box, 0.5, ncell=8, capacity=128,
                             hook="jnp", live=live)
-        lb, o2 = fof_labels(pos, box, 0.5, ncell=8, capacity=64,
+        lb, o2 = fof_labels(pos, box, 0.5, ncell=8, capacity=128,
                             hook="pallas_interpret", live=live)
         assert bool(jnp.all(la == lb))
         assert int(o1) == int(o2) and int(o1) > 0

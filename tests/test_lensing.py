@@ -300,6 +300,40 @@ class TestAnalyticValidation:
         err = np.abs(np.asarray(planes) - ref_planes).max()
         assert err / scale < 1e-3, f"rel err {err/scale:.2e}"
 
+    def test_slab_cut_path_matches_cpu_reference(self):
+        """ng % n_planes != 0 falls back to per-plane hard-cut 2D CIC;
+        that branch needs its own reference (the fast 3D-deposit path
+        is deliberately a different discretization)."""
+        key = jax.random.PRNGKey(8)
+        n, box, ng, n_planes = 5_000, 100.0, 64, 5
+        pos = jax.random.uniform(key, (n, 3), maxval=box)
+        mass = jax.random.uniform(jax.random.PRNGKey(9), (n,),
+                                  minval=0.5, maxval=2.0)
+        planes, d_chi = lz.snapshot_lightcone_planes(pos, mass, box,
+                                                     ng=ng,
+                                                     n_planes=n_planes)
+        P, M = np.asarray(pos, np.float64), np.asarray(mass, np.float64)
+        rho_bar = M.sum() / box ** 3
+        ref = []
+        for i in range(n_planes):
+            sel = (P[:, 2] >= i * d_chi) & (P[:, 2] < (i + 1) * d_chi)
+            w = np.where(sel, M, 0.0)
+            u = P[:, :2] / box * ng
+            i0 = np.floor(u - 0.5).astype(int)
+            f = (u - 0.5) - i0
+            g = np.zeros((ng, ng))
+            for dx in (0, 1):
+                wx = (1 - f[:, 0]) if dx == 0 else f[:, 0]
+                for dy in (0, 1):
+                    wy = (1 - f[:, 1]) if dy == 0 else f[:, 1]
+                    np.add.at(g, ((i0[:, 0] + dx) % ng,
+                                  (i0[:, 1] + dy) % ng), w * wx * wy)
+            ref.append(g / (box / ng) ** 2 / (rho_bar * d_chi) - 1.0)
+        ref = np.stack(ref)
+        scale = np.abs(ref).max()
+        err = np.abs(np.asarray(planes) - ref).max()
+        assert err / scale < 1e-3, f"rel err {err/scale:.2e}"
+
     def test_multi_snapshot_lightcone(self):
         """build_lightcone stacks snapshots with per-plane a(chi) and
         picks the nearest-epoch snapshot per plane."""
