@@ -102,7 +102,7 @@ def main():
     f_planes = jax.jit(lambda p, w: snapshot_lightcone_planes(
         p, w, box, ng=256, n_planes=16))
     dt_pl, _ = timeit(f_planes, pos, m)
-    print(f"16 lens planes (2D CIC projections @256^2): "
+    print(f"16 lens planes (3D CIC + slab sums @256^2): "
           f"{dt_pl*1e3:.1f} ms")
 
 

@@ -347,9 +347,11 @@ def fof_plan(num_particles: int, box_size: float, linking_length: float,
     n = num_particles
     best_ok = None
     best_any = None
+    kernel_caps = (jax.default_backend() == "tpu" and n < (1 << 24))
     for lvl, ncell in enumerate(_pyramid_levels(nf)):
         max_occ = int(stats[lvl][0])
         ovf_tab = stats[lvl][1]
+        nonempty = int(stats[lvl][2])
         cap_occ = max(16, 1 << (max(max_occ, 1) - 1).bit_length())
         # consider EVERY tabulated capacity <= the occupancy bound: a
         # deliberately smaller capacity that overflows only a handful of
@@ -361,7 +363,14 @@ def fof_plan(num_particles: int, box_size: float, linking_length: float,
             if 16 * ncell ** 3 * cap > memory_budget_bytes:
                 continue                      # too fine for the budget
             ovf = 0 if cap >= max_occ else int(ovf_tab[caps.index(cap)])
-            work = 27 * ncell ** 3 * cap * cap
+            if kernel_caps and cap % 128 == 0 and ncell >= 3:
+                # occupancy-aware Pallas hook: only live i rows are
+                # visited, in 16-row chunks -> pair work ~
+                # 27*cap*(n + chunk padding), independent of ncell^3
+                work = 27 * cap * (n + 16 * nonempty)
+            else:
+                # jnp lattice hook grinds every padded slot pair
+                work = 27 * ncell ** 3 * cap * cap
             if ovf <= max(1, n // 1000):
                 if best_ok is None or work < best_ok[0]:
                     best_ok = (work, ncell, cap)
@@ -387,8 +396,9 @@ def _pyramid_levels(nf: int):
 
 @partial(jax.jit, static_argnames=("nf", "caps"))
 def _occupancy_pyramid(positions, live, box_size, nf: int, caps: tuple):
-    """Per level ncell = nf, nf/2, ..., 4: (max cell occupancy,
-    [particles beyond cap summed over cells, for cap in caps]).
+    """Per level ncell = nf, nf/2, ..., 1: (max cell occupancy,
+    [particles beyond cap summed over cells, for cap in caps],
+    number of non-empty cells).
     Dead rows (zero-mass padding) are dropped via an out-of-range id."""
     cell = jnp.clip(jnp.floor(positions / box_size * nf).astype(
         jnp.int32), 0, nf - 1)
@@ -403,7 +413,7 @@ def _occupancy_pyramid(positions, live, box_size, nf: int, caps: tuple):
                 .sum(axis=(1, 3, 5))
         ovf = jnp.stack([jnp.sum(jnp.maximum(counts - c, 0))
                          for c in caps])
-        out.append((jnp.max(counts), ovf))
+        out.append((jnp.max(counts), ovf, jnp.sum(counts > 0)))
     return out
 
 
