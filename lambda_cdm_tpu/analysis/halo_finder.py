@@ -93,10 +93,10 @@ def _fof_setup(positions, live, box_size, ncell: int, capacity: int):
 
 
 @partial(jax.jit, static_argnames=("ncell", "capacity", "box_size",
-                                  "linking_length", "hook"))
+                                  "linking_length", "hook", "reverse"))
 def _fof_round(lab_p, bxyz, occupied, counts, pslot, *, box_size: float,
                linking_length: float, ncell: int, capacity: int,
-               hook: str = "jnp"):
+               hook: str = "jnp", reverse: bool = False):
     """One hook-and-compress round as a single bounded device program.
 
     `lab_p` [N] int32 holds particle-space labels (candidate root
@@ -116,18 +116,19 @@ def _fof_round(lab_p, bxyz, occupied, counts, pslot, *, box_size: float,
     safe_slot = jnp.maximum(pslot, 0)
 
     if hook in ("pallas", "pallas_interpret"):
-        # occupancy-aware Pallas sweep (ops/pallas_fof): labels ride as
-        # exact f32 (n < 2^24); only live i-rows are visited
+        # occupancy-aware Pallas Gauss-Seidel sweep (ops/pallas_fof):
+        # labels ride in their own int32 plane (any N); only live
+        # i-rows are visited
         from ..ops.pallas_fof import pallas_fof_hook
-        slot_f = jnp.full((ncells * k,), jnp.float32(n))
-        slot_f = slot_f.at[safe_slot].min(jnp.where(
-            pslot >= 0, lab_p.astype(jnp.float32), jnp.float32(n)))
-        hooked_f = pallas_fof_hook(
-            bxyz[0], bxyz[1], bxyz[2], slot_f.reshape(ncells, k),
+        slot_lab = jnp.full((ncells * k,), big, jnp.int32)
+        slot_lab = slot_lab.at[safe_slot].min(
+            jnp.where(pslot >= 0, lab_p, big))
+        hooked2 = pallas_fof_hook(
+            bxyz[0], bxyz[1], bxyz[2], slot_lab.reshape(ncells, k),
             counts, ncell=ncell, capacity=k, n_sentinel=n,
             box_size=box_size, linking_length=linking_length,
-            interpret=(hook == "pallas_interpret"))
-        hooked = hooked_f.reshape(ncells * k).astype(jnp.int32)
+            interpret=(hook == "pallas_interpret"), reverse=reverse)
+        hooked = hooked2.reshape(ncells * k)
         lab1 = jnp.where(pslot >= 0,
                          jnp.minimum(lab_p, hooked[safe_slot]), lab_p)
         return _fof_compress(lab1, lab_p)
@@ -159,7 +160,8 @@ def _fof_round(lab_p, bxyz, occupied, counts, pslot, *, box_size: float,
 
     dtype = bxyz[0].dtype
     new = lab3
-    for (ox, oy, oz) in _NEIGHBOR_SHIFTS:
+    shifts = _NEIGHBOR_SHIFTS[::-1] if reverse else _NEIGHBOR_SHIFTS
+    for (ox, oy, oz) in shifts:
         shift3 = (ox, oy, oz)
         off = [jnp.asarray(box_size, dtype)
                * ((iota + s) // ncell).astype(dtype)
@@ -273,17 +275,21 @@ def fof_labels(positions, box_size, linking_length, *, ncell: int,
         # capacity must be a whole number of 128-lane tiles: the kernel
         # slices jrow at lane offsets that are multiples of capacity
         hook = ("pallas" if (jax.default_backend() == "tpu"
-                             and n < (1 << 24) and ncell >= 3
+                             and ncell >= 3
                              and capacity % 128 == 0) else "jnp")
     bxyz, occupied, counts, pslot, slot_particle, overflow = _fof_setup(
         positions, live, box_size, ncell, capacity)
     lab = jnp.arange(n, dtype=jnp.int32)
-    for _ in range(max_rounds):
+    for r in range(max_rounds):
+        # alternate the Gauss-Seidel sweep direction per round so labels
+        # propagate both ways along the sweep order (a forward-only
+        # sweep moves -direction links only one cell per round)
         lab, changed = _fof_round(
             lab, bxyz, occupied, counts, pslot,
             box_size=float(box_size),
             linking_length=float(linking_length),
-            ncell=ncell, capacity=capacity, hook=hook)
+            ncell=ncell, capacity=capacity, hook=hook,
+            reverse=bool(r % 2))
         if not bool(changed):
             break
     lab = _fof_adopt_overflow(lab, pslot, slot_particle, live, positions,
@@ -352,7 +358,7 @@ def fof_plan(num_particles: int, box_size: float, linking_length: float,
     n = num_particles
     best_ok = None
     best_any = None
-    kernel_caps = (jax.default_backend() == "tpu" and n < (1 << 24))
+    kernel_caps = (jax.default_backend() == "tpu")
     for lvl, ncell in enumerate(_pyramid_levels(nf)):
         max_occ = int(stats[lvl][0])
         ovf_tab = stats[lvl][1]
@@ -435,37 +441,57 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
     (reference: extract_halos + compute properties,
     halo_finder.cpp:213-337)."""
     n = positions.shape[0]
-    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), labels,
-                                 num_segments=n)
-    # periodic-safe CoM: average unit-circle phases per axis
-    theta = positions / box_size * (2.0 * jnp.pi)
-    msum = jax.ops.segment_sum(masses, labels, num_segments=n)
-    cx = jax.ops.segment_sum(masses[:, None] * jnp.cos(theta), labels,
-                             num_segments=n)
-    sx = jax.ops.segment_sum(masses[:, None] * jnp.sin(theta), labels,
-                             num_segments=n)
-    ang = jnp.arctan2(sx, cx)
-    com = jnp.mod(ang / (2.0 * jnp.pi), 1.0) * box_size  # [N, 3]
-    vel_sum = jax.ops.segment_sum(masses[:, None] * velocities, labels,
-                                  num_segments=n)
+    # Scatter-free label reductions: sort by label once, then every
+    # per-group sum is a cumsum difference at run boundaries.  TPU
+    # scatters run ~8x slower than sort+gather (forces/treepm.
+    # bucket_src_map measurement); the old label-space segment_sums
+    # scattered ~11M elements per catalog call.
+    order = jnp.argsort(labels)
+    lab_s = labels[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    brk = lab_s[1:] != lab_s[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), brk])
+    is_end = jnp.concatenate([brk, jnp.ones((1,), bool)])
+    first = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    # nearest end at-or-after each row, via a flipped cummax
+    last = (n - 1) - jnp.flip(jax.lax.cummax(
+        jnp.flip(jnp.where(is_end, (n - 1) - idx, 0))))
+    counts_row = last - first + 1          # [N] = own group's size
 
-    # rank halos by particle count
-    eligible = counts >= min_particles
-    score = jnp.where(eligible, counts, 0)
+    # periodic-safe CoM: average unit-circle phases per axis
+    m_s = masses[order]
+    theta_s = positions[order] / box_size * (2.0 * jnp.pi)
+    chan = jnp.concatenate([
+        m_s[:, None],
+        m_s[:, None] * jnp.cos(theta_s),
+        m_s[:, None] * jnp.sin(theta_s),
+        m_s[:, None] * velocities[order],
+    ], axis=1)                             # [N, 10]
+    cum = jnp.cumsum(chan, axis=0)
+
+    # rank halos by particle count (one candidate per group: its start)
+    score = jnp.where(is_start & (counts_row >= min_particles),
+                      counts_row, 0)
     k = min(max_halos, n)
-    top_counts, top_roots = jax.lax.top_k(score, k)
+    top_counts, sel = jax.lax.top_k(score, k)
     if k < max_halos:
         top_counts = jnp.pad(top_counts, (0, max_halos - k))
-        top_roots = jnp.pad(top_roots, (0, max_halos - k))
+        sel = jnp.pad(sel, (0, max_halos - k))
     valid = top_counts >= min_particles
     num_halos = jnp.sum(valid.astype(jnp.int32))
 
-    safe_roots = jnp.where(valid, top_roots, 0)
-    h_mass = jnp.where(valid, msum[safe_roots], 0.0)
-    h_com = jnp.where(valid[:, None], com[safe_roots], 0.0)
+    sel_safe = jnp.where(valid, sel, 0)
+    top_roots = lab_s[sel_safe]
+    run_sum = cum[last[sel_safe]] - jnp.where(
+        (sel_safe > 0)[:, None], cum[jnp.maximum(sel_safe - 1, 0)], 0.0)
+    msum_h, cx_h, sx_h, vsum_h = (run_sum[:, 0], run_sum[:, 1:4],
+                                  run_sum[:, 4:7], run_sum[:, 7:10])
+    ang = jnp.arctan2(sx_h, cx_h)
+    h_com = jnp.where(valid[:, None],
+                      jnp.mod(ang / (2.0 * jnp.pi), 1.0) * box_size, 0.0)
+    h_mass = jnp.where(valid, msum_h, 0.0)
     h_vel = jnp.where(valid[:, None],
-                      vel_sum[safe_roots]
-                      / jnp.maximum(msum[safe_roots, None], 1e-30), 0.0)
+                      vsum_h / jnp.maximum(msum_h[:, None], 1e-30), 0.0)
 
     # per-particle halo id (index into the catalog) for membership ops;
     # invalid slots scatter into the dump index n (never index 0 -- a real
@@ -492,7 +518,13 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
         member = plabel == idx
         bin_idx = jnp.clip((r / r_max * nbins).astype(jnp.int32), 0,
                            nbins - 1)
-        hist = jax.ops.segment_sum(masses, bin_idx, num_segments=nbins)
+        # particles beyond r_max must NOT land in the outermost bin:
+        # clipping them in puts the whole box's mass into m_enc's last
+        # entry, and box^3 / (4/3 pi r_max^3) = 238.7 > Delta=200 means
+        # dens[last] >= Delta*rho_bar ALWAYS -> every halo reported
+        # r_delta == r_max (round-2 bug, caught by the analytic SO test)
+        hist = jax.ops.segment_sum(jnp.where(r < r_max, masses, 0.0),
+                                   bin_idx, num_segments=nbins)
         m_enc = jnp.cumsum(hist)
         vol = 4.0 / 3.0 * jnp.pi * edges ** 3
         dens = m_enc / vol

@@ -16,17 +16,16 @@ production short-range force kernel (ops/pallas_short_range vpu3):
     DYNAMIC trip count ceil(live/16) read from flat SMEM counts --
     buckets are live-first (forces/treepm.bucket_src_map), so dead
     rows are never touched;
-  * labels ride in the 4th row of the same f32 pts array: particle ids
-    < 2^24 are exactly representable in f32, and min() propagates them
-    exactly (callers assert n < 2^24 and fall back to the jnp hook
-    beyond).
+  * labels ride in their own int32 [C, K] plane (DMA'd per rod next to
+    the coordinate planes), so any particle count a device can hold is
+    representable -- no f32-exactness cap.
 
-Empty slots carry label `nbig` (= n encoded f32) and are excluded on
-the j side by `cand = linked ? j_label : nbig` -- their zeroed
-positions can fake-link, but their nbig label is the identity of min.
-Center-side dead rows are skipped by the live trip count; rows past
-the live count keep their incoming label (nbig), and hooked labels are
-only ever gathered back for real particles.
+Empty slots carry label `nbig` (= n) and are excluded on the j side by
+`cand = linked ? j_label : nbig` -- their zeroed positions can
+fake-link, but their nbig label is the identity of min.  Center-side
+dead rows are skipped by the live trip count; rows past the live count
+keep their incoming label (nbig), and hooked labels are only ever
+gathered back for real particles.
 
 Reference parity: src/analysis/halo_finder.cpp:15-120 (grid + union
 find); re-derived as data-parallel min-label propagation for TPU.
@@ -44,22 +43,35 @@ from jax.experimental.pallas import tpu as pltpu
 _CH = 16   # i-chunk sublane rows (matches the short-range kernel)
 
 
-def _fof_hook_kernel(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
-                     b2, nbig):
+def _fof_hook_kernel(counts_ref, pts_hbm, labs_hbm, out_ref, *, nc, cap,
+                     box_size, b2, nbig, reverse):
+    # Gauss-Seidel sweep order: ascending rod-major (cx, cy) with z
+    # innermost, or fully reversed when `reverse`.  Updated labels are
+    # written back (a) into the center rod's VMEM label plane after each
+    # z plane, and (b) into the aliased HBM labs buffer after each rod --
+    # later planes/rods read fresher labels, so a label can travel the
+    # whole lattice along the sweep direction in ONE round.  Min-label
+    # propagation is monotone: any stale/fresh mix stays a valid label
+    # of the same FoF component, so ordering hazards only cost rounds,
+    # never correctness (worst case degrades to the Jacobi sweep).
     i = pl.program_id(0)
+    if reverse:
+        i = nc * nc - 1 - i
     cx = i // nc
     cy = i % nc
 
-    def body(rods, jrow, icol, labc, sem):
-        src = pts_hbm
+    def body(rods, rlab, jrow, jlab, icol, labc, sem, lsem):
         dmas = []
         idx = 0
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
                 dmas.append(pltpu.make_async_copy(
-                    src.at[:, r_id], rods.at[idx, :, pl.ds(0, nc)],
+                    pts_hbm.at[:, r_id], rods.at[idx, :, pl.ds(0, nc)],
                     sem.at[idx]))
+                dmas.append(pltpu.make_async_copy(
+                    labs_hbm.at[r_id], rlab.at[idx, pl.ds(0, nc)],
+                    lsem.at[idx]))
                 idx += 1
         for dma in dmas:
             dma.start()
@@ -73,6 +85,8 @@ def _fof_hook_kernel(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
             for dy in (-1, 0, 1):
                 rods[idx, :, nc:nc + 1, :] = rods[idx, :, nc - 1:nc, :]
                 rods[idx, :, nc + 1:nc + 2, :] = rods[idx, :, 0:1, :]
+                rlab[idx, nc:nc + 1, :] = rlab[idx, nc - 1:nc, :]
+                rlab[idx, nc + 1:nc + 2, :] = rlab[idx, 0:1, :]
                 shift_x = jnp.where(cx + dx < 0, -box_size,
                                     jnp.where(cx + dx >= nc, box_size, 0.0))
                 shift_y = jnp.where(cy + dy < 0, -box_size,
@@ -88,20 +102,22 @@ def _fof_hook_kernel(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
         def zplane(z):
             return nc if z == -1 else (nc + 1 if z == nc else z)
 
-        for zc in range(nc):
+        zorder = range(nc - 1, -1, -1) if reverse else range(nc)
+        for zc in zorder:
             for r in range(9):
                 for sc in range(3):
                     zi = zplane(zc + sc - 1)
                     off = (r * 3 + sc) * cap
-                    for comp in range(4):      # x, y, z, label
+                    for comp in range(3):      # x, y, z
                         jrow[comp:comp + 1, off:off + cap] = \
                             rods[r, comp, zi:zi + 1, :]
+                    jlab[0:1, off:off + cap] = rlab[r, zi:zi + 1, :]
             icol[0, :, :] = jnp.transpose(rods[4, 0, zc:1 + zc, :])
             icol[1, :, :] = jnp.transpose(rods[4, 1, zc:1 + zc, :])
             icol[2, :, :] = jnp.transpose(rods[4, 2, zc:1 + zc, :])
             # init with incoming labels: rows past the live count (and
             # fully dead cells) pass through unchanged
-            labc[...] = jnp.transpose(rods[4, 3, zc:1 + zc, :])
+            labc[...] = jnp.transpose(rlab[4, zc:1 + zc, :])
 
             ch = min(_CH, cap)
             cnt = counts_ref[i * nc + zc]
@@ -113,42 +129,62 @@ def _fof_hook_kernel(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
                 dyt = jrow[1:2, :] - icol[1, s8, :]
                 dzt = jrow[2:3, :] - icol[2, s8, :]
                 r2 = dxt * dxt + (dyt * dyt + dzt * dzt)
-                cand = jnp.where(r2 < b2, jrow[3:4, :], nbig)
+                cand = jnp.where(r2 < b2, jlab[0:1, :], nbig)
                 labc[s8, :] = jnp.minimum(
                     labc[s8, :],
                     jnp.min(cand, axis=1, keepdims=True))
                 return ()
 
             jax.lax.fori_loop(0, kiq, chunk, ())
-            out_ref[0, zc:zc + 1, :] = jnp.transpose(labc[:, :])
+            # within-rod Gauss-Seidel: the next z plane's jlab assembly
+            # re-reads this plane from rlab, so it sees the fresh labels
+            rlab[4, zc:zc + 1, :] = jnp.transpose(labc[:, :])
+
+        # cross-rod Gauss-Seidel: flush the rod's updated label planes
+        # back to the aliased HBM buffer and WAIT -- the next grid step
+        # (sequential on TPU) DMAs its 9 neighbor rods from there
+        wb = pltpu.make_async_copy(
+            rlab.at[4, pl.ds(0, nc)], out_ref.at[i], lsem.at[0])
+        wb.start()
+        wb.wait()
 
     pl.run_scoped(
         body,
-        rods=pltpu.VMEM((9, 4, nc + 2, cap), jnp.float32),
-        jrow=pltpu.VMEM((4, 27 * cap), jnp.float32),
+        rods=pltpu.VMEM((9, 3, nc + 2, cap), jnp.float32),
+        rlab=pltpu.VMEM((9, nc + 2, cap), jnp.int32),
+        jrow=pltpu.VMEM((3, 27 * cap), jnp.float32),
+        jlab=pltpu.VMEM((1, 27 * cap), jnp.int32),
         icol=pltpu.VMEM((3, cap, 1), jnp.float32),
-        labc=pltpu.VMEM((cap, 1), jnp.float32),
+        labc=pltpu.VMEM((cap, 1), jnp.int32),
         sem=pltpu.SemaphoreType.DMA((9,)),
+        lsem=pltpu.SemaphoreType.DMA((9,)),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("ncell", "capacity",
                                              "n_sentinel", "box_size",
                                              "linking_length",
-                                             "interpret"))
-def pallas_fof_hook(bx, by, bz, slot_lab_f32, counts, *, ncell: int,
+                                             "interpret", "reverse"))
+def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
                     capacity: int, n_sentinel: int, box_size,
-                    linking_length, interpret: bool = False):
-    """One FoF min-label sweep -> new slot labels [C, K] f32.
+                    linking_length, interpret: bool = False,
+                    reverse: bool = False):
+    """One FoF min-label GAUSS-SEIDEL sweep -> new slot labels [C, K] i32.
 
-    bx/by/bz [C, K] bucketed coordinates, slot_lab_f32 [C, K] labels
-    (empty slots = n_sentinel encoded f32), counts [C] int32 live
-    counts per cell.  Requires ncell >= 3, capacity a multiple of 128
-    (jrow lane slices sit at multiples of capacity and Mosaic needs
-    them 128-aligned), and n_sentinel < 2^24 (f32-exact range).
+    bx/by/bz [C, K] bucketed coordinates, slot_lab [C, K] int32 labels
+    (empty slots = n_sentinel), counts [C] int32 live counts per cell.
+    Requires ncell >= 3 and capacity a multiple of 128 (jrow/jlab lane
+    slices sit at multiples of capacity and Mosaic needs them
+    128-aligned).
+
+    The sweep reads partially-updated labels (within-rod z write-back +
+    cross-rod write-back through an input/output-aliased HBM buffer), so
+    one call propagates labels arbitrarily far along the sweep order;
+    callers alternate `reverse` per round for bidirectional coverage.
+    Output labels are elementwise <= the Jacobi sweep's, and every label
+    stays inside its FoF component, so the caller's fixpoint (and the
+    final components) are unchanged -- only the round count drops.
     """
-    if n_sentinel >= 1 << 24:
-        raise ValueError("labels must stay in the f32-exact range")
     if capacity % 128:
         raise ValueError("pallas_fof_hook needs capacity % 128 == 0 "
                          "(use the jnp hook for smaller capacities)")
@@ -156,20 +192,26 @@ def pallas_fof_hook(bx, by, bz, slot_lab_f32, counts, *, ncell: int,
         raise ValueError("pallas_fof_hook needs ncell >= 3")
     cc = ncell ** 3
     cap = capacity
-    pts = jnp.stack([bx, by, bz, slot_lab_f32], axis=0) \
-        .reshape(4, ncell * ncell, ncell, cap)
+    pts = jnp.stack([bx, by, bz], axis=0) \
+        .reshape(3, ncell * ncell, ncell, cap)
+    labs = slot_lab.astype(jnp.int32).reshape(ncell * ncell, ncell, cap)
     kernel = functools.partial(
         _fof_hook_kernel, nc=ncell, cap=cap, box_size=float(box_size),
-        b2=float(linking_length) ** 2, nbig=float(n_sentinel))
+        b2=float(linking_length) ** 2, nbig=int(n_sentinel),
+        reverse=reverse)
     out = pl.pallas_call(
         kernel,
         grid=(ncell * ncell,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, ncell, cap), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        # the output IS the labs buffer (rewritten rod by rod);
+        # aliasing is what lets later rods read earlier rods' fresh
+        # labels straight from HBM
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((ncell * ncell, ncell, cap),
-                                       jnp.float32),
+                                       jnp.int32),
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -179,5 +221,5 @@ def pallas_fof_hook(bx, by, bz, slot_lab_f32, counts, *, ncell: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(counts.reshape(cc), pts)
+    )(counts.reshape(cc), pts, labs)
     return out.reshape(cc, cap)

@@ -105,6 +105,41 @@ class TestFoF:
         assert np.all(np.asarray(cat.v_max)[:nh] > 0)
         assert np.all(np.asarray(cat.radius)[:nh] > 0)
 
+    def test_so_radius_matches_analytic(self):
+        """R200 of a hard-sphere halo over a uniform background.
+
+        Regression for the round-2 bug where particles beyond r_max were
+        clipped into the last radial bin, making dens(r_max) =
+        238.7*rho_bar >= 200*rho_bar unconditionally, so every halo
+        reported r_delta == r_max (= 0.1*box).
+
+        Analytic: m_enc(r) = M_halo + rho_bg*(4/3 pi r^3); solving
+        m_enc / (4/3 pi r^3) = 200*rho_bar with M_halo=100, rho_bg=0.01,
+        rho_bar=0.0101 gives r200 = 2.28; v_max = sqrt(G m_enc/r)
+        peaks at the sphere edge r=0.5: ~87 (binned)."""
+        box, n_b, n_h = 100.0, 10000, 100
+        key = jax.random.PRNGKey(7)
+        # uniform ball of radius 0.5 at the box center
+        u = jax.random.normal(key, (n_h, 3))
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+        rr = 0.5 * jax.random.uniform(jax.random.PRNGKey(8),
+                                      (n_h, 1)) ** (1.0 / 3.0)
+        ph = 50.0 + u * rr
+        pb = jax.random.uniform(jax.random.PRNGKey(9), (n_b, 3),
+                                maxval=box)
+        pos = jnp.concatenate([ph, pb])
+        n = n_h + n_b
+        lab = jnp.concatenate([jnp.zeros((n_h,), jnp.int32),
+                               jnp.arange(n_h, n, dtype=jnp.int32)])
+        cat = hf.catalog_from_labels(pos, jnp.zeros((n, 3)),
+                                     jnp.ones((n,)), lab, box,
+                                     max_halos=4)
+        assert int(cat.num_halos) == 1
+        r200 = float(cat.radius[0])
+        assert 1.9 < r200 < 2.7, f"r200={r200} (analytic 2.28)"
+        vmax = float(cat.v_max[0])
+        assert 70.0 < vmax < 105.0, f"v_max={vmax} (analytic ~87)"
+
 
 class TestMassFunctionMeasurement:
     def test_counts_sum(self):
@@ -283,3 +318,33 @@ class TestPallasFofHook:
         assert int(o1) == int(o2) and int(o1) > 0
         # dead rows stay field singletons
         assert bool(jnp.all(lb[-24:] == jnp.arange(1500, 1524)))
+
+    def test_int32_labels_exact_beyond_f32_range(self):
+        """Labels > 2^24 propagate exactly (int32 label plane; the
+        round-2 f32-encoded kernel capped N at 2^24). Feed the hook a
+        tiny lattice whose labels sit just above 2^24 and check the
+        min-propagation returns exact integers."""
+        from lambda_cdm_tpu.ops.pallas_fof import pallas_fof_hook
+        ncell, cap = 3, 128
+        cc = ncell ** 3
+        base = (1 << 24) + 3            # NOT representable in f32 (+3)
+        n_sent = base + cc * cap
+        # two particles in cell 0 within linking length; labels base+1
+        # and base+2 -> both should hook to base+1
+        bx = jnp.zeros((cc, cap), jnp.float32)
+        by = jnp.zeros((cc, cap), jnp.float32)
+        bz = jnp.zeros((cc, cap), jnp.float32)
+        bx = bx.at[0, 0].set(1.0).at[0, 1].set(1.05)
+        by = by.at[0, 0].set(1.0).at[0, 1].set(1.0)
+        bz = bz.at[0, 0].set(1.0).at[0, 1].set(1.0)
+        lab = jnp.full((cc, cap), n_sent, jnp.int32)
+        lab = lab.at[0, 0].set(base + 2).at[0, 1].set(base + 1)
+        counts = jnp.zeros((cc,), jnp.int32).at[0].set(2)
+        out = pallas_fof_hook(
+            bx, by, bz, lab, counts, ncell=ncell, capacity=cap,
+            n_sentinel=n_sent, box_size=30.0, linking_length=0.2,
+            interpret=True)
+        assert int(out[0, 0]) == base + 1
+        assert int(out[0, 1]) == base + 1
+        # untouched slots keep the exact sentinel
+        assert int(out[1, 0]) == n_sent
