@@ -244,16 +244,63 @@ def run_section_guarded(name, *, timeout_s):
     return {}
 
 
-def main():
-    devs = jax.devices()
-    platform = devs[0].platform
-    log(f"devices: {devs}")
+def _device_available(timeout_s: int = 300) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout. The
+    axon tunnel can wedge such that jax.devices() blocks forever (seen
+    round 2: >4 h unavailable); a bench that hangs before its JSON line
+    leaves the driver with nothing. Bounded probe first, fail loud."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp, numpy as np;"
+             "np.asarray(jax.jit(lambda a: a*2)(jnp.ones((8,128))))"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except Exception:  # noqa: BLE001 -- timeout or spawn failure
+        return False
 
+
+def _arm_watchdog(budget_s: float):
+    """Emit a fallback JSON line and hard-exit if the in-process bench
+    wedges mid-run (device hangs are unkillable in-process)."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "particle-steps/sec/chip (1M TreePM)",
+            "value": 0.0, "unit": "particle-steps/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: bench exceeded {budget_s:.0f}s "
+                     f"(device hang?)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def main():
     n, box, pm_grid = 1_000_000, 100.0, 192
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         print(json.dumps(SECTIONS[sys.argv[2]](n, box)), flush=True)
         return
+
+    if not _device_available():
+        print(json.dumps({
+            "metric": "particle-steps/sec/chip (1M TreePM)",
+            "value": 0.0, "unit": "particle-steps/s/chip",
+            "vs_baseline": 0.0,
+            "error": "accelerator unavailable (device probe timed out; "
+                     "axon tunnel wedged?)"}), flush=True)
+        return
+    _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", 5400)))
+
+    devs = jax.devices()
+    platform = devs[0].platform
+    log(f"devices: {devs}")
 
     # headline: 1M TreePM step on the production cell-list stepper
     try:

@@ -435,13 +435,20 @@ class SimulationEngine:
         # 2D-pencil rod decomposition (parallel/fast_mesh2d); the default
         # {"shard": -1} keeps the 1D slab stepper
         axes = dict(cfg.compute.mesh.axes or {})
-        if "shz" in axes:
-            # 3D block topology: no persistent 3D fast stepper (z must
-            # stay rod-global for the pencil kernels); use the stateless
-            # sharded TreePM with the 26-neighbor halo exchange instead
+        self._fast_mesh_3d = all(a in axes for a in ("shx", "shy", "shz"))
+        self._fast_mesh_2d = (not self._fast_mesh_3d
+                              and "shx" in axes and "shy" in axes)
+        if self._fast_mesh_3d:
+            from ..parallel.fast_mesh3d import initialize_mesh_fast3d
+            from ..parallel.mesh import make_mesh3d
+            mesh = make_mesh3d((int(axes["shx"]), int(axes["shy"]),
+                                int(axes["shz"])))
+            initialize = initialize_mesh_fast3d
+        elif "shz" in axes:
+            # shz without a full 3-axis spec: fall back to the stateless
+            # sharded TreePM with the 26-neighbor halo exchange
             return False
-        self._fast_mesh_2d = "shx" in axes and "shy" in axes
-        if self._fast_mesh_2d:
+        elif self._fast_mesh_2d:
             from ..parallel.fast_mesh2d import initialize_mesh_fast2d
             mesh = make_mesh2d((int(axes["shx"]), int(axes["shy"])))
             initialize = initialize_mesh_fast2d
@@ -498,7 +505,9 @@ class SimulationEngine:
         # stale (unbounded deposit drops)
         since = getattr(self, "_fast_since_rebucket", 0)
         if getattr(self, "_fast_mesh_kw", None) is not None:
-            if getattr(self, "_fast_mesh_2d", False):
+            if getattr(self, "_fast_mesh_3d", False):
+                from ..parallel.fast_mesh3d import mesh_fast_run3d as runm
+            elif getattr(self, "_fast_mesh_2d", False):
                 from ..parallel.fast_mesh2d import mesh_fast_run2d as runm
             else:
                 from ..parallel.fast_mesh import mesh_fast_run as runm

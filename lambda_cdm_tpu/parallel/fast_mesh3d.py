@@ -1,33 +1,37 @@
-"""2D-pencil persistent cell-list TreePM stepper.
+"""3D-block persistent cell-list TreePM stepper.
 
-The 1D slab stepper (parallel/fast_mesh) stops scaling at D = ncell
-devices and its ghost volume grows with D; this module shards the
-bucketed FastState over a 2D (shx, shy) device mesh -- the TPU-native
-counterpart of the reference's 3D MPI rank grid
-(domain_decomposition.cpp:10-112): the ICI fabric is a 2D torus, so a
-2D (cx, cy)-rod decomposition with z kept local IS the idiomatic
-3D-grid analogue (z-pencils, matching parallel/fft.py's pencil FFT).
+Completes the decomposition ladder (fast_mesh 1D slabs -> fast_mesh2d
+2D z-pencil rods -> HERE full 3D blocks): the bucketed FastState shards
+over a (shx, shy, shz) device mesh, the TPU-native counterpart of the
+reference's 3D MPI Cartesian rank grid + 26-neighbor topology
+(src/mpi/domain_decomposition.cpp:10-112, cluster_comm.cpp:25-88).
+The pencil stepper keeps z rod-global, capping scaling at ~ncell^2
+chips and growing each device's pencil FFT share as devices shrink
+only two axes; blocks keep per-device ghost volume ~surface-to-volume
+optimal, exactly the reference's reasoning for MPI_Dims_create(3).
 
-Cell ordering: this stepper's FastState uses BLOCK-MAJOR cell ids
+Cell ordering: BLOCK-MAJOR over all three axes
 
-    cell = (((bx*dy + by)*nxl + lx)*nyl + ly)*nc + cz
+    cell = (((((bx*dy + by)*dz + bz)*nxl + lx)*nyl + ly)*nzl + lz)
 
-(bx, by = device block, lx, ly = local cell within the block) so a
-contiguous equal split of the C axis over the flattened (shx, shy) mesh
-IS the 2D rod decomposition.  `cell_order2d`/`cell_order2d_inv` convert
-to/from the x-major ordering of ops/fast_treepm.
+so a contiguous equal split of the C axis over the flattened
+(shx, shy, shz) mesh IS the 3D block decomposition.
 
-Structure mirrors fast_mesh, composed per axis:
-  * halo exchange: x cell-planes over shx, then y-planes of the
-    x-extended block over shy -- corners ride the second phase free;
-  * short-range: 27-stencil with x/y offsets as halo slices (positions
-    pre-unwrapped across the periodic seam), z offsets periodic rolls;
-  * PM: bucketed one-hot deposit into the local z-pencil, ghost spills
-    ppermute x then y (corners via phase 2), pencil-FFT Poisson solve
-    (two all_to_all transposes), local CIC x fd4 gather with x/y halo
-    ppermutes;
-  * rebucket: two-phase emigrant exchange (x neighbors, then y
-    neighbors -- diagonal movers hop twice) + local re-bucket.
+Structure composes fast_mesh2d's per-axis machinery one axis deeper:
+  * halo exchange: x cell-planes over shx, y-planes of the x-extended
+    block over shy, z-planes of the xy-extended block over shz --
+    edges and corners ride the later phases (the dimension-ordered
+    trick of parallel/exchange.halo_exchange_3d);
+  * short-range: 27-stencil where ALL THREE offsets are halo slices
+    (positions pre-unwrapped across the periodic seams); no rolls;
+  * PM: bucketed one-hot deposit into the local [ng/dx, ng/dy, ng/dz]
+    cube with THREE open folds (x, y, z spill ppermutes, later phases
+    carrying earlier phases' edge/corner cascades), Poisson via ONE
+    all_to_all that reshapes the cube into a z-pencil and the 2D
+    pencil FFT run over the combined (shy, shz) axis, then the inverse
+    all_to_all; fd4 x CIC gather on the 3-axis halo-extended cube;
+  * rebucket: three-phase emigrant exchange (x, then y, then z hops --
+    diagonal movers hop up to three times).
 Every stray/overflow is counted, never silently dropped
 (cluster_comm.cpp:90-216 is the reference pipeline being mirrored).
 """
@@ -43,28 +47,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..forces.direct import min_image
 from ..forces.treepm import short_range_factor_poly
-from ..ops.bucketed_pm import _cic_factors, _fold_axis, \
-    block_geometry, _greens
-from .mesh import X_AXIS, Y_AXIS
+from ..ops.bucketed_pm import _cic_factors, block_geometry, _greens
+from .fast_mesh2d import (_extract_open, _fold_open, _halo_extend,
+                          _poisson_pencil, _ring, _unwrap_axis)
+from .mesh import X_AXIS, Y_AXIS, Z_AXIS
 
 
 # ---------------------------------------------------------------------------
 # planning + cell ordering
 # ---------------------------------------------------------------------------
 
-def mesh_fast_plan2d(num_particles: int, box_size: float, pm_grid: int,
-                     dxy: tuple, *, split_factor: float = 1.25,
+def mesh_fast_plan3d(num_particles: int, box_size: float, pm_grid: int,
+                     dxyz: tuple, *, split_factor: float = 1.25,
                      cut_factor: float = 4.5, capacity: int = 0,
                      margin: int = 1,
                      occupancy_headroom: float = 1.75) -> dict | None:
-    """Static geometry: ncell divisible by BOTH mesh axes, cells >=
-    r_cut, pm_grid divisible by ncell and by both axes (pencil FFT)."""
-    dx, dy = dxy
+    """Static geometry: ncell divisible by ALL mesh axes, cells >=
+    r_cut, pm_grid divisible by ncell, by dx and by dy*dz (the
+    cube->pencil Poisson trades z-chunks for y-chunks over shz)."""
+    dx, dy, dz = dxyz
     rs = split_factor * box_size / pm_grid
     r_cut = cut_factor * rs
-    if pm_grid % dx or pm_grid % dy:
+    if pm_grid % dx or pm_grid % (dy * dz):
         return None
-    lcm = dx * dy // math.gcd(dx, dy)
+    lcm = dx
+    for d in (dy, dz):
+        lcm = lcm * d // math.gcd(lcm, d)
 
     def cap_for(nc):
         if capacity > 0:
@@ -77,8 +85,7 @@ def mesh_fast_plan2d(num_particles: int, box_size: float, pm_grid: int,
     d = lcm
     while d <= pm_grid:
         if (d % lcm == 0 and pm_grid % d == 0
-                and box_size / d >= r_cut and d >= 3
-                and d // dx >= 1 and d // dy >= 1):
+                and box_size / d >= r_cut and d >= 3):
             cap = cap_for(d)
             cost = d ** 3 * 27 * cap * cap
             if best is None or cost < best[0]:
@@ -88,88 +95,53 @@ def mesh_fast_plan2d(num_particles: int, box_size: float, pm_grid: int,
         return None
     _, ncell, cap = best
     return {"rs": rs, "r_cut": r_cut, "ncell": ncell, "capacity": cap,
-            "margin": margin, "dx": dx, "dy": dy}
+            "margin": margin, "dx": dx, "dy": dy, "dz": dz}
 
 
-def cell_order2d(ncell: int, dx: int, dy: int):
-    """Permutation p with p[block_major_id] = x_major_id: index arrays
-    in x-major layout with p to get the block-major layout."""
-    nxl, nyl = ncell // dx, ncell // dy
+def cell_order3d(ncell: int, dx: int, dy: int, dz: int):
+    """Permutation p with p[block_major_id] = x_major_id."""
+    nxl, nyl, nzl = ncell // dx, ncell // dy, ncell // dz
     bm = jnp.arange(ncell ** 3)
-    nc = ncell
-    cz = bm % nc
-    ly = (bm // nc) % nyl
-    lx = (bm // (nc * nyl)) % nxl
-    by = (bm // (nc * nyl * nxl)) % dy
-    bx = bm // (nc * nyl * nxl * dy)
+    lz = bm % nzl
+    ly = (bm // nzl) % nyl
+    lx = (bm // (nzl * nyl)) % nxl
+    bz = (bm // (nzl * nyl * nxl)) % dz
+    by = (bm // (nzl * nyl * nxl * dz)) % dy
+    bx = bm // (nzl * nyl * nxl * dz * dy)
     cx = bx * nxl + lx
     cy = by * nyl + ly
-    return ((cx * nc) + cy) * nc + cz
+    cz = bz * nzl + lz
+    return ((cx * ncell) + cy) * ncell + cz
 
 
-def cell_order2d_inv(ncell: int, dx: int, dy: int):
-    """Inverse permutation: q with q[x_major_id] = block_major_id."""
-    p = cell_order2d(ncell, dx, dy)
+def cell_order3d_inv(ncell: int, dx: int, dy: int, dz: int):
+    p = cell_order3d(ncell, dx, dy, dz)
     return jnp.zeros_like(p).at[p].set(jnp.arange(p.shape[0]))
 
 
 # ---------------------------------------------------------------------------
-# halo exchange helpers (inside shard_map)
+# short-range on the (x, y, z)-halo-extended block
 # ---------------------------------------------------------------------------
 
-def _ring(n: int, shift: int):
-    return [(i, (i + shift) % n) for i in range(n)]
-
-
-def _halo_extend(blk, axis: int, *, n_dev: int, axis_name: str):
-    """Extend `axis` by one plane each side via two ppermutes."""
-    n = blk.shape[axis]
-    lo = jax.lax.ppermute(
-        jax.lax.slice_in_dim(blk, n - 1, n, axis=axis),
-        axis_name, _ring(n_dev, +1))
-    hi = jax.lax.ppermute(
-        jax.lax.slice_in_dim(blk, 0, 1, axis=axis),
-        axis_name, _ring(n_dev, -1))
-    return jnp.concatenate([lo, blk, hi], axis=axis)
-
-
-def _unwrap_axis(ext, axis: int, coord: int, *, box_size, n_dev,
-                 axis_name):
-    """Shift halo planes' `coord` coordinate across the periodic seam."""
-    di = jax.lax.axis_index(axis_name)
-    lo_shift = jnp.where(di == 0, -box_size, 0.0)
-    hi_shift = jnp.where(di == n_dev - 1, box_size, 0.0)
-    c = ext[..., coord]
-    idx_lo = (slice(None),) * axis + (slice(0, 1),)
-    idx_hi = (slice(None),) * axis + (slice(-1, None),)
-    c = c.at[idx_lo].add(lo_shift)
-    c = c.at[idx_hi].add(hi_shift)
-    return ext.at[..., coord].set(c)
-
-
-# ---------------------------------------------------------------------------
-# short-range on the (x, y)-halo-extended block
-# ---------------------------------------------------------------------------
-
-def _local_short_range2d(bp_ext, bm_ext, *, box_size, rs, softening,
-                         nxl: int, nyl: int, nc: int, cap: int):
-    """[nxl+2, nyl+2, nc, K] halo-extended block -> short-range acc for
-    the inner [nxl, nyl, nc, K] cells. x/y offsets are halo slices
-    (positions pre-unwrapped), z offsets periodic rolls."""
+def _local_short_range3d(bp_ext, bm_ext, *, box_size, rs, softening,
+                         nxl: int, nyl: int, nzl: int, cap: int):
+    """[nxl+2, nyl+2, nzl+2, K] halo-extended block -> short-range acc
+    for the inner [nxl, nyl, nzl, K] cells; all 27 offsets are halo
+    slices (positions pre-unwrapped across the periodic seams)."""
     soft2 = softening * softening
-    acc = jnp.zeros((nxl, nyl, nc, cap, 3), bp_ext.dtype)
-    center_p = bp_ext[1:1 + nxl, 1:1 + nyl]
+    acc = jnp.zeros((nxl, nyl, nzl, cap, 3), bp_ext.dtype)
+    center_p = bp_ext[1:1 + nxl, 1:1 + nyl, 1:1 + nzl]
 
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
-            nb_p = bp_ext[1 + ox:1 + ox + nxl, 1 + oy:1 + oy + nyl]
-            nb_m = bm_ext[1 + ox:1 + ox + nxl, 1 + oy:1 + oy + nyl]
             for oz in (-1, 0, 1):
-                np_pos = jnp.roll(nb_p, -oz, axis=2)
-                np_mass = jnp.roll(nb_m, -oz, axis=2)
+                nb_p = bp_ext[1 + ox:1 + ox + nxl, 1 + oy:1 + oy + nyl,
+                              1 + oz:1 + oz + nzl]
+                nb_m = bm_ext[1 + ox:1 + ox + nxl, 1 + oy:1 + oy + nyl,
+                              1 + oz:1 + oz + nzl]
 
                 def slab(carry, xsl):
-                    cp, nb_pos, nb_mass = xsl     # [nyl, nc, K, ...]
+                    cp, nb_pos, nb_mass = xsl   # [nyl, nzl, K, ...]
                     d = min_image(nb_pos[:, :, None, :, :]
                                   - cp[:, :, :, None, :], box_size)
                     r2 = jnp.sum(d * d, axis=-1) + soft2
@@ -180,219 +152,119 @@ def _local_short_range2d(bp_ext, bm_ext, *, box_size, rs, softening,
                          * (inv_r * inv_r * inv_r))
                     return carry, jnp.sum(w[..., None] * d, axis=3)
 
-                _, a = jax.lax.scan(slab, None,
-                                    (center_p, np_pos, np_mass))
+                _, a = jax.lax.scan(slab, None, (center_p, nb_p, nb_m))
                 acc = acc + a
     return acc
 
 
 # ---------------------------------------------------------------------------
-# PM deposit / gather on the local z-pencil
+# PM deposit / gather on the local cube
 # ---------------------------------------------------------------------------
 
-def _fold_open(a, axis_blk: int, axis_loc: int, *, ppc: int, ghost: int):
-    """Open (non-periodic) overlap fold along one axis pair: resolve
-    interior block overlaps, return (folded, lo_spill, hi_spill).
-    axis_blk indexes blocks, axis_loc the local window (length L); the
-    spills keep the full a-shape minus those two axes collapsed to
-    (1, ghost)."""
-    ell = a.shape[axis_loc]
-    nbl = a.shape[axis_blk]
-
-    def loc(sl):
-        idx = [slice(None)] * a.ndim
-        idx[axis_loc] = sl
-        return tuple(idx)
-
-    def blk(sl):
-        idx = [slice(None)] * a.ndim
-        idx[axis_blk] = sl
-        return tuple(idx)
-
-    main = a[loc(slice(ghost, ghost + ppc))]
-    lo = a[loc(slice(0, ghost))]
-    hi = a[loc(slice(ghost + ppc, ell))]
-
-    pad_lo = jnp.zeros_like(main)
-    pad_lo = pad_lo.at[loc(slice(ppc - ghost, ppc))].set(lo)
-    main = main.at[blk(slice(0, nbl - 1))].add(pad_lo[blk(slice(1, nbl))])
-    lo_spill = jnp.take(lo, jnp.array([0]), axis=axis_blk)
-
-    pad_hi = jnp.zeros_like(main)
-    pad_hi = pad_hi.at[loc(slice(0, ell - ghost - ppc))].set(hi)
-    main = main.at[blk(slice(1, nbl))].add(pad_hi[blk(slice(0, nbl - 1))])
-    hi_spill = jnp.take(hi, jnp.array([nbl - 1]), axis=axis_blk)
-    return main, lo_spill, hi_spill
-
-
-def _origins2d(cl, *, nxl, nyl, nc, ppc, ghost, x0_cells, y0_cells):
-    lx = jnp.arange(cl) // (nyl * nc)
-    ly = (jnp.arange(cl) // nc) % nyl
-    cz = jnp.arange(cl) % nc
+def _origins3d(cl, *, nxl, nyl, nzl, ppc, ghost, x0_cells, y0_cells,
+               z0_cells):
+    lx = jnp.arange(cl) // (nyl * nzl)
+    ly = (jnp.arange(cl) // nzl) % nyl
+    lz = jnp.arange(cl) % nzl
     return jnp.stack([
         (x0_cells + lx) * ppc - ghost,
         (y0_cells + ly) * ppc - ghost,
-        cz * ppc - ghost], axis=-1).astype(jnp.int32)
+        (z0_cells + lz) * ppc - ghost], axis=-1).astype(jnp.int32)
 
 
-def _local_deposit_pencil(bpos, bmass, *, nc, nxl, nyl, cap, ng, box_size,
-                          margin, x0_cells, y0_cells, dx, dy):
+def _local_deposit_block(bpos, bmass, *, nc, nxl, nyl, nzl, cap, ng,
+                         box_size, margin, x0_cells, y0_cells, z0_cells,
+                         dx, dy, dz):
     """Bucketed CIC deposit of local [Cl, K] cells into the device's
-    [ng/dx, ng/dy, ng] z-pencil; x/y ghost spills ride one ppermute per
-    axis (the y phase carries the corner spills for free)."""
+    [ng/dx, ng/dy, ng/dz] cube; ghost spills ride one ppermute per axis
+    (the y phase carries x-phase corner cascades, the z phase both)."""
     ppc, ell = block_geometry(ng, nc, margin)
     ghost = margin + 1
-    cl = nxl * nyl * nc
+    cl = nxl * nyl * nzl
 
-    origins = _origins2d(cl, nxl=nxl, nyl=nyl, nc=nc, ppc=ppc,
-                         ghost=ghost, x0_cells=x0_cells, y0_cells=y0_cells)
+    origins = _origins3d(cl, nxl=nxl, nyl=nyl, nzl=nzl, ppc=ppc,
+                         ghost=ghost, x0_cells=x0_cells,
+                         y0_cells=y0_cells, z0_cells=z0_cells)
     x, y, zm, dropped = _cic_factors(bpos, bmass, origins, ng=ng,
                                      box_size=box_size, ell=ell)
     m1 = (x[:, :, :, None] * y[:, :, None, :]).reshape(cl, cap, ell * ell)
     loc = jnp.einsum("cka,ckz->caz", m1, zm,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-    loc = loc.reshape(nxl, nyl, nc, ell, ell, ell)
-
-    # z is fully local: periodic fold
-    loc = _fold_axis(loc, 2, 5, c=nc, ppc=ppc, ghost=ghost)
-    # -> [nxl, nyl, nc, ell(x), ell(y), ppc(z)]
+    loc = loc.reshape(nxl, nyl, nzl, ell, ell, ell)
 
     # open x fold across local blocks; spills to x neighbors
     loc, xlo, xhi = _fold_open(loc, 0, 3, ppc=ppc, ghost=ghost)
-    # -> [nxl, nyl, nc, ppc(x), ell(y), ppc(z)], spills [1, nyl, nc,
-    #    ghost(x), ell(y), ppc(z)]
+    # -> [nxl, nyl, nzl, ppc(x), ell, ell], spills [1, nyl, nzl,
+    #    ghost(x), ell, ell]
     from_right = jax.lax.ppermute(xlo, X_AXIS, _ring(dx, -1))
     from_left = jax.lax.ppermute(xhi, X_AXIS, _ring(dx, +1))
 
     # merge (nxl, ppc) -> X rows so received spills overlap-add cleanly
     a = loc.transpose(0, 3, 1, 2, 4, 5).reshape(
-        nxl * ppc, nyl, nc, ell, ppc)
+        nxl * ppc, nyl, nzl, ell, ell)
 
     def x_spill_rows(sp):
-        # [1, nyl, nc, ghost, ell, ppc] -> [ghost, nyl, nc, ell, ppc]
+        # [1, nyl, nzl, ghost, ell, ell] -> [ghost, nyl, nzl, ell, ell]
         return sp[0].transpose(2, 0, 1, 3, 4)
 
     a = a.at[-ghost:].add(x_spill_rows(from_right))
     a = a.at[:ghost].add(x_spill_rows(from_left))
 
-    # open y fold on the x-merged layout (y spills now carry the
-    # corner contributions received in the x phase)
+    # open y fold (y spills now carry the x-phase corner cascades)
     a2, ylo, yhi = _fold_open(a, 1, 3, ppc=ppc, ghost=ghost)
-    # a2 [X, nyl, nc, ppc(y), ppc(z)], spills [X, 1, nc, ghost(y), ppc]
+    # a2 [X, nyl, nzl, ppc(y), ell], spills [X, 1, nzl, ghost(y), ell]
     from_above = jax.lax.ppermute(ylo, Y_AXIS, _ring(dy, -1))
     from_below = jax.lax.ppermute(yhi, Y_AXIS, _ring(dy, +1))
 
-    g = a2.transpose(0, 1, 3, 2, 4).reshape(
-        nxl * ppc, nyl * ppc, nc * ppc)
+    b = a2.transpose(0, 1, 3, 2, 4).reshape(
+        nxl * ppc, nyl * ppc, nzl, ell)
 
     def y_spill_rows(sp):
-        # [X, 1, nc, ghost(y), ppc(z)] -> [X, ghost, nc*ppc]
-        return sp[:, 0].transpose(0, 2, 1, 3).reshape(
-            nxl * ppc, ghost, nc * ppc)
+        # [X, 1, nzl, ghost(y), ell] -> [X, ghost, nzl, ell]
+        return sp[:, 0].transpose(0, 2, 1, 3)
 
-    g = g.at[:, -ghost:].add(y_spill_rows(from_above))
-    g = g.at[:, :ghost].add(y_spill_rows(from_below))
+    b = b.at[:, -ghost:].add(y_spill_rows(from_above))
+    b = b.at[:, :ghost].add(y_spill_rows(from_below))
+
+    # open z fold (z spills carry all earlier edge/corner cascades)
+    b2, zlo, zhi = _fold_open(b, 2, 3, ppc=ppc, ghost=ghost)
+    # b2 [X, Y, nzl, ppc(z)], spills [X, Y, 1, ghost(z)]
+    from_front = jax.lax.ppermute(zlo, Z_AXIS, _ring(dz, -1))
+    from_back = jax.lax.ppermute(zhi, Z_AXIS, _ring(dz, +1))
+
+    g = b2.reshape(nxl * ppc, nyl * ppc, nzl * ppc)
+    g = g.at[:, :, -ghost:].add(from_front[:, :, 0])
+    g = g.at[:, :, :ghost].add(from_back[:, :, 0])
     return g, dropped
 
 
-def _poisson_pencil(pencil, green, *, ng: int, dx: int, dy: int,
-                    ax_x=X_AXIS, ax_y=Y_AXIS):
-    """z-pencil-decomposed FFT Poisson solve inside shard_map:
-    pencil [ng/dx, ng/dy, ng] -> phi pencil, via rfft(z) -> all_to_all
-    y<->z-chunks (shy) -> fft(y) -> all_to_all x<->y-chunks (shx) ->
-    fft(x) -> multiply Green's -> inverse path.
-
-    `ax_x`/`ax_y` name the mesh axes sharding the pencil's first/second
-    grid axes; either may be a TUPLE of axes (the 3D block stepper runs
-    this with ax_y=(shy, shz): a 3D cube becomes a z-pencil with y
-    split over the combined dy*dz axis, fast_mesh3d._poisson_block)."""
-    xl, yl = ng // dx, ng // dy
-    nz = ng // 2 + 1
-    nzp = -(-nz // dy) * dy              # pad so z splits over ax_y
-    nzl = nzp // dy
-    ylx = ng // dx                       # y-chunk per x-device
-
-    gz = jnp.fft.rfft(pencil, axis=2)                       # [xl, yl, nz]
-    gz = jnp.pad(gz, ((0, 0), (0, 0), (0, nzp - nz)))
-
-    # make y full: trade z-chunks over ax_y
-    ch = gz.reshape(xl, yl, dy, nzl).transpose(2, 0, 1, 3)
-    rec = jax.lax.all_to_all(ch, ax_y, 0, 0, tiled=False)
-    gy = rec.transpose(1, 0, 2, 3).reshape(xl, ng, nzl)     # y full
-    gy = jnp.fft.fft(gy, axis=1)
-
-    # make x full: trade y-chunks over ax_x
-    ch = gy.reshape(xl, dx, ylx, nzl).transpose(1, 0, 2, 3)
-    rec = jax.lax.all_to_all(ch, ax_x, 0, 0, tiled=False)
-    gx = rec.reshape(ng, ylx, nzl)                          # x full
-    gk = jnp.fft.fft(gx, axis=0)
-
-    # Green's slice: y window by x-device, z window by y-device
-    # (axis_index linearizes tuple axes first-major, matching the
-    # tuple-axis all_to_all device order)
-    dix = jax.lax.axis_index(ax_x)
-    diy = jax.lax.axis_index(ax_y)
-    gpad = jnp.pad(green, ((0, 0), (0, 0), (0, nzp - nz)))
-    g1 = jax.lax.dynamic_slice_in_dim(gpad, dix * ylx, ylx, axis=1)
-    g_loc = jax.lax.dynamic_slice_in_dim(g1, diy * nzl, nzl, axis=2)
-    pk = gk * g_loc
-
-    # inverse path
-    pt = jnp.fft.ifft(pk, axis=0)
-    ch = pt.reshape(dx, xl, ylx, nzl)
-    rec = jax.lax.all_to_all(ch, ax_x, 0, 0, tiled=False)
-    py = rec.transpose(1, 0, 2, 3).reshape(xl, ng, nzl)
-    py = jnp.fft.ifft(py, axis=1)
-    ch = py.reshape(xl, dy, yl, nzl).transpose(1, 0, 2, 3)
-    rec = jax.lax.all_to_all(ch, ax_y, 0, 0, tiled=False)
-    pz = rec.transpose(1, 2, 0, 3).reshape(xl, yl, nzp)
-    return jnp.fft.irfft(pz[:, :, :nz], n=ng, axis=2).real \
-        .astype(jnp.float32)
+def _poisson_block(cube, green, *, ng: int, dx: int, dy: int, dz: int):
+    """Poisson solve for the 3D-block-sharded density cube: one tiled
+    all_to_all over shz turns the [ng/dx, ng/dy, ng/dz] cube into a
+    z-pencil [ng/dx, ng/(dy*dz), ng] whose second axis shards over the
+    COMBINED (shy, shz) axis (global y = iy*yl + iz*yl/dz + local --
+    first-major, matching tuple-axis collective order), then the proven
+    2D pencil FFT path runs unchanged, then the inverse all_to_all."""
+    # cube -> pencil: split y over shz, concatenate z to full length
+    pencil = jax.lax.all_to_all(cube, Z_AXIS, 1, 2, tiled=True)
+    phi_p = _poisson_pencil(pencil, green, ng=ng, dx=dx, dy=dy * dz,
+                            ax_x=X_AXIS, ax_y=(Y_AXIS, Z_AXIS))
+    # pencil -> cube: split z back over shz, reassemble y
+    return jax.lax.all_to_all(phi_p, Z_AXIS, 2, 1, tiled=True)
 
 
-def _extract_open(field, *, nblk: int, ppc: int, ghost: int, axis: int):
-    """Overlapping windows along one OPEN axis: field has
-    ghost + nblk*ppc + ghost rows on `axis`; returns windows of length
-    L = ppc + 2*ghost per block, stacked as (block, L) replacing the
-    axis. Requires 2*ghost <= ppc (tail padding trick)."""
-    ell = ppc + 2 * ghost
-    n_rows = nblk * ppc
-    pad = ppc - 2 * ghost
-    if pad > 0:
-        padw = [(0, 0)] * field.ndim
-        padw[axis] = (0, pad)
-        field = jnp.pad(field, padw)
-
-    def take(a, b):
-        idx = [slice(None)] * field.ndim
-        idx[axis] = slice(a, b)
-        return field[tuple(idx)]
-
-    sh = list(field.shape)
-    a1 = take(0, n_rows).reshape(sh[:axis] + [nblk, ppc] + sh[axis + 1:])
-    a2 = take(ppc, ppc + n_rows).reshape(
-        sh[:axis] + [nblk, ppc] + sh[axis + 1:])
-
-    def cut(a):
-        idx = [slice(None)] * a.ndim
-        idx[axis + 1] = slice(0, ell - ppc)
-        return a[tuple(idx)]
-
-    return jnp.concatenate([a1, cut(a2)], axis=axis + 1)
-
-
-def _local_gather_fd4_pencil(phi_loc, bpos, *, nc, nxl, nyl, cap, ng,
-                             box_size, margin, x0_cells, y0_cells,
-                             dx, dy):
-    """fd4 gradient + CIC gather on the local [ng/dx, ng/dy, ng] pencil;
-    x/y halos (margin+3 planes) arrive via 2-phase ppermutes (phase 2
-    ships the corner halos of the x-extended pencil)."""
+def _local_gather_fd4_block(phi_loc, bpos, *, nc, nxl, nyl, nzl, cap,
+                            ng, box_size, margin, x0_cells, y0_cells,
+                            z0_cells, dx, dy, dz):
+    """fd4 gradient + CIC gather on the local [ng/dx, ng/dy, ng/dz]
+    cube; halos (margin+3 planes) arrive via 3-phase ppermutes (later
+    phases ship earlier phases' edge/corner halos)."""
     ppc, ell = block_geometry(ng, nc, margin)
     ghost = margin + 1
     h = box_size / ng
     gh4 = ghost + 2
-    cl = nxl * nyl * nc
+    cl = nxl * nyl * nzl
 
     lo = jax.lax.ppermute(phi_loc[-gh4:], X_AXIS, _ring(dx, +1))
     hi = jax.lax.ppermute(phi_loc[:gh4], X_AXIS, _ring(dx, -1))
@@ -400,6 +272,9 @@ def _local_gather_fd4_pencil(phi_loc, bpos, *, nc, nxl, nyl, cap, ng,
     lo = jax.lax.ppermute(ext[:, -gh4:], Y_AXIS, _ring(dy, +1))
     hi = jax.lax.ppermute(ext[:, :gh4], Y_AXIS, _ring(dy, -1))
     ext = jnp.concatenate([lo, ext, hi], axis=1)
+    lo = jax.lax.ppermute(ext[:, :, -gh4:], Z_AXIS, _ring(dz, +1))
+    hi = jax.lax.ppermute(ext[:, :, :gh4], Z_AXIS, _ring(dz, -1))
+    ext = jnp.concatenate([lo, ext, hi], axis=2)
 
     c4 = 1.0 / (12.0 * h)
 
@@ -413,31 +288,25 @@ def _local_gather_fd4_pencil(phi_loc, bpos, *, nc, nxl, nyl, cap, ng,
         return (8.0 * (sl(3, -1) - sl(1, -3)) - (sl(4, 0) - sl(0, -4))) \
             * c4
 
-    def droll(f, axis):
-        return (8.0 * (jnp.roll(f, -1, axis) - jnp.roll(f, 1, axis))
-                - (jnp.roll(f, -2, axis) - jnp.roll(f, 2, axis))) * c4
-
-    fx = -dslice(ext, 0)[:, 2:-2]        # [gh+X+gh, gh+Y+gh, ng]
-    fy = -dslice(ext, 1)[2:-2]
-    fz = -droll(ext[2:-2, 2:-2], 2)
+    fx = -dslice(ext, 0)[:, 2:-2, 2:-2]
+    fy = -dslice(ext, 1)[2:-2, :, 2:-2]
+    fz = -dslice(ext, 2)[2:-2, 2:-2, :]
+    # each field: ghost+axis+ghost on its own axis, ghost halos on the
+    # other two axes
 
     def windows(field):
-        # open-extract x and y windows, periodic z windows
         a = _extract_open(field, nblk=nxl, ppc=ppc, ghost=ghost, axis=0)
         a = _extract_open(a, nblk=nyl, ppc=ppc, ghost=ghost, axis=2)
-        # a: [nxl, L, nyl, L, ng]
-        a = a.transpose(0, 2, 1, 3, 4)   # [nxl, nyl, L, L, ng]
-        zw = []
-        for zc in range(nc):
-            idx = (jnp.arange(ell) + (zc * ppc - ghost)) % ng
-            zw.append(jnp.take(a, idx, axis=4))
-        a = jnp.stack(zw, axis=2)        # [nxl, nyl, nc, L, L, L]
+        a = _extract_open(a, nblk=nzl, ppc=ppc, ghost=ghost, axis=4)
+        # a: [nxl, L, nyl, L, nzl, L]
+        a = a.transpose(0, 2, 4, 1, 3, 5)
         return a.reshape(cl, ell, ell, ell)
 
     fields = jnp.stack([windows(fx), windows(fy), windows(fz)], axis=1)
 
-    origins = _origins2d(cl, nxl=nxl, nyl=nyl, nc=nc, ppc=ppc,
-                         ghost=ghost, x0_cells=x0_cells, y0_cells=y0_cells)
+    origins = _origins3d(cl, nxl=nxl, nyl=nyl, nzl=nzl, ppc=ppc,
+                         ghost=ghost, x0_cells=x0_cells,
+                         y0_cells=y0_cells, z0_cells=z0_cells)
     ones = jnp.ones((cl, cap), jnp.float32)
     x, y, z1, _ = _cic_factors(bpos, ones, origins, ng=ng,
                                box_size=box_size, ell=ell)
@@ -449,32 +318,36 @@ def _local_gather_fd4_pencil(phi_loc, bpos, *, nc, nxl, nyl, cap, ng,
 
 
 # ---------------------------------------------------------------------------
-# full force (shard_map over the 2D device mesh)
+# full force (shard_map over the 3D device mesh)
 # ---------------------------------------------------------------------------
 
-def mesh_fast_accel2d(bpos, bmass, *, mesh: Mesh, box_size, ng: int,
+def mesh_fast_accel3d(bpos, bmass, *, mesh: Mesh, box_size, ng: int,
                       ncell: int, capacity: int, margin: int, rs,
                       softening, g_const):
     """Sharded TreePM accelerations for block-major bucketed [C, K]
     state -> [C, K, 3] (+ dropped count). Arrays shard along C over the
-    flattened (shx, shy) mesh."""
+    flattened (shx, shy, shz) mesh."""
     dx = mesh.shape[X_AXIS]
     dy = mesh.shape[Y_AXIS]
+    dz = mesh.shape[Z_AXIS]
     nc, cap = ncell, capacity
-    nxl, nyl = nc // dx, nc // dy
-    cl = nxl * nyl * nc
+    nxl, nyl, nzl = nc // dx, nc // dy, nc // dz
+    cl = nxl * nyl * nzl
     green = _greens(ng, box_size, rs)
     cell_volume = (box_size / ng) ** 3
+    axes = (X_AXIS, Y_AXIS, Z_AXIS)
 
     def local(bp, bm, grn):
         dix = jax.lax.axis_index(X_AXIS)
         diy = jax.lax.axis_index(Y_AXIS)
+        diz = jax.lax.axis_index(Z_AXIS)
         x0 = (dix * nxl).astype(jnp.float32)
         y0 = (diy * nyl).astype(jnp.float32)
-        blk_p = bp.reshape(nxl, nyl, nc, cap, 3)
-        blk_m = bm.reshape(nxl, nyl, nc, cap)
+        z0 = (diz * nzl).astype(jnp.float32)
+        blk_p = bp.reshape(nxl, nyl, nzl, cap, 3)
+        blk_m = bm.reshape(nxl, nyl, nzl, cap)
 
-        # --- short range: 2-phase halo + 27-stencil
+        # --- short range: 3-phase halo + 27-stencil
         bp_ext = _halo_extend(blk_p, 0, n_dev=dx, axis_name=X_AXIS)
         bm_ext = _halo_extend(blk_m, 0, n_dev=dx, axis_name=X_AXIS)
         bp_ext = _unwrap_axis(bp_ext, 0, 0, box_size=box_size, n_dev=dx,
@@ -483,53 +356,60 @@ def mesh_fast_accel2d(bpos, bmass, *, mesh: Mesh, box_size, ng: int,
         bm_ext = _halo_extend(bm_ext, 1, n_dev=dy, axis_name=Y_AXIS)
         bp_ext = _unwrap_axis(bp_ext, 1, 1, box_size=box_size, n_dev=dy,
                               axis_name=Y_AXIS)
-        acc_s = _local_short_range2d(
+        bp_ext = _halo_extend(bp_ext, 2, n_dev=dz, axis_name=Z_AXIS)
+        bm_ext = _halo_extend(bm_ext, 2, n_dev=dz, axis_name=Z_AXIS)
+        bp_ext = _unwrap_axis(bp_ext, 2, 2, box_size=box_size, n_dev=dz,
+                              axis_name=Z_AXIS)
+        acc_s = _local_short_range3d(
             bp_ext, bm_ext, box_size=box_size, rs=rs,
-            softening=softening, nxl=nxl, nyl=nyl, nc=nc, cap=cap)
+            softening=softening, nxl=nxl, nyl=nyl, nzl=nzl, cap=cap)
 
-        # --- long range: pencil deposit -> pencil FFT -> pencil gather
-        pencil, dropped = _local_deposit_pencil(
+        # --- long range: block deposit -> cube<->pencil FFT -> gather
+        cube, dropped = _local_deposit_block(
             bp.reshape(cl, cap, 3), bm.reshape(cl, cap), nc=nc, nxl=nxl,
-            nyl=nyl, cap=cap, ng=ng, box_size=box_size, margin=margin,
-            x0_cells=x0, y0_cells=y0, dx=dx, dy=dy)
-        phi = _poisson_pencil(pencil / cell_volume, grn, ng=ng, dx=dx,
-                              dy=dy)
-        acc_l = _local_gather_fd4_pencil(
+            nyl=nyl, nzl=nzl, cap=cap, ng=ng, box_size=box_size,
+            margin=margin, x0_cells=x0, y0_cells=y0, z0_cells=z0,
+            dx=dx, dy=dy, dz=dz)
+        phi = _poisson_block(cube / cell_volume, grn, ng=ng, dx=dx,
+                             dy=dy, dz=dz)
+        acc_l = _local_gather_fd4_block(
             phi, bp.reshape(cl, cap, 3), nc=nc, nxl=nxl, nyl=nyl,
-            cap=cap, ng=ng, box_size=box_size, margin=margin,
-            x0_cells=x0, y0_cells=y0, dx=dx, dy=dy)
+            nzl=nzl, cap=cap, ng=ng, box_size=box_size, margin=margin,
+            x0_cells=x0, y0_cells=y0, z0_cells=z0, dx=dx, dy=dy, dz=dz)
 
         acc = g_const * (acc_l.reshape(acc_s.shape) + acc_s)
-        dropped = jax.lax.psum(jax.lax.psum(dropped, X_AXIS), Y_AXIS)
+        dropped = jax.lax.psum(dropped, axes)
         return acc.reshape(cl, cap, 3), dropped[None]
 
     acc, dropped = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P((X_AXIS, Y_AXIS)), P((X_AXIS, Y_AXIS)), P()),
-        out_specs=(P((X_AXIS, Y_AXIS)), P((X_AXIS, Y_AXIS))))(
-            bpos, bmass, green)
+        in_specs=(P(axes), P(axes), P()),
+        out_specs=(P(axes), P(axes)))(bpos, bmass, green)
     return acc, dropped[0]
 
 
 # ---------------------------------------------------------------------------
-# sharded rebucket: two-phase emigrant exchange
+# sharded rebucket: three-phase emigrant exchange
 # ---------------------------------------------------------------------------
 
-def mesh_rebucket2d(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh,
+def mesh_rebucket3d(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh,
                     box_size, ncell: int, capacity: int,
                     mig_capacity: int = 0):
-    """Re-bucket the 2D-sharded state: emigrants hop to the +-x block
-    neighbor first, then +-y (diagonal movers take both hops); each hop
-    is one capacity-bounded ppermute pair. Strays/overflow counted."""
+    """Re-bucket the 3D-sharded state: emigrants hop +-x, then +-y,
+    then +-z (diagonal movers take several hops); each hop is one
+    capacity-bounded ppermute pair. Strays/overflow counted."""
     dx = mesh.shape[X_AXIS]
     dy = mesh.shape[Y_AXIS]
+    dz = mesh.shape[Z_AXIS]
     nc, cap = ncell, capacity
-    nxl, nyl = nc // dx, nc // dy
-    cl = nxl * nyl * nc
+    nxl, nyl, nzl = nc // dx, nc // dy, nc // dz
+    cl = nxl * nyl * nzl
+    axes = (X_AXIS, Y_AXIS, Z_AXIS)
     if mig_capacity <= 0:
-        # movers live within one cell plane of a block boundary: the
-        # x-boundary plane spans nyl*nc cells, the y-boundary nxl*nc
-        mig_capacity = max(256, (max(nxl, nyl) * nc * cap) // 4)
+        # movers live within one cell plane of a block boundary
+        face = max(nyl * nzl, nxl * nzl, nxl * nyl)
+        mig_capacity = max(256, (face * nc // max(nxl, nyl, nzl) * cap)
+                           // 4)
     mig = mig_capacity
 
     def pack(mask, arrs, fill):
@@ -543,8 +423,6 @@ def mesh_rebucket2d(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh,
         return out, lost
 
     def exchange(axis_name, n_dev, delta, arrs):
-        """One +-1 hop along axis_name for rows flagged by delta
-        (0 stay, 1 up, n_dev-1 down). Returns merged arrays + lost."""
         pos, vel, acc, mass, ids = arrs
         live = mass > 0
         up = live & (delta == 1) & (n_dev > 1)
@@ -555,7 +433,7 @@ def mesh_rebucket2d(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh,
         dbuf, lost_d = pack(down, arrs, (0.0, 0.0, 0.0, 0.0, -1))
         recv_d = jax.tree.map(
             lambda x: jax.lax.ppermute(x, axis_name, _ring(n_dev, +1)),
-            ubuf)    # my up-goers arrive at +1; I receive from -1
+            ubuf)
         recv_u = jax.tree.map(
             lambda x: jax.lax.ppermute(x, axis_name, _ring(n_dev, -1)),
             dbuf)
@@ -570,32 +448,32 @@ def mesh_rebucket2d(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh,
     def local(bp, bv, bm, bi, ba):
         dix = jax.lax.axis_index(X_AXIS)
         diy = jax.lax.axis_index(Y_AXIS)
+        diz = jax.lax.axis_index(Z_AXIS)
         arrs = [bp.reshape(-1, 3), bv.reshape(-1, 3), ba.reshape(-1, 3),
                 bm.reshape(-1), bi.reshape(-1)]
 
         def blocks_of(pos):
             cell = jnp.clip(jnp.floor(pos / box_size * nc)
                             .astype(jnp.int32), 0, nc - 1)
-            return cell[:, 0] // nxl, cell[:, 1] // nyl, cell
+            return (cell[:, 0] // nxl, cell[:, 1] // nyl,
+                    cell[:, 2] // nzl, cell)
 
-        # phase 1: x hop
-        bx, _, _ = blocks_of(arrs[0])
-        delta_x = jnp.mod(bx - dix, dx)
-        arrs, lost1 = exchange(X_AXIS, dx, delta_x, arrs)
-
-        # phase 2: y hop (on the merged set)
-        _, by, _ = blocks_of(arrs[0])
-        delta_y = jnp.mod(by - diy, dy)
-        arrs, lost2 = exchange(Y_AXIS, dy, delta_y, arrs)
+        bx, _, _, _ = blocks_of(arrs[0])
+        arrs, lost1 = exchange(X_AXIS, dx, jnp.mod(bx - dix, dx), arrs)
+        _, by, _, _ = blocks_of(arrs[0])
+        arrs, lost2 = exchange(Y_AXIS, dy, jnp.mod(by - diy, dy), arrs)
+        _, _, bz, _ = blocks_of(arrs[0])
+        arrs, lost3 = exchange(Z_AXIS, dz, jnp.mod(bz - diz, dz), arrs)
 
         pos_a, vel_a, acc_a, mass_a, ids_a = arrs
-        bx, by, cell = blocks_of(pos_a)
-        in_blk = (bx == dix) & (by == diy)
+        bx, by, bz, cell = blocks_of(pos_a)
+        in_blk = (bx == dix) & (by == diy) & (bz == diz)
         livea = mass_a > 0
         lxa = cell[:, 0] - dix * nxl
         lya = cell[:, 1] - diy * nyl
+        lza = cell[:, 2] - diz * nzl
         cid = jnp.where(livea & in_blk,
-                        (lxa * nyl + lya) * nc + cell[:, 2], cl)
+                        (lxa * nyl + lya) * nzl + lza, cl)
         strays = jnp.sum(livea & ~in_blk)
 
         order = jnp.argsort(cid)
@@ -610,8 +488,6 @@ def mesh_rebucket2d(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh,
         slot = jnp.where(ok, cid_s * cap + rank, cl * cap)
         overflow = jnp.sum(~ok & (cid_s < cl))
 
-        # inverse slot map + row gathers: XLA [N,3] scatters are ~8x
-        # slower than gathers on TPU (forces/treepm.bucket_src_map)
         src = jnp.full((cl * cap,), na, jnp.int32).at[slot].set(
             order.astype(jnp.int32), mode="drop")
 
@@ -625,46 +501,47 @@ def mesh_rebucket2d(bpos, bvel, bmass, bids, bacc, *, mesh: Mesh,
         nbm = regather(mass_a).reshape(cl, cap)
         nbi = regather(ids_a, -1).reshape(cl, cap)
 
-        counts = jnp.stack([overflow + lost1 + lost2 + strays,
+        counts = jnp.stack([overflow + lost1 + lost2 + lost3 + strays,
                             jnp.sum(mass_a > 0)])
-        counts = jax.lax.psum(jax.lax.psum(counts, X_AXIS), Y_AXIS)
+        counts = jax.lax.psum(counts, axes)
         return nbp, nbv, nbm, nbi, nba, counts[None]
 
     nbp, nbv, nbm, nbi, nba, counts = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P((X_AXIS, Y_AXIS)),) * 5,
-        out_specs=(P((X_AXIS, Y_AXIS)),) * 5 + (P((X_AXIS, Y_AXIS)),))(
+        in_specs=(P(axes),) * 5,
+        out_specs=(P(axes),) * 5 + (P(axes),))(
             bpos, bvel, bmass, bids, bacc)
     return nbp, nbv, nbm, nbi, nba, counts[0, 0]
 
 
 # ---------------------------------------------------------------------------
-# public API: init / segment / run (mirrors parallel/fast_mesh)
+# public API: init / segment / run (mirrors parallel/fast_mesh2d)
 # ---------------------------------------------------------------------------
 
-def initialize_mesh_fast2d(positions, velocities, masses, scale_factor,
+def initialize_mesh_fast3d(positions, velocities, masses, scale_factor,
                            *, mesh: Mesh, box_size, pm_grid, softening,
                            g_const=43.0071057317063, split_factor=1.25,
                            cut_factor=4.5, margin=1, capacity=0,
                            time=0.0, step=0, h0_internal=100.0,
                            kick_mode="reference", sf_method="rk4",
                            cosmological=True):
-    """Bucket (block-major cell order) + shard over the 2D mesh + prime
-    accelerations. Returns (FastState, plan kwargs for mesh_fast_run2d),
+    """Bucket (block-major cell order) + shard over the 3D mesh + prime
+    accelerations. Returns (FastState, plan kwargs for mesh_fast_run3d),
     or raises if the geometry cannot shard."""
     from ..forces.treepm import bucket_particles
     from ..ops.fast_treepm import FastState
 
     dx = mesh.shape[X_AXIS]
     dy = mesh.shape[Y_AXIS]
-    plan = mesh_fast_plan2d(positions.shape[0], float(box_size), pm_grid,
-                            (dx, dy), split_factor=split_factor,
+    dz = mesh.shape[Z_AXIS]
+    plan = mesh_fast_plan3d(positions.shape[0], float(box_size), pm_grid,
+                            (dx, dy, dz), split_factor=split_factor,
                             cut_factor=cut_factor, capacity=capacity,
                             margin=margin)
     if plan is None:
         raise ValueError(
-            f"mesh_fast_plan2d: box/pm_grid {pm_grid} cannot shard over "
-            f"a ({dx}, {dy}) mesh with cells >= r_cut")
+            f"mesh_fast_plan3d: box/pm_grid {pm_grid} cannot shard over "
+            f"a ({dx}, {dy}, {dz}) mesh with cells >= r_cut")
     nc, cap = plan["ncell"], plan["capacity"]
 
     bpos, bmass, pslot, ovf = bucket_particles(
@@ -678,11 +555,12 @@ def initialize_mesh_fast2d(positions, velocities, masses, scale_factor,
         ids, mode="drop").reshape(bmass.shape)
 
     # x-major -> block-major cell order
-    perm = cell_order2d(nc, dx, dy)
+    perm = cell_order3d(nc, dx, dy, dz)
     bpos, bvel = bpos[perm], bvel[perm]
     bmass, bids = bmass[perm], bids[perm]
 
-    shard = NamedSharding(mesh, P((X_AXIS, Y_AXIS)))
+    axes = (X_AXIS, Y_AXIS, Z_AXIS)
+    shard = NamedSharding(mesh, P(axes))
     rep = NamedSharding(mesh, P())
     fstate = FastState(
         bpos=jax.device_put(bpos, shard),
@@ -703,7 +581,7 @@ def initialize_mesh_fast2d(positions, velocities, masses, scale_factor,
               h0_internal=float(h0_internal), kick_mode=str(kick_mode),
               sf_method=str(sf_method), cosmological=bool(cosmological))
 
-    acc, dropped = mesh_fast_accel2d(
+    acc, dropped = mesh_fast_accel3d(
         fstate.bpos, fstate.bmass, mesh=mesh, box_size=kw["box_size"],
         ng=pm_grid, ncell=nc, capacity=cap, margin=kw["margin"],
         rs=kw["rs"], softening=kw["softening"], g_const=kw["g_const"])
@@ -717,7 +595,7 @@ def initialize_mesh_fast2d(positions, velocities, masses, scale_factor,
     "mesh", "box_size", "ng", "ncell", "capacity", "margin", "rs",
     "softening", "g_const", "h0_internal", "kick_mode", "sf_method",
     "cosmological", "n_steps"))
-def _mesh_fast_segment2d(fstate, params, dt, *, mesh, box_size, ng,
+def _mesh_fast_segment3d(fstate, params, dt, *, mesh, box_size, ng,
                          ncell, capacity, margin, rs, softening, g_const,
                          h0_internal=100.0, kick_mode="reference",
                          sf_method="rk4", cosmological=True, n_steps=1):
@@ -740,7 +618,7 @@ def _mesh_fast_segment2d(fstate, params, dt, *, mesh, box_size, ng,
                         wrap_positions(pos, box_size), 0.0)
         fs = fs.replace(bpos=pos, bvel=vel, scale_factor=a1,
                         time=fs.time + dt, step=fs.step + 1)
-        acc_new, dropped = mesh_fast_accel2d(
+        acc_new, dropped = mesh_fast_accel3d(
             fs.bpos, fs.bmass, mesh=mesh, box_size=box_size, ng=ng,
             ncell=ncell, capacity=capacity, margin=margin, rs=rs,
             softening=softening, g_const=g_const)
@@ -753,16 +631,16 @@ def _mesh_fast_segment2d(fstate, params, dt, *, mesh, box_size, ng,
     return fstate
 
 
-def mesh_fast_run2d(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
+def mesh_fast_run3d(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
                     n_steps=1, steps_since_rebucket: int = 0, **kw):
-    """Advance n_steps with two-phase re-bucketing between segments.
+    """Advance n_steps with three-phase re-bucketing between segments.
     `steps_since_rebucket` carries the cadence across chunked calls
     (see ops/fast_treepm.fast_run)."""
     remaining = n_steps
     since = max(0, int(steps_since_rebucket))
     while remaining > 0:
         if since >= rebucket_every:
-            nbp, nbv, nbm, nbi, nba, bad = mesh_rebucket2d(
+            nbp, nbv, nbm, nbi, nba, bad = mesh_rebucket3d(
                 fstate.bpos, fstate.bvel, fstate.bmass, fstate.ids,
                 fstate.acc, mesh=mesh, box_size=kw["box_size"],
                 ncell=kw["ncell"], capacity=kw["capacity"])
@@ -771,7 +649,7 @@ def mesh_fast_run2d(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
                 overflow=fstate.overflow + bad.astype(jnp.int32))
             since = 0
         seg = min(rebucket_every - since, remaining)
-        fstate = _mesh_fast_segment2d(fstate, params, dt, mesh=mesh,
+        fstate = _mesh_fast_segment3d(fstate, params, dt, mesh=mesh,
                                       n_steps=seg, **kw)
         remaining -= seg
         since += seg
