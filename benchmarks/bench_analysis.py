@@ -89,8 +89,14 @@ def main():
           f"(first call incl. compile {dt_fof_c:.0f}s; "
           f"merged-cell overflow={int(ovf)})")
 
+    from lambda_cdm_tpu.analysis.halo_finder import catalog_window_plan
+    window = catalog_window_plan(pos, box)
+    print("catalog window plan:", window)
+    vel = jnp.zeros_like(pos)
+    cat = catalog_from_labels(pos, vel, m, labels, box, window=window)
+    sync(cat.mass)                       # compile + first run
     t0 = time.perf_counter()
-    cat = catalog_from_labels(pos, jnp.zeros_like(pos), m, labels, box)
+    cat = catalog_from_labels(pos, vel, m, labels, box, window=window)
     sync(cat.mass)
     dt_cat = time.perf_counter() - t0
     print(f"halo catalog (CoM/R200/vmax/spin): {dt_cat*1e3:.1f} ms "

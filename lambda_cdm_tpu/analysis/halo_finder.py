@@ -432,14 +432,72 @@ def _occupancy_pyramid(positions, live, box_size, nf: int, caps: tuple):
 # Halo catalog
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_halos", "min_particles"))
+def catalog_window_plan(positions, box_size, *, live=None, r_max=None,
+                        mem_budget_mb: int = 768):
+    """Host-side plan for catalog_from_labels' windowed profiles:
+    -> (ncell, capacity, pad) static tuple, or None (exact scan).
+
+    One device pass: live cell counts at nc=32 pooled down to 16 and 8;
+    capacity = the actual max occupancy (so the window buckets hold
+    every particle -- nothing is ever dropped), memory-bounded, and the
+    smallest per-halo window work wins. Mirrors fof_plan's pooled
+    occupancy pyramid (same planning stance, coarser levels)."""
+    box = float(box_size)
+    if r_max is None:
+        r_max = 0.1 * box
+    n = positions.shape[0]
+
+    @jax.jit
+    def occupancy(pos, lv):
+        cell = jnp.clip(jnp.floor(pos / box * 32).astype(jnp.int32),
+                        0, 31)
+        cid = (cell[:, 0] * 32 + cell[:, 1]) * 32 + cell[:, 2]
+        c32 = jnp.zeros((32 ** 3,), jnp.int32).at[cid].add(
+            jnp.where(lv, 1, 0))
+        c32 = c32.reshape(32, 32, 32)
+        c16 = c32.reshape(16, 2, 16, 2, 16, 2).sum((1, 3, 5))
+        c8 = c16.reshape(8, 2, 8, 2, 8, 2).sum((1, 3, 5))
+        return jnp.max(c32), jnp.max(c16), jnp.max(c8)
+
+    lv = jnp.ones((n,), bool) if live is None else live
+    m32, m16, m8 = (int(x) for x in occupancy(positions, lv))
+    best = None
+    for nc, mx in ((32, m32), (16, m16), (8, m8)):
+        pad = int(math.ceil(r_max * nc / box))
+        if 2 * pad + 1 > nc:
+            # window wider than the box: wrapped copies would double
+            # count
+            continue
+        cap = max(128, -(-(mx + 1) // 128) * 128)
+        mem = 8 * (nc + 2 * pad) ** 3 * cap * 4
+        if mem > mem_budget_mb * 1024 * 1024:
+            continue
+        work = (2 * pad + 1) ** 3 * cap
+        if work >= n:           # no cheaper than the exact scan
+            continue
+        if best is None or work < best[0]:
+            best = (work, nc, cap, pad)
+    return None if best is None else (best[1], best[2], best[3])
+
+
+@partial(jax.jit, static_argnames=("max_halos", "min_particles",
+                                   "window"))
 def catalog_from_labels(positions, velocities, masses, labels, box_size,
                         *, max_halos: int = 256, min_particles: int = 20,
                         overdensity: float = 200.0, mean_density=None,
-                        g_const: float = 43.0071057317063):
+                        g_const: float = 43.0071057317063,
+                        window: tuple | None = None):
     """Segment-reduce particle groups into a HaloCatalog
     (reference: extract_halos + compute properties,
-    halo_finder.cpp:213-337)."""
+    halo_finder.cpp:213-337).
+
+    `window` = (ncell, capacity, pad) from `catalog_window_plan`
+    switches the per-halo SO/vmax/L profiles from the exact O(N*H)
+    scan to bucketed windows of (2*pad+1)^3 cells around each center
+    (pad*cell >= r_max, so every particle within r_max is seen). The
+    plan sizes capacity at the max cell occupancy, so no particle is
+    dropped; FoF members beyond r_max contribute to angular momentum
+    only on the exact path (windowed L is the within-r_max L)."""
     n = positions.shape[0]
     # Scatter-free label reductions: sort by label once, then every
     # per-group sum is a cumsum difference at run boundaries.  TPU
@@ -511,20 +569,10 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
     r_max = 0.1 * box_size
     edges = jnp.linspace(0.0, r_max, nbins + 1)[1:]      # bin upper edges
 
-    def halo_profile(idx):
-        center = h_com[idx]
-        d = min_image(positions - center[None, :], box_size)
-        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
-        member = plabel == idx
-        bin_idx = jnp.clip((r / r_max * nbins).astype(jnp.int32), 0,
-                           nbins - 1)
-        # particles beyond r_max must NOT land in the outermost bin:
-        # clipping them in puts the whole box's mass into m_enc's last
-        # entry, and box^3 / (4/3 pi r_max^3) = 238.7 > Delta=200 means
-        # dens[last] >= Delta*rho_bar ALWAYS -> every halo reported
-        # r_delta == r_max (round-2 bug, caught by the analytic SO test)
-        hist = jax.ops.segment_sum(jnp.where(r < r_max, masses, 0.0),
-                                   bin_idx, num_segments=nbins)
+    def profile_tail(hist, d, rel_v, w_mass, member):
+        """(radial mass hist, offsets, rel. velocities, masses, member
+        mask) -> (r_delta, m_delta, v_max, L). Shared by the exact and
+        windowed paths."""
         m_enc = jnp.cumsum(hist)
         vol = 4.0 / 3.0 * jnp.pi * edges ** 3
         dens = m_enc / vol
@@ -535,14 +583,78 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
         v_circ2 = g_const * m_enc / jnp.maximum(edges, 1e-8)
         v_max = jnp.sqrt(jnp.max(jnp.where(edges <= jnp.maximum(
             r_delta, edges[0]), v_circ2, 0.0)))
-        # angular momentum of FoF members about the CoM
-        rel_v = velocities - h_vel[idx][None, :]
-        ell = jnp.cross(d, rel_v) * masses[:, None]
+        ell = jnp.cross(d, rel_v) * w_mass[:, None]
         ell = jnp.sum(jnp.where(member[:, None], ell, 0.0), axis=0)
         return r_delta, m_delta, v_max, ell
 
+    def halo_profile(idx):
+        center = h_com[idx]
+        d = min_image(positions - center[None, :], box_size)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        bin_idx = jnp.clip((r / r_max * nbins).astype(jnp.int32), 0,
+                           nbins - 1)
+        # particles beyond r_max must NOT land in the outermost bin:
+        # clipping them in puts the whole box's mass into m_enc's last
+        # entry, and box^3 / (4/3 pi r_max^3) = 238.7 > Delta=200 means
+        # dens[last] >= Delta*rho_bar ALWAYS -> every halo reported
+        # r_delta == r_max (round-2 bug, caught by the analytic SO test)
+        hist = jax.ops.segment_sum(jnp.where(r < r_max, masses, 0.0),
+                                   bin_idx, num_segments=nbins)
+        return profile_tail(hist, d, velocities - h_vel[idx][None, :],
+                            masses, plabel == idx)
+
+    def make_windowed_profile():
+        """Bucket once; per halo, dynamic-slice a (2p+1)^3-cell window
+        around the center -- O(window) work instead of O(N) per halo."""
+        nc_w, cap_w, p_w = window
+        w_sz = 2 * p_w + 1
+        cell_w = box_size / nc_w
+        src, _, _, _, _ = bucket_src_map(
+            positions, jnp.where(masses > 0, 1.0, 0.0).astype(
+                positions.dtype), box_size, ncell=nc_w, capacity=cap_w)
+
+        def chan(x, fill=0.0):
+            return bucket_gather(x, src, fill).reshape(
+                nc_w, nc_w, nc_w, cap_w)
+
+        fc = jnp.stack([chan(positions[:, 0]), chan(positions[:, 1]),
+                        chan(positions[:, 2]), chan(masses),
+                        chan(velocities[:, 0]), chan(velocities[:, 1]),
+                        chan(velocities[:, 2])])
+        pw = ((0, 0),) + ((p_w, p_w),) * 3 + ((0, 0),)
+        fc = jnp.pad(fc, pw, mode="wrap")
+        pl_pad = jnp.pad(chan(plabel, -1), pw[1:], mode="wrap")
+
+        def halo_profile_w(idx):
+            center = h_com[idx]
+            base = jnp.clip(jnp.floor(center / cell_w).astype(jnp.int32),
+                            0, nc_w - 1)
+            win = jax.lax.dynamic_slice(
+                fc, (0, base[0], base[1], base[2], 0),
+                (7, w_sz, w_sz, w_sz, cap_w)).reshape(7, -1)
+            pl_w = jax.lax.dynamic_slice(
+                pl_pad, (base[0], base[1], base[2], 0),
+                (w_sz, w_sz, w_sz, cap_w)).reshape(-1)
+            wpos = jnp.stack([win[0], win[1], win[2]], axis=-1)
+            w_mass = win[3]
+            d = min_image(wpos - center[None, :], box_size)
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+            live_w = w_mass > 0
+            bin_idx = jnp.clip((r / r_max * nbins).astype(jnp.int32),
+                               0, nbins - 1)
+            hist = jax.ops.segment_sum(
+                jnp.where(live_w & (r < r_max), w_mass, 0.0), bin_idx,
+                num_segments=nbins)
+            rel_v = (jnp.stack([win[4], win[5], win[6]], axis=-1)
+                     - h_vel[idx][None, :])
+            return profile_tail(hist, d, rel_v, w_mass,
+                                (pl_w == idx) & live_w)
+
+        return halo_profile_w
+
     r_delta, m_delta, v_max, ell = jax.lax.map(
-        halo_profile, jnp.arange(max_halos))
+        make_windowed_profile() if window is not None else halo_profile,
+        jnp.arange(max_halos))
     r_delta = jnp.where(valid, r_delta, 0.0)
     v_max = jnp.where(valid, v_max, 0.0)
     ell = jnp.where(valid[:, None], ell, 0.0)
@@ -585,10 +697,12 @@ def find_halos(positions, velocities, masses, box_size, *,
     labels, overflow = fof_labels(
         positions, box_size, b, ncell=plan["ncell"],
         capacity=plan["capacity"], live=masses > 0)
+    window = (catalog_window_plan(positions, box_size, live=masses > 0)
+              if n >= 200_000 else None)
     return catalog_from_labels(
         positions, velocities, masses, labels, box_size,
         max_halos=max_halos, min_particles=min_particles,
-        overdensity=overdensity, g_const=g_const)
+        overdensity=overdensity, g_const=g_const, window=window)
 
 
 def mass_function(catalog: HaloCatalog, box_size, num_bins: int = 16,

@@ -140,6 +140,57 @@ class TestFoF:
         vmax = float(cat.v_max[0])
         assert 70.0 < vmax < 105.0, f"v_max={vmax} (analytic ~87)"
 
+    def test_windowed_profiles_match_exact(self):
+        """catalog_from_labels(window=...) reproduces the exact-scan
+        catalog bit-for-bit-ish: the window covers r_max, capacity is
+        the true max occupancy, so the same particles enter every
+        histogram; only summation order differs."""
+        pos, vel, mass = make_clusters(jax.random.PRNGKey(11),
+                                       n_each=80, n_field=400)
+        vel = 0.1 * jax.random.normal(jax.random.PRNGKey(12), vel.shape)
+        n = pos.shape[0]
+        b = 0.3 * 100.0 / n ** (1 / 3)
+        plan = hf.fof_plan(n, 100.0, b)
+        labels, _ = hf.fof_labels(pos, 100.0, b, ncell=plan["ncell"],
+                                  capacity=plan["capacity"])
+        exact = hf.catalog_from_labels(pos, vel, mass, labels, 100.0,
+                                       max_halos=16)
+        window = hf.catalog_window_plan(pos, 100.0)
+        if window is None:      # tiny N: force a window anyway
+            window = (8, 256, 1)
+        win = hf.catalog_from_labels(pos, vel, mass, labels, 100.0,
+                                     max_halos=16, window=window)
+        assert int(win.num_halos) == int(exact.num_halos)
+        nh = int(exact.num_halos)
+        np.testing.assert_allclose(np.asarray(win.radius)[:nh],
+                                   np.asarray(exact.radius)[:nh],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(win.v_max)[:nh],
+                                   np.asarray(exact.v_max)[:nh],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(win.angular_momentum)[:nh],
+            np.asarray(exact.angular_momentum)[:nh], rtol=1e-3,
+            atol=1e-3 * float(np.abs(
+                np.asarray(exact.angular_momentum)[:nh]).max()))
+        np.testing.assert_allclose(np.asarray(win.spin)[:nh],
+                                   np.asarray(exact.spin)[:nh],
+                                   rtol=1e-3)
+
+    def test_window_plan_capacity_covers_occupancy(self):
+        """The plan's capacity >= the densest cell's live count (the
+        no-drop contract of the windowed path)."""
+        pos, _, mass = make_clusters(jax.random.PRNGKey(13),
+                                     n_each=200, radius=0.5, n_field=50)
+        window = hf.catalog_window_plan(pos, 100.0, live=mass > 0)
+        if window is None:
+            pytest.skip("planner fell back to the exact scan")
+        nc, cap, pad = window
+        cell = np.clip((np.asarray(pos) / 100.0 * nc).astype(int), 0,
+                       nc - 1)
+        cid = (cell[:, 0] * nc + cell[:, 1]) * nc + cell[:, 2]
+        assert np.bincount(cid).max() <= cap
+
 
 class TestMassFunctionMeasurement:
     def test_counts_sum(self):
