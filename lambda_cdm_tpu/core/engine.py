@@ -511,11 +511,30 @@ class SimulationEngine:
                 from ..parallel.fast_mesh2d import mesh_fast_run2d as runm
             else:
                 from ..parallel.fast_mesh import mesh_fast_run as runm
-            self._fstate = runm(
-                self._fstate, params, float(self._dt), mesh=self._mesh,
-                n_steps=n, rebucket_every=rebucket_every,
-                steps_since_rebucket=since, **self._fast_mesh_kw)
-            since = next_rebucket_offset(since, n, rebucket_every)
+            # grow-and-retry (the mesh analogue of the single-chip path
+            # below): a lossy rebucket raises with the intact state; we
+            # rebuild at doubled capacity. Bounded attempts -- strays
+            # (drift > 1 block between rebuckets) are not fixable by
+            # capacity, so after max growths fall back to counted loss.
+            remaining = n
+            grow_attempts = 0
+            while remaining > 0:
+                mode = "raise" if grow_attempts < 6 else "count"
+                try:
+                    self._fstate = runm(
+                        self._fstate, params, float(self._dt),
+                        mesh=self._mesh, n_steps=remaining,
+                        rebucket_every=rebucket_every,
+                        steps_since_rebucket=since, on_overflow=mode,
+                        **self._fast_mesh_kw)
+                    since = next_rebucket_offset(since, remaining,
+                                                 rebucket_every)
+                    remaining = 0
+                except BucketOverflowError as exc:
+                    remaining -= exc.steps_done
+                    since = 0
+                    grow_attempts += 1
+                    self._grow_mesh_fast_capacity(exc.fstate)
         else:
             # grow-and-retry: a clustering state can exceed the static
             # bucket capacity -- instead of silently zero-massing the
@@ -555,6 +574,51 @@ class SimulationEngine:
                     "chunk even at rebucket_every=1 -- reduce the "
                     "timestep or increase forces margin", new_drops)
         self._sync_state_from_fast()
+
+    def _grow_mesh_fast_capacity(self, fstate) -> None:
+        """Mesh-mode analogue of _grow_fast_capacity: rebuild the
+        SHARDED fast state from the intact pre-rebucket state with
+        doubled bucket capacity, keeping geometry (ncell/rs/margin) and
+        persistent particle ids."""
+        import logging
+        from ..ops.fast_treepm import flatten_fast_state
+        from ..physics.integrators import wrap_positions
+        if getattr(self, "_fast_mesh_3d", False):
+            from ..parallel.fast_mesh3d import \
+                initialize_mesh_fast3d as init
+        elif getattr(self, "_fast_mesh_2d", False):
+            from ..parallel.fast_mesh2d import \
+                initialize_mesh_fast2d as init
+        else:
+            from ..parallel.fast_mesh import initialize_mesh_fast as init
+        kw = self._fast_mesh_kw
+        old_cap = kw["capacity"]
+        pos, vel, mass, ids = flatten_fast_state(fstate, with_ids=True)
+        pos = wrap_positions(pos, kw["box_size"])
+        n_rows = pos.shape[0]
+        new_cap = old_cap
+        while True:
+            new_cap *= 2
+            plan = {"ncell": kw["ncell"], "capacity": new_cap,
+                    "margin": kw["margin"], "rs": kw["rs"]}
+            st, kw2 = init(
+                pos, vel, mass, fstate.scale_factor, mesh=self._mesh,
+                box_size=kw["box_size"], pm_grid=kw["ng"],
+                softening=kw["softening"], g_const=kw["g_const"],
+                time=fstate.time, step=fstate.step,
+                h0_internal=kw["h0_internal"],
+                kick_mode=kw["kick_mode"], sf_method=kw["sf_method"],
+                cosmological=kw["cosmological"], plan_override=plan,
+                ids=ids)
+            if int(st.overflow) == 0 or new_cap >= n_rows:
+                break
+        logging.getLogger("lambda_cdm_tpu").warning(
+            "mesh treepm_fast: bucket capacity %d exceeded by "
+            "clustering; re-planned with capacity %d (no particles "
+            "lost)", old_cap, new_cap)
+        self._fstate = st.replace(overflow=fstate.overflow,
+                                  dropped=fstate.dropped)
+        self._fast_mesh_kw = kw2
 
     def _grow_fast_capacity(self, fstate) -> None:
         """Rebuild the fast state from an intact pre-rebucket state with

@@ -531,19 +531,21 @@ def initialize_mesh_fast(positions, velocities, masses, scale_factor, *,
                          cut_factor=4.5, margin=1, capacity=0,
                          time=0.0, step=0, h0_internal=100.0,
                          kick_mode="reference", sf_method="rk4",
-                         cosmological=True, axis_name: str = SHARD_AXIS):
+                         cosmological=True, axis_name: str = SHARD_AXIS,
+                         plan_override=None, ids=None):
     """Bucket + shard + prime accelerations. Returns (FastState with
     C-sharded arrays, plan kwargs for mesh_fast_run), or raises if the
     geometry cannot be sharded (callers fall back to stateless mesh
-    solvers)."""
+    solvers). `plan_override`/`ids` let the engine rebuild at a grown
+    capacity keeping geometry + particle identities (grow-and-retry)."""
     from ..forces.treepm import bucket_particles
     from ..ops.fast_treepm import FastState
 
     n_dev = mesh.shape[axis_name]
-    plan = mesh_fast_plan(positions.shape[0], float(box_size), pm_grid,
-                          n_dev, split_factor=split_factor,
-                          cut_factor=cut_factor, capacity=capacity,
-                          margin=margin)
+    plan = plan_override or mesh_fast_plan(
+        positions.shape[0], float(box_size), pm_grid, n_dev,
+        split_factor=split_factor, cut_factor=cut_factor,
+        capacity=capacity, margin=margin)
     if plan is None:
         raise ValueError(
             f"mesh_fast_plan: box/pm_grid {pm_grid} cannot shard over "
@@ -556,9 +558,10 @@ def initialize_mesh_fast(positions, velocities, masses, scale_factor, *,
     safe = jnp.where(pslot >= 0, pslot, nslots)
     bvel = jnp.zeros_like(bpos).reshape(-1, 3).at[safe].set(
         velocities, mode="drop").reshape(bpos.shape)
-    ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    pids = (jnp.arange(positions.shape[0], dtype=jnp.int32)
+            if ids is None else ids.astype(jnp.int32))
     bids = jnp.full((nslots,), -1, jnp.int32).at[safe].set(
-        ids, mode="drop").reshape(bmass.shape)
+        pids, mode="drop").reshape(bmass.shape)
 
     shard = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
@@ -634,10 +637,14 @@ def _mesh_fast_segment(fstate, params, dt, *, mesh, axis_name, box_size,
 
 def mesh_fast_run(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
                   n_steps=1, axis_name: str = SHARD_AXIS,
-                  steps_since_rebucket: int = 0, **kw):
+                  steps_since_rebucket: int = 0, on_overflow="count",
+                  **kw):
     """Advance n_steps with re-bucketing + migration between segments.
     `steps_since_rebucket` carries the cadence across chunked calls
-    (see ops/fast_treepm.fast_run)."""
+    (see ops/fast_treepm.fast_run). `on_overflow="raise"` throws
+    BucketOverflowError with the INTACT pre-rebucket state when a
+    rebucket would lose particles, so callers can grow capacity and
+    retry losslessly (the engine's grow-and-retry)."""
     remaining = n_steps
     since = max(0, int(steps_since_rebucket))
     while remaining > 0:
@@ -647,6 +654,10 @@ def mesh_fast_run(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
                 fstate.acc, mesh=mesh, box_size=kw["box_size"],
                 ncell=kw["ncell"], capacity=kw["capacity"],
                 axis_name=axis_name)
+            if on_overflow == "raise" and int(ovf) > 0:
+                from ..ops.fast_treepm import BucketOverflowError
+                raise BucketOverflowError(fstate,
+                                          n_steps - remaining)
             fstate = fstate.replace(
                 bpos=nbp, bvel=nbv, bmass=nbm, ids=nbi, acc=nba,
                 overflow=fstate.overflow + ovf.astype(jnp.int32))

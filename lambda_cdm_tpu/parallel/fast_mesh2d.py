@@ -648,19 +648,22 @@ def initialize_mesh_fast2d(positions, velocities, masses, scale_factor,
                            cut_factor=4.5, margin=1, capacity=0,
                            time=0.0, step=0, h0_internal=100.0,
                            kick_mode="reference", sf_method="rk4",
-                           cosmological=True):
+                           cosmological=True, plan_override=None,
+                           ids=None):
     """Bucket (block-major cell order) + shard over the 2D mesh + prime
     accelerations. Returns (FastState, plan kwargs for mesh_fast_run2d),
-    or raises if the geometry cannot shard."""
+    or raises if the geometry cannot shard. `plan_override`/`ids` let
+    the engine rebuild at a grown capacity while keeping the geometry
+    and persistent particle identities (grow-and-retry)."""
     from ..forces.treepm import bucket_particles
     from ..ops.fast_treepm import FastState
 
     dx = mesh.shape[X_AXIS]
     dy = mesh.shape[Y_AXIS]
-    plan = mesh_fast_plan2d(positions.shape[0], float(box_size), pm_grid,
-                            (dx, dy), split_factor=split_factor,
-                            cut_factor=cut_factor, capacity=capacity,
-                            margin=margin)
+    plan = plan_override or mesh_fast_plan2d(
+        positions.shape[0], float(box_size), pm_grid, (dx, dy),
+        split_factor=split_factor, cut_factor=cut_factor,
+        capacity=capacity, margin=margin)
     if plan is None:
         raise ValueError(
             f"mesh_fast_plan2d: box/pm_grid {pm_grid} cannot shard over "
@@ -673,9 +676,10 @@ def initialize_mesh_fast2d(positions, velocities, masses, scale_factor,
     safe = jnp.where(pslot >= 0, pslot, nslots)
     bvel = jnp.zeros_like(bpos).reshape(-1, 3).at[safe].set(
         velocities, mode="drop").reshape(bpos.shape)
-    ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    pids = (jnp.arange(positions.shape[0], dtype=jnp.int32)
+            if ids is None else ids.astype(jnp.int32))
     bids = jnp.full((nslots,), -1, jnp.int32).at[safe].set(
-        ids, mode="drop").reshape(bmass.shape)
+        pids, mode="drop").reshape(bmass.shape)
 
     # x-major -> block-major cell order
     perm = cell_order2d(nc, dx, dy)
@@ -754,10 +758,13 @@ def _mesh_fast_segment2d(fstate, params, dt, *, mesh, box_size, ng,
 
 
 def mesh_fast_run2d(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
-                    n_steps=1, steps_since_rebucket: int = 0, **kw):
+                    n_steps=1, steps_since_rebucket: int = 0,
+                    on_overflow="count", **kw):
     """Advance n_steps with two-phase re-bucketing between segments.
     `steps_since_rebucket` carries the cadence across chunked calls
-    (see ops/fast_treepm.fast_run)."""
+    (see ops/fast_treepm.fast_run). `on_overflow="raise"` throws
+    BucketOverflowError with the INTACT pre-rebucket state when a
+    rebucket would lose particles (engine grow-and-retry)."""
     remaining = n_steps
     since = max(0, int(steps_since_rebucket))
     while remaining > 0:
@@ -766,6 +773,10 @@ def mesh_fast_run2d(fstate, params, dt, *, mesh: Mesh, rebucket_every=16,
                 fstate.bpos, fstate.bvel, fstate.bmass, fstate.ids,
                 fstate.acc, mesh=mesh, box_size=kw["box_size"],
                 ncell=kw["ncell"], capacity=kw["capacity"])
+            if on_overflow == "raise" and int(bad) > 0:
+                from ..ops.fast_treepm import BucketOverflowError
+                raise BucketOverflowError(fstate,
+                                          n_steps - remaining)
             fstate = fstate.replace(
                 bpos=nbp, bvel=nbv, bmass=nbm, ids=nbi, acc=nba,
                 overflow=fstate.overflow + bad.astype(jnp.int32))

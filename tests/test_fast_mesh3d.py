@@ -175,6 +175,60 @@ class TestEngineMeshFast3d:
         np.testing.assert_allclose(p2[m2 > 0], p1[m1 > 0], atol=5e-4)
 
 
+class TestOverflowGrowRetry:
+    def test_raise_carries_intact_state_and_regrow_is_lossless(
+            self, mesh222, particles):
+        """Collapsing the field into one cell makes the rebucket lossy:
+        on_overflow='raise' must throw BEFORE committing (state intact),
+        and a plan_override rebuild at grown capacity keeps every id
+        (the engine's _grow_mesh_fast_capacity contract)."""
+        from lambda_cdm_tpu.ops.fast_treepm import (BucketOverflowError,
+                                                    flatten_fast_state)
+        pos, vel, masses = particles
+        fs2, kw2 = initialize_mesh_fast3d(pos, vel, masses, 0.5,
+                                          mesh=mesh222, box_size=BOX,
+                                          pm_grid=NG, softening=0.3)
+        assert int(fs2.overflow) == 0
+        cap = kw2["capacity"]
+        # pile the live slots of the first cells into one tight blob --
+        # more than one bucket capacity's worth, so the rebucket is
+        # lossy at the current capacity
+        ncells = fs2.bpos.shape[0]
+        n_src = 3 * cap // 128 + 8           # cells donating particles
+        move = (jnp.arange(ncells)[:, None] < n_src) & (fs2.bmass > 0)
+        blob = 0.5 + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(8), fs2.bpos.shape)
+        tight = jnp.where(move[..., None], blob, fs2.bpos)
+        n_moved = int(jnp.sum(move))
+        assert n_moved > cap, "test setup: blob must exceed capacity"
+        fs_tight = fs2.replace(bpos=tight)
+        params = CosmologyParams()
+        with pytest.raises(BucketOverflowError) as exc_info:
+            mesh_fast_run3d(fs_tight, params, 1e-5, mesh=mesh222,
+                            n_steps=1, rebucket_every=1,
+                            steps_since_rebucket=1, on_overflow="raise",
+                            **kw2)
+        carried = exc_info.value.fstate
+        assert exc_info.value.steps_done == 0
+        # the carried state is the INTACT pre-rebucket state
+        ids_in = np.sort(np.asarray(carried.ids).ravel()[
+            np.asarray(carried.bmass).ravel() > 0])
+        assert ids_in.shape[0] == N
+        # regrow: rebuild at a capacity that holds the whole blob
+        new_cap = -(-(n_moved + cap) // 128) * 128
+        p, v, m, i = flatten_fast_state(carried, with_ids=True)
+        plan = {"ncell": kw2["ncell"], "capacity": new_cap,
+                "margin": kw2["margin"], "rs": kw2["rs"]}
+        st, kw3 = initialize_mesh_fast3d(
+            p, v, m, carried.scale_factor, mesh=mesh222, box_size=BOX,
+            pm_grid=NG, softening=0.3, plan_override=plan, ids=i)
+        assert int(st.overflow) == 0
+        ids_out = np.sort(np.asarray(st.ids).ravel()[
+            np.asarray(st.bmass).ravel() > 0])
+        assert np.array_equal(ids_in, ids_out)
+        assert kw3["capacity"] == new_cap
+
+
 class TestRebucket3d:
     def test_migration_preserves_particles(self, mesh222, particles):
         """Scramble positions within a one-block drift and rebucket:
