@@ -83,13 +83,30 @@ def main():
           f"overflow={int(diag['overflow'])} "
           f"|acc| p50={float(jnp.median(jnp.linalg.norm(acc, axis=1))):.3e}")
 
-    # 3) the same topology behind the engine API
+    # 3) the PERSISTENT 3D-block fast stepper (parallel/fast_mesh3d):
+    # 3-phase halo exchanges, cube<->pencil FFT Poisson, 3-phase
+    # emigrant rebucket
+    from lambda_cdm_tpu.parallel.fast_mesh3d import (
+        initialize_mesh_fast3d, mesh_fast_run3d)
+    from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+    fs3, kw3 = initialize_mesh_fast3d(
+        pos, vel, m, 0.1, mesh=mesh, box_size=box, pm_grid=ng,
+        softening=0.5)
+    fs3 = mesh_fast_run3d(fs3, CosmologyParams(), 2e-5, mesh=mesh,
+                          n_steps=4, rebucket_every=2, **kw3)
+    print(f"persistent 3D fast stepper: ncell={kw3['ncell']} "
+          f"cap={kw3['capacity']} step={int(fs3.step)} "
+          f"overflow={int(fs3.overflow)} dropped={int(fs3.dropped)}")
+
+    # 4) the same topology behind the engine API (forces.type=
+    # treepm_fast would route through the persistent stepper above;
+    # plain treepm uses the stateless halo path of section 2)
     import lambda_cdm_tpu as lc
     from lambda_cdm_tpu.core.config import SimulationConfig
     cfg = SimulationConfig()
     cfg.particles.num_particles = 4096
     cfg.particles.box_size = box
-    cfg.forces.type = "treepm"
+    cfg.forces.type = "treepm_fast"
     cfg.forces.pm_grid_size = ng
     cfg.forces.softening_length = 0.5
     cfg.compute.mesh.enabled = True
@@ -101,7 +118,8 @@ def main():
     eng.initialize()
     eng.run(num_steps=4)
     e = eng.compute_energy()
-    print(f"engine on the 3D mesh: step={int(eng.state.step)} "
+    print(f"engine on the 3D mesh (treepm_fast): "
+          f"step={int(eng.state.step)} "
           f"E_total={float(e['total']):.4e}")
 
 

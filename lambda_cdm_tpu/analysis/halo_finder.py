@@ -576,10 +576,30 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
         m_enc = jnp.cumsum(hist)
         vol = 4.0 / 3.0 * jnp.pi * edges ** 3
         dens = m_enc / vol
-        # largest radius with enclosed density >= Delta * rho_bar
-        above = dens >= overdensity * mean_density
-        r_delta = jnp.max(jnp.where(above, edges, 0.0))
-        m_delta = jnp.max(jnp.where(above, m_enc, 0.0))
+        # largest radius with enclosed density >= Delta * rho_bar ...
+        thr = overdensity * mean_density
+        above = dens >= thr
+        j = jnp.max(jnp.where(above, jnp.arange(nbins), -1))
+        has = j >= 0
+        jsafe = jnp.clip(j, 0, nbins - 1)
+        # ... then solve the crossing INSIDE the bracketing bin: with
+        # enclosed mass linear in x = r^3 across the bin, M(x) = thr *
+        # (4pi/3) x is linear too -> closed form (the continuous
+        # analogue of the reference's bisection refinement,
+        # halo_finder.cpp:364-444; bin-edge quantization was 0.16 Mpc)
+        nxt = jnp.minimum(jsafe + 1, nbins - 1)
+        x0 = edges[jsafe] ** 3
+        x1 = edges[nxt] ** 3
+        m0 = m_enc[jsafe]
+        s = (m_enc[nxt] - m0) / jnp.maximum(x1 - x0, 1e-30)
+        c = 4.0 / 3.0 * jnp.pi * thr
+        denom = jnp.where(jnp.abs(c - s) > 1e-30, c - s, 1e-30)
+        x = jnp.clip((m0 - s * x0) / denom, x0, x1)
+        interior = has & (j < nbins - 1)
+        r_delta = jnp.where(interior, jnp.cbrt(x),
+                            jnp.where(has, edges[jsafe], 0.0))
+        m_delta = jnp.where(interior, c * x,
+                            jnp.where(has, m0, 0.0))
         v_circ2 = g_const * m_enc / jnp.maximum(edges, 1e-8)
         v_max = jnp.sqrt(jnp.max(jnp.where(edges <= jnp.maximum(
             r_delta, edges[0]), v_circ2, 0.0)))

@@ -136,7 +136,9 @@ class TestFoF:
                                      max_halos=4)
         assert int(cat.num_halos) == 1
         r200 = float(cat.radius[0])
-        assert 1.9 < r200 < 2.7, f"r200={r200} (analytic 2.28)"
+        # in-bin interpolation: 2.290 measured vs 2.283 analytic (the
+        # bin-edge-quantized version was only good to ~half a bin)
+        assert 2.2 < r200 < 2.38, f"r200={r200} (analytic 2.283)"
         vmax = float(cat.v_max[0])
         assert 70.0 < vmax < 105.0, f"v_max={vmax} (analytic ~87)"
 
