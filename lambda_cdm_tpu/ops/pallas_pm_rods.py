@@ -223,12 +223,19 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
                                               "gemm"))
 def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
                       margin: int = 1, interpret: bool = False,
-                      gemm: str = "bf16x3"):
+                      gemm: str = "bf16x3", counts=None):
     """Accelerations = -(fd4 grad of phi) CIC-interpolated at every
     bucketed particle -> [C, K, 3], in ONE fused kernel (no gradient
     grids, no block extraction).
 
     phi [ng, ng, ng]; bpos [C, K, 3] in the treepm bucket layout.
+
+    With `counts` (int32 [C] live-slot counts per bucket, LIVE-FIRST
+    packing as produced by bucket_particles), the occupancy-aware
+    variant runs: rank-major slot ordering + dynamic per-rod chunk trip
+    counts skip the dead capacity padding entirely (~25% of the slots
+    at the 1M bench geometry, far more for clustered/grown-capacity
+    states). Dead slots get exactly zero output either way.
     """
     cc = ncell ** 3
     cap = bpos.shape[1]
@@ -251,10 +258,57 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
     phi_pad = phi_pad.reshape(ng + 2 * halo, (ng + 2 * halo + ypad) // 8,
                               8, ng_p)
 
-    # [3, R*S] flat rod-major slot layout (cell ids are z-major): the
-    # per-chunk block (3, s) then satisfies Mosaic's trailing-dims rule
     rr = ncell * ncell
     s_rod = ncell * cap
+
+    if counts is not None:
+        # occupancy path: RANK-MAJOR slots (slot = rank*nc + bucket_z),
+        # chunk axis hoisted to a leading (untiled) dim so the in-kernel
+        # fori_loop indexes it dynamically
+        s = min(s_rod, 256)
+        while s_rod % s:
+            s -= 128
+        nchunks = s_rod // s
+        rod_counts = (counts.reshape(rr, ncell).max(axis=1)
+                      .astype(jnp.int32))
+        pos_t = (bpos.reshape(rr, ncell, cap, 3).transpose(0, 2, 1, 3)
+                 .reshape(rr, nchunks, s, 3).transpose(0, 1, 3, 2))
+        kernel = functools.partial(
+            _gather_kernel_occ, nc=ncell, ng=ng, ng_p=ng_p, ppc=ppc,
+            la=la, halo=halo, box_size=float(box_size), margin=margin,
+            h=h, s=s, nchunks=nchunks, gemm=gemm)
+        out = pl.pallas_call(
+            kernel,
+            grid=(rr,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, nchunks, 3, s), lambda i: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nchunks, 3, s),
+                                   lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((rr, nchunks, 3, s),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((la, la // 8, 8, ng_p), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=cc * cap * (2 * la * la * ng // ncell
+                                  + 6 * la * la),
+                bytes_accessed=rr * la * la * ng * 4 + cc * cap * 28,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(rod_counts, phi_pad, pos_t)
+        return (out.transpose(0, 1, 3, 2).reshape(rr, cap, ncell, 3)
+                .transpose(0, 2, 1, 3).reshape(cc, cap, 3))
+
+    # [3, R*S] flat rod-major slot layout (cell ids are z-major): the
+    # per-chunk block (3, s) then satisfies Mosaic's trailing-dims rule
     s = min(s_rod, 1024)
     while s_rod % s:
         s -= 128
@@ -286,6 +340,116 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
         interpret=interpret,
     )(phi_pad, pos_t)
     return out.reshape(3, cc, cap).transpose(1, 2, 0)
+
+
+def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
+                       nc, ng, ng_p, ppc, la, halo, box_size, margin, h,
+                       s, nchunks, gemm):
+    """Occupancy-aware gather: grid (rod,), slots RANK-MAJOR within the
+    rod (slot = rank * nc + bucket_z), chunk loop with a DYNAMIC trip
+    count ceil(rod_max_count * nc / s) from SMEM. Bucket layouts pack
+    live slots first, so rank-major ordering concentrates every live
+    slot in the leading chunks and the dead capacity padding (the
+    128-multiple quantization + clustering headroom) is never touched.
+    The potential window DMA also runs ONCE per rod instead of once per
+    chunk. Same math as _gather_kernel otherwise."""
+    rod = pl.program_id(0)
+    cx = rod // nc
+    cy = rod % nc
+    ell = ppc + 2 * (margin + 1)
+    live = counts_ref[rod] * nc
+    trips = (live + s - 1) // s
+
+    dma = pltpu.make_async_copy(
+        phi_hbm.at[pl.ds(cx * ppc, la), pl.ds(cy * ppc // 8, la // 8)],
+        win, sem)
+    dma.start()
+    # skipped (all-dead) chunks must still output zeros
+    out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    dma.wait()
+    w2 = win[:].reshape(la * la, ng_p)
+
+    def chunk(k, carry):
+        chunk0 = k * s
+        pos = pos_ref[0, k]                # [3, s]
+        u = pos * (ng / box_size)
+        i0 = jnp.floor(u - 0.5)
+        frac = (u - 0.5) - i0              # [3, S]
+
+        # rank-major slot -> bucket z index: slot % nc
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) + chunk0
+        zc = (j - (j // nc) * nc).astype(jnp.float32)[0]
+        org = jnp.stack([
+            jnp.full((s,), (cx * ppc - (margin + 1)), jnp.float32),
+            jnp.full((s,), (cy * ppc - (margin + 1)), jnp.float32),
+            zc * ppc - (margin + 1),
+        ])
+        il = i0 - org
+        ok = jnp.where(
+            jnp.all((il >= 0) & (il <= ell - 2), axis=0), 1.0, 0.0)
+
+        ax = (i0[0] - (cx * ppc - halo))[None, :]
+        ay = (i0[1] - (cy * ppc - halo))[None, :]
+        x1 = _onehot_la(ax, frac[0][None, :], la=la, s=s)
+        y1 = _onehot_la(ay, frac[1][None, :], la=la, s=s)
+
+        def fdconv_la(base):
+            out = jnp.zeros_like(base)
+            for sh, wgt in _fd4_coeffs(h):
+                out += wgt * pltpu.roll(base, sh % base.shape[0], axis=0)
+            return out
+
+        x4 = fdconv_la(x1)
+        y4 = fdconv_la(y1)
+
+        izf = i0[2] - jnp.floor(i0[2] / ng) * ng
+        iz = izf[None, :]
+        fz = (frac[2] * ok)[None, :]
+        okz = ok[None, :]
+
+        if ng % 8 == 0 and ng_p > ng:
+            ziota_n = (jax.lax.broadcasted_iota(jnp.int32, (ng, s), 0)
+                       .astype(jnp.float32))
+            b = jnp.where(iz + 1.0 == ng, 0.0, iz + 1.0)
+            zt_n = (jnp.where(ziota_n == iz, okz - fz, 0.0)
+                    + jnp.where(ziota_n == b, fz, 0.0))
+            z4_n = jnp.zeros_like(zt_n)
+            for sh, wgt in _fd4_coeffs(h):
+                z4_n += wgt * pltpu.roll(zt_n, sh % ng, axis=0)
+            zpad = jnp.zeros((ng_p - ng, s), jnp.float32)
+            zt = jnp.concatenate([zt_n, zpad], axis=0)
+            z4 = jnp.concatenate([z4_n, zpad], axis=0)
+        else:
+            ziota = (jax.lax.broadcasted_iota(jnp.int32, (ng_p, s), 0)
+                     .astype(jnp.float32))
+
+            def z_onehot(shift):
+                a = iz + shift
+                a = a - jnp.floor(a / ng) * ng
+                bb = iz + 1.0 + shift
+                bb = bb - jnp.floor(bb / ng) * ng
+                return (jnp.where(ziota == a, okz - fz, 0.0)
+                        + jnp.where(ziota == bb, fz, 0.0))
+
+            zt = z_onehot(0.0)
+            z4 = jnp.zeros_like(zt)
+            for sh, wgt in _fd4_coeffs(h):
+                z4 += wgt * z_onehot(float(sh))
+
+        g1 = _dot_f32(w2, zt, gemm)                   # [La^2, S]
+        g4 = _dot_f32(w2, z4, gemm)
+        g1 = g1.reshape(la, la, s)
+        g4 = g4.reshape(la, la, s)
+
+        t_y = jnp.sum(g1 * y1[None, :, :], axis=1)    # [La, S]
+        t_y4 = jnp.sum(g1 * y4[None, :, :], axis=1)
+        t4_y = jnp.sum(g4 * y1[None, :, :], axis=1)
+        out_ref[0, k, 0] = -jnp.sum(t_y * x4, axis=0)
+        out_ref[0, k, 1] = -jnp.sum(t_y4 * x1, axis=0)
+        out_ref[0, k, 2] = -jnp.sum(t4_y * x1, axis=0)
+        return carry
+
+    jax.lax.fori_loop(0, trips, chunk, 0)
 
 
 def _deposit_kernel(pos_ref, mass_ref, out_ref, *, nc, cap, ng, ppc, ell,
@@ -334,40 +498,128 @@ def _deposit_kernel(pos_ref, mass_ref, out_ref, *, nc, cap, ng, ppc, ell,
     out_ref[:] = _dot_f32(m1, zm, gemm)
 
 
+def _deposit_kernel_occ(counts_ref, pts_ref, out_ref, *, nc, ng, ppc,
+                        ell, box_size, margin, s, gemm):
+    """Occupancy-aware deposit: rank-major slots, dynamic chunk trip
+    count per rod (see _gather_kernel_occ). pts rows are (x, y, z, m)."""
+    rod = pl.program_id(0)
+    cx = rod // nc
+    cy = rod % nc
+    live = counts_ref[rod] * nc
+    trips = (live + s - 1) // s
+    out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    def chunk(k, carry):
+        chunk0 = k * s
+        pos = pts_ref[0, k, 0:3]           # [3, S]
+        mass = pts_ref[0, k, 3:4][0]       # [S]
+        u = pos * (ng / box_size)
+        i0 = jnp.floor(u - 0.5)
+        frac = (u - 0.5) - i0
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) + chunk0
+        zc = (j - (j // nc) * nc).astype(jnp.float32)[0]
+        org = jnp.stack([
+            jnp.full((s,), (cx * ppc - (margin + 1)), jnp.float32),
+            jnp.full((s,), (cy * ppc - (margin + 1)), jnp.float32),
+            zc * ppc - (margin + 1),
+        ])
+        il = i0 - org
+        ok = jnp.all((il >= 0) & (il <= ell - 2), axis=0)
+        w = jnp.where(ok & (mass > 0), mass, 0.0)
+
+        ax = il[0][None, :]
+        ay = il[1][None, :]
+        x1 = _onehot_la(ax, frac[0][None, :], la=ell, s=s)   # [L, S]
+        y1 = _onehot_la(ay, frac[1][None, :], la=ell, s=s)
+
+        izf = i0[2] - jnp.floor(i0[2] / ng) * ng
+        iz = izf[None, :]
+        fz = frac[2][None, :]
+        ziota = (jax.lax.broadcasted_iota(jnp.int32, (s, ng), 1)
+                 .astype(jnp.float32))
+        izp1 = jnp.where(iz + 1.0 == ng, 0.0, iz + 1.0)
+        zm = (jnp.where(ziota == iz.T, 1.0 - fz.T, 0.0)
+              + jnp.where(ziota == izp1.T, fz.T, 0.0)) * w[:, None]
+
+        m1 = (x1[:, None, :] * y1[None, :, :]).reshape(ell * ell, s)
+        out_ref[:] += _dot_f32(m1, zm, gemm)
+        return carry
+
+    jax.lax.fori_loop(0, trips, chunk, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("ncell", "ng", "margin",
                                               "box_size", "interpret",
                                               "gemm"))
 def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
                         margin: int = 1, interpret: bool = False,
-                        gemm: str = "bf16x3"):
+                        gemm: str = "bf16x3", counts=None):
     """CIC mass deposit -> ([R, L, L, ng] rod blocks, dropped_count);
     z needs no ghost fold (deposited globally + periodically inside the
-    kernel), so only assemble_rods' x/y fold remains."""
+    kernel), so only assemble_rods' x/y fold remains.
+
+    With `counts` (int32 [C] live counts, live-first buckets) the
+    occupancy-aware variant skips dead capacity padding (see
+    pallas_gather_fd4)."""
     cap = bpos.shape[1]
     ppc, ell, _, _ = rod_geometry(ng, ncell, margin)
     rr = ncell * ncell
-    s = ncell * cap
+    s_rod = ncell * cap
 
-    pos_t = (bpos.reshape(rr, s, 3).transpose(2, 0, 1).reshape(3, rr * s))
-    mass_r = bmass.reshape(rr * s)
+    if counts is not None:
+        s = min(s_rod, 512)
+        while s_rod % s:
+            s -= 128
+        nchunks = s_rod // s
+        rod_counts = (counts.reshape(rr, ncell).max(axis=1)
+                      .astype(jnp.int32))
+        pts = jnp.concatenate(
+            [bpos.reshape(rr, ncell, cap, 3),
+             bmass.reshape(rr, ncell, cap, 1)], axis=-1)
+        pts = (pts.transpose(0, 2, 1, 3)
+               .reshape(rr, nchunks, s, 4).transpose(0, 1, 3, 2))
+        kernel = functools.partial(
+            _deposit_kernel_occ, nc=ncell, ng=ng, ppc=ppc, ell=ell,
+            box_size=float(box_size), margin=margin, s=s, gemm=gemm)
+        blocks = pl.pallas_call(
+            kernel,
+            grid=(rr,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nchunks, 4, s), lambda i: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((ell * ell, ng), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rr * ell * ell, ng),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(rod_counts, pts)
+    else:
+        pos_t = (bpos.reshape(rr, s_rod, 3).transpose(2, 0, 1)
+                 .reshape(3, rr * s_rod))
+        mass_r = bmass.reshape(rr * s_rod)
 
-    kernel = functools.partial(
-        _deposit_kernel, nc=ncell, cap=cap, ng=ng, ppc=ppc, ell=ell,
-        box_size=float(box_size), margin=margin, gemm=gemm)
-    blocks = pl.pallas_call(
-        kernel,
-        grid=(rr,),
-        in_specs=[
-            pl.BlockSpec((3, s), lambda i: (0, i)),
-            pl.BlockSpec((s,), lambda i: (i,)),
-        ],
-        out_specs=pl.BlockSpec((ell * ell, ng), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rr * ell * ell, ng), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(pos_t, mass_r)
+        kernel = functools.partial(
+            _deposit_kernel, nc=ncell, cap=cap, ng=ng, ppc=ppc, ell=ell,
+            box_size=float(box_size), margin=margin, gemm=gemm)
+        blocks = pl.pallas_call(
+            kernel,
+            grid=(rr,),
+            in_specs=[
+                pl.BlockSpec((3, s_rod), lambda i: (0, i)),
+                pl.BlockSpec((s_rod,), lambda i: (i,)),
+            ],
+            out_specs=pl.BlockSpec((ell * ell, ng), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rr * ell * ell, ng),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(pos_t, mass_r)
 
     # margin-drop count (cheap elementwise, outside the kernel)
     from .bucketed_pm import _block_origins

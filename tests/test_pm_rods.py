@@ -70,6 +70,96 @@ class TestDepositRods:
         assert abs(float(grid.sum()) - expect) < 1e-5 * expect
 
 
+class TestOccupancyAware:
+    """counts-driven kernels (rank-major slots + dynamic chunk trips)
+    must match the dense variants bit-for-bit semantics-wise: dead
+    padding contributes nothing there, is skipped entirely here."""
+
+    def _counts(self, bmass):
+        return jnp.sum(bmass > 0, axis=1).astype(jnp.int32)
+
+    def test_deposit_matches_dense(self, bucketed):
+        bpos, bmass = bucketed
+        dense, drop_a = pallas_deposit_rods(
+            bpos, bmass, ncell=NC, ng=NG, box_size=BOX, margin=MARGIN,
+            interpret=True)
+        occ, drop_b = pallas_deposit_rods(
+            bpos, bmass, ncell=NC, ng=NG, box_size=BOX, margin=MARGIN,
+            interpret=True, counts=self._counts(bmass))
+        ga = assemble_rods(dense, ncell=NC, ng=NG, margin=MARGIN)
+        gb = assemble_rods(occ, ncell=NC, ng=NG, margin=MARGIN)
+        scale = float(jnp.abs(ga).max())
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   atol=1e-6 * scale)
+        assert int(drop_a) == int(drop_b)
+
+    def test_gather_matches_dense(self, bucketed):
+        bpos, bmass = bucketed
+        phi = jax.random.normal(jax.random.PRNGKey(5), (NG, NG, NG))
+        a = pallas_gather_fd4(
+            phi, bpos, ncell=NC, ng=NG, box_size=BOX, margin=MARGIN,
+            interpret=True)
+        b = pallas_gather_fd4(
+            phi, bpos, ncell=NC, ng=NG, box_size=BOX, margin=MARGIN,
+            interpret=True, counts=self._counts(bmass))
+        live = np.asarray(bmass) > 0
+        scale = float(jnp.abs(a).max())
+        d = np.abs(np.asarray(b) - np.asarray(a))[live]
+        assert d.max() < 1e-6 * scale
+        # slots in chunks past ceil(rodmax*nc/s) are skipped -> exactly 0
+        # (dead slots in COMPUTED chunks may gather garbage at the
+        # padding position, same as the dense variant: downstream masks
+        # by mass). s = 256 at this geometry (s_rod = 512).
+        s = 256
+        counts = np.asarray(self._counts(bmass)).reshape(NC * NC, NC)
+        cut = -(-counts.max(axis=1) * NC // s) * s      # trips * s
+        rank_min = -(-cut // NC)
+        bb = np.asarray(b).reshape(NC * NC, NC, -1, 3)
+        for r in range(NC * NC):
+            tail = bb[r, :, rank_min[r]:, :]
+            assert tail.size == 0 or np.abs(tail).max() == 0.0
+
+    def test_highly_nonuniform_counts(self):
+        """One packed cell, many empties: the dynamic-trip skipping must
+        not skip live work (the clustered-state regime the occupancy
+        path exists for)."""
+        key = jax.random.PRNGKey(7)
+        cell = BOX / NC
+        # 300 particles in one cell + 50 spread out
+        p1 = jax.random.uniform(key, (300, 3), minval=0.1 * cell,
+                                maxval=0.9 * cell)
+        p2 = jax.random.uniform(jax.random.PRNGKey(8), (50, 3),
+                                maxval=BOX)
+        pos = jnp.concatenate([p1, p2])
+        m = jnp.full((350,), 2.0)
+        bpos, bmass, _, ovf = bucket_particles(pos, m, BOX, ncell=NC,
+                                               capacity=384)
+        assert int(ovf) == 0
+        counts = jnp.sum(bmass > 0, axis=1).astype(jnp.int32)
+        dense, _ = pallas_deposit_rods(
+            bpos, bmass, ncell=NC, ng=NG, box_size=BOX, margin=MARGIN,
+            interpret=True)
+        occ, _ = pallas_deposit_rods(
+            bpos, bmass, ncell=NC, ng=NG, box_size=BOX, margin=MARGIN,
+            interpret=True, counts=counts)
+        ga = assemble_rods(dense, ncell=NC, ng=NG, margin=MARGIN)
+        gb = assemble_rods(occ, ncell=NC, ng=NG, margin=MARGIN)
+        total = float(jnp.sum(bmass))
+        assert abs(float(gb.sum()) - total) < 1e-5 * total
+        scale = float(jnp.abs(ga).max())
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   atol=1e-6 * scale)
+        phi = jax.random.normal(jax.random.PRNGKey(9), (NG, NG, NG))
+        a = pallas_gather_fd4(phi, bpos, ncell=NC, ng=NG, box_size=BOX,
+                              margin=MARGIN, interpret=True)
+        b = pallas_gather_fd4(phi, bpos, ncell=NC, ng=NG, box_size=BOX,
+                              margin=MARGIN, interpret=True,
+                              counts=counts)
+        live = np.asarray(bmass) > 0
+        d = np.abs(np.asarray(b) - np.asarray(a))[live]
+        assert d.max() < 1e-6 * float(jnp.abs(a).max())
+
+
 class TestGatherFd4:
     def _fields(self, phi):
         h = BOX / NG
