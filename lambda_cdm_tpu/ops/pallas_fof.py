@@ -43,8 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 _CH = 16   # i-chunk sublane rows (matches the short-range kernel)
 
 
-def _fof_hook_kernel(counts_ref, pts_hbm, labs_hbm, out_ref, *, nc, cap,
-                     box_size, b2, nbig, reverse):
+def _fof_hook_kernel(counts_ref, rodact_ref, act_ref, pts_hbm, labs_hbm,
+                     out_ref, *, nc, cap, box_size, b2, nbig, reverse):
     # Gauss-Seidel sweep order: ascending rod-major (cx, cy) with z
     # innermost, or fully reversed when `reverse`.  Updated labels are
     # written back (a) into the center rod's VMEM label plane after each
@@ -61,49 +61,86 @@ def _fof_hook_kernel(counts_ref, pts_hbm, labs_hbm, out_ref, *, nc, cap,
     cy = i % nc
 
     def body(rods, rlab, jrow, jlab, icol, labc, sem, lsem):
-        dmas = []
-        idx = 0
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
-                dmas.append(pltpu.make_async_copy(
-                    pts_hbm.at[:, r_id], rods.at[idx, :, pl.ds(0, nc)],
-                    sem.at[idx]))
-                dmas.append(pltpu.make_async_copy(
-                    labs_hbm.at[r_id], rlab.at[idx, pl.ds(0, nc)],
-                    lsem.at[idx]))
-                idx += 1
-        for dma in dmas:
-            dma.start()
-        for dma in dmas:
-            dma.wait()
+        # wavefront skipping: a CELL whose 27-neighborhood saw no label
+        # changes last round would re-derive the same mins -- its
+        # z-plane is skipped inside the rod body; a rod with no active
+        # cell at all skips everything (DMAs, assembly, write-back).
+        # The aliased HBM labels buffer keeps skipped labels in place,
+        # so neighbors still read them. By the late rounds only
+        # critical percolation chains remain active (a few % of cells).
+        @pl.when(rodact_ref[i] != 0)
+        def _active_body():
+            _fof_rod_body(counts_ref, act_ref, pts_hbm, labs_hbm,
+                          out_ref, rods, rlab, jrow, jlab, icol, labc,
+                          sem, lsem, i=i, cx=cx, cy=cy, nc=nc, cap=cap,
+                          box_size=box_size, b2=b2, nbig=nbig,
+                          reverse=reverse)
 
-        # periodic halo planes (z = -1 at index nc, z = nc at nc+1) are
-        # wraps within the same rod: register copies, no extra DMAs
-        idx = 0
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                rods[idx, :, nc:nc + 1, :] = rods[idx, :, nc - 1:nc, :]
-                rods[idx, :, nc + 1:nc + 2, :] = rods[idx, :, 0:1, :]
-                rlab[idx, nc:nc + 1, :] = rlab[idx, nc - 1:nc, :]
-                rlab[idx, nc + 1:nc + 2, :] = rlab[idx, 0:1, :]
-                shift_x = jnp.where(cx + dx < 0, -box_size,
-                                    jnp.where(cx + dx >= nc, box_size, 0.0))
-                shift_y = jnp.where(cy + dy < 0, -box_size,
-                                    jnp.where(cy + dy >= nc, box_size, 0.0))
-                rods[idx, 0] = rods[idx, 0] + shift_x
-                rods[idx, 1] = rods[idx, 1] + shift_y
-                rods[idx, 2, nc:nc + 1, :] = \
-                    rods[idx, 2, nc:nc + 1, :] - box_size
-                rods[idx, 2, nc + 1:nc + 2, :] = \
-                    rods[idx, 2, nc + 1:nc + 2, :] + box_size
-                idx += 1
+    pl.run_scoped(
+        body,
+        rods=pltpu.VMEM((9, 3, nc + 2, cap), jnp.float32),
+        rlab=pltpu.VMEM((9, nc + 2, cap), jnp.int32),
+        jrow=pltpu.VMEM((3, 27 * cap), jnp.float32),
+        jlab=pltpu.VMEM((1, 27 * cap), jnp.int32),
+        icol=pltpu.VMEM((3, cap, 1), jnp.float32),
+        labc=pltpu.VMEM((cap, 1), jnp.int32),
+        sem=pltpu.SemaphoreType.DMA((9,)),
+        lsem=pltpu.SemaphoreType.DMA((9,)),
+    )
 
-        def zplane(z):
-            return nc if z == -1 else (nc + 1 if z == nc else z)
 
-        zorder = range(nc - 1, -1, -1) if reverse else range(nc)
-        for zc in zorder:
+def _fof_rod_body(counts_ref, act_ref, pts_hbm, labs_hbm, out_ref, rods,
+                  rlab, jrow, jlab, icol, labc, sem, lsem, *, i, cx, cy,
+                  nc, cap, box_size, b2, nbig, reverse):
+    dmas = []
+    idx = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+            dmas.append(pltpu.make_async_copy(
+                pts_hbm.at[:, r_id], rods.at[idx, :, pl.ds(0, nc)],
+                sem.at[idx]))
+            dmas.append(pltpu.make_async_copy(
+                labs_hbm.at[r_id], rlab.at[idx, pl.ds(0, nc)],
+                lsem.at[idx]))
+            idx += 1
+    for dma in dmas:
+        dma.start()
+    for dma in dmas:
+        dma.wait()
+
+    # periodic halo planes (z = -1 at index nc, z = nc at nc+1) are
+    # wraps within the same rod: register copies, no extra DMAs
+    idx = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            rods[idx, :, nc:nc + 1, :] = rods[idx, :, nc - 1:nc, :]
+            rods[idx, :, nc + 1:nc + 2, :] = rods[idx, :, 0:1, :]
+            rlab[idx, nc:nc + 1, :] = rlab[idx, nc - 1:nc, :]
+            rlab[idx, nc + 1:nc + 2, :] = rlab[idx, 0:1, :]
+            shift_x = jnp.where(cx + dx < 0, -box_size,
+                                jnp.where(cx + dx >= nc, box_size, 0.0))
+            shift_y = jnp.where(cy + dy < 0, -box_size,
+                                jnp.where(cy + dy >= nc, box_size, 0.0))
+            rods[idx, 0] = rods[idx, 0] + shift_x
+            rods[idx, 1] = rods[idx, 1] + shift_y
+            rods[idx, 2, nc:nc + 1, :] = \
+                rods[idx, 2, nc:nc + 1, :] - box_size
+            rods[idx, 2, nc + 1:nc + 2, :] = \
+                rods[idx, 2, nc + 1:nc + 2, :] + box_size
+            idx += 1
+
+    def zplane(z):
+        return nc if z == -1 else (nc + 1 if z == nc else z)
+
+    zorder = range(nc - 1, -1, -1) if reverse else range(nc)
+    for zc in zorder:
+        # cell-level wavefront skip: late-round activity is sparse but
+        # spatially UNIFORM (background percolation chains), so rod
+        # granularity saves little -- plane granularity is where the
+        # assembly + pair work actually drops
+        @pl.when(act_ref[i * nc + zc] != 0)
+        def _plane(zc=zc):
             for r in range(9):
                 for sc in range(3):
                     zi = zplane(zc + sc - 1)
@@ -140,25 +177,13 @@ def _fof_hook_kernel(counts_ref, pts_hbm, labs_hbm, out_ref, *, nc, cap,
             # re-reads this plane from rlab, so it sees the fresh labels
             rlab[4, zc:zc + 1, :] = jnp.transpose(labc[:, :])
 
-        # cross-rod Gauss-Seidel: flush the rod's updated label planes
-        # back to the aliased HBM buffer and WAIT -- the next grid step
-        # (sequential on TPU) DMAs its 9 neighbor rods from there
-        wb = pltpu.make_async_copy(
-            rlab.at[4, pl.ds(0, nc)], out_ref.at[i], lsem.at[0])
-        wb.start()
-        wb.wait()
-
-    pl.run_scoped(
-        body,
-        rods=pltpu.VMEM((9, 3, nc + 2, cap), jnp.float32),
-        rlab=pltpu.VMEM((9, nc + 2, cap), jnp.int32),
-        jrow=pltpu.VMEM((3, 27 * cap), jnp.float32),
-        jlab=pltpu.VMEM((1, 27 * cap), jnp.int32),
-        icol=pltpu.VMEM((3, cap, 1), jnp.float32),
-        labc=pltpu.VMEM((cap, 1), jnp.int32),
-        sem=pltpu.SemaphoreType.DMA((9,)),
-        lsem=pltpu.SemaphoreType.DMA((9,)),
-    )
+    # cross-rod Gauss-Seidel: flush the rod's updated label planes
+    # back to the aliased HBM buffer and WAIT -- the next grid step
+    # (sequential on TPU) DMAs its 9 neighbor rods from there
+    wb = pltpu.make_async_copy(
+        rlab.at[4, pl.ds(0, nc)], out_ref.at[i], lsem.at[0])
+    wb.start()
+    wb.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("ncell", "capacity",
@@ -168,7 +193,7 @@ def _fof_hook_kernel(counts_ref, pts_hbm, labs_hbm, out_ref, *, nc, cap,
 def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
                     capacity: int, n_sentinel: int, box_size,
                     linking_length, interpret: bool = False,
-                    reverse: bool = False):
+                    reverse: bool = False, active=None):
     """One FoF min-label GAUSS-SEIDEL sweep -> new slot labels [C, K] i32.
 
     bx/by/bz [C, K] bucketed coordinates, slot_lab [C, K] int32 labels
@@ -184,6 +209,12 @@ def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
     Output labels are elementwise <= the Jacobi sweep's, and every label
     stays inside its FoF component, so the caller's fixpoint (and the
     final components) are unchanged -- only the round count drops.
+
+    `active` (int32 [C] per-CELL mask, default all-ones) marks which
+    cells to re-hook this round: inactive cells' z-planes are skipped
+    (and rods with no active cell skip their DMAs entirely), keeping
+    their incoming labels (wavefront convergence -- pass the
+    27-dilation of last round's changed cells).
     """
     if capacity % 128:
         raise ValueError("pallas_fof_hook needs capacity % 128 == 0 "
@@ -192,6 +223,10 @@ def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
         raise ValueError("pallas_fof_hook needs ncell >= 3")
     cc = ncell ** 3
     cap = capacity
+    if active is None:
+        active = jnp.ones((cc,), jnp.int32)
+    active = active.astype(jnp.int32)
+    rod_active = active.reshape(ncell * ncell, ncell).max(axis=1)
     pts = jnp.stack([bx, by, bz], axis=0) \
         .reshape(3, ncell * ncell, ncell, cap)
     labs = slot_lab.astype(jnp.int32).reshape(ncell * ncell, ncell, cap)
@@ -203,6 +238,8 @@ def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
         kernel,
         grid=(ncell * ncell,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         # the output IS the labs buffer (rewritten rod by rod);
@@ -211,7 +248,7 @@ def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((ncell * ncell, ncell, cap),
                                        jnp.int32),
-        input_output_aliases={2: 0},
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -221,5 +258,5 @@ def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(counts.reshape(cc), pts, labs)
+    )(counts.reshape(cc), rod_active, active, pts, labs)
     return out.reshape(cc, cap)

@@ -401,3 +401,54 @@ class TestPallasFofHook:
         assert int(out[0, 1]) == base + 1
         # untouched slots keep the exact sentinel
         assert int(out[1, 0]) == n_sent
+
+    def test_wavefront_skip_long_chains(self):
+        """Percolation chains that need many hook rounds: the per-cell
+        active mask (27-dilation of last round's changed cells) must
+        not starve label propagation along a chain whose activity has
+        shrunk to a sparse wavefront. Two disjoint chains + a clump +
+        background, validated against a brute-force union-find oracle
+        and cross-checked jnp vs pallas_interpret."""
+        box = 40.0
+        rng = np.random.default_rng(11)
+        step = 0.18                       # < linking length 0.2
+        npts = int(box / step)
+        # chain A: +x at y=z=5.3; chain B: +y at x=z=25.1 (both wrap)
+        ca = np.stack([np.arange(npts) * step,
+                       np.full(npts, 5.3), np.full(npts, 5.3)], 1)
+        cb = np.stack([np.full(npts, 25.1),
+                       np.arange(npts) * step, np.full(npts, 25.1)], 1)
+        clump = rng.normal(15.0, 0.1, (80, 3))
+        bg = rng.uniform(0, box, (300, 3))
+        pos = jnp.asarray(np.concatenate([ca, cb, clump, bg]) % box,
+                          jnp.float32)
+        n = pos.shape[0]
+        d = np.asarray(pos)[:, None, :] - np.asarray(pos)[None, :, :]
+        d -= box * np.round(d / box)
+        adj = (d ** 2).sum(-1) < 0.2 * 0.2
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for i, j in zip(*np.nonzero(adj)):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        oracle = np.array([find(i) for i in range(n)])
+
+        from lambda_cdm_tpu.analysis.halo_finder import fof_labels
+        la, o1 = fof_labels(pos, box, 0.2, ncell=8, capacity=512,
+                            hook="jnp", max_rounds=256)
+        lb, o2 = fof_labels(pos, box, 0.2, ncell=8, capacity=512,
+                            hook="pallas_interpret", max_rounds=256)
+        assert int(o1) == 0 and int(o2) == 0
+        for lab in (np.asarray(la), np.asarray(lb)):
+            # same partition as the oracle (labels are root indices,
+            # min-root canonical on both sides)
+            assert np.array_equal(lab, oracle)
+        # each full chain is one component (wraps periodically)
+        assert np.unique(np.asarray(lb)[:npts]).size == 1
+        assert np.unique(np.asarray(lb)[npts:2 * npts]).size == 1
