@@ -217,8 +217,25 @@ def section_tenm(n, box):
     return {"tenm_ms_per_step": round(dt10 * 1e3, 1)}
 
 
+def section_treepm100k(n, box):
+    """100k TreePM step at the headline box's density. The reference's
+    remaining two 100k headline rows are tree = 15 ms and TensorRT =
+    8 ms on an RTX 4090 (README.md:156-157, claims with no benchmark
+    code); this is the comparable production-path number on one v5e."""
+    n100k = 100_000
+    box100k = 100.0 / (10.0 ** (1.0 / 3.0))
+    # 128^3 PM: the smallest grid whose divisor set admits the TPU
+    # plan constraints (ppc % 8, ncell % 8) at this box -> ncell=16
+    dt100k, compile_s = bench_fast_stepper(n100k, box100k, 128, steps=64)
+    log(f"100k fast-treepm step: {dt100k * 1e3:.2f} ms "
+        f"(compile {compile_s:.0f}s; reference RTX4090 claims: tree "
+        f"15 ms, TensorRT 8 ms)")
+    return {"treepm100k_ms_per_step": round(dt100k * 1e3, 2)}
+
+
 SECTIONS = {"pm": section_pm, "direct": section_direct,
-            "lensing": section_lensing, "tenm": section_tenm}
+            "lensing": section_lensing, "tenm": section_tenm,
+            "treepm100k": section_treepm100k}
 # Only the PM section runs in a timeout-guarded subprocess: it is the
 # one that has wedged the device (unrecoverable in-process; see
 # ops/bucketed_pm.py NOTE), and each subprocess pays the axon backend
@@ -314,7 +331,7 @@ def main():
             f"(compile {compile_s:.0f}s)")
 
     extras = {}
-    for name in ("pm", "direct", "lensing", "tenm"):
+    for name in ("pm", "direct", "lensing", "treepm100k", "tenm"):
         if name in GUARDED:
             extras.update(run_section_guarded(
                 name, timeout_s=GUARDED[name]))
@@ -334,6 +351,7 @@ def main():
         "treepm_ms_per_step": round(dt_treepm * 1e3, 2),
         "pm_ms_per_step": extras.get("pm_ms_per_step"),
         "direct100k_ms": extras.get("direct100k_ms"),
+        "treepm100k_ms_per_step": extras.get("treepm100k_ms_per_step"),
         "lensing_rays_per_s": extras.get("lensing_rays_per_s"),
         "tenm_ms_per_step": extras.get("tenm_ms_per_step"),
     }

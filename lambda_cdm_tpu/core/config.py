@@ -263,8 +263,17 @@ class ProfilingConfig:
 @dataclass
 class ValidationConfig:
     check_initial_conditions: bool = True
+    # solver-vs-direct-summation accuracy harness at initialize()
+    # (engine.validate_force_accuracy; the reference's barnes_hut_test
+    # tree-vs-direct error report, examples/barnes_hut_test.cu:191-250)
     validate_forces: bool = False
+    force_tolerance: float = 0.05       # warn above this avg rel. error
+    force_samples: int = 1024           # oracle targets (O(samples * N))
     check_energy_conservation: bool = True
+    # per-chunk non-finite state guard in run() (failure detection;
+    # costs one scalar readback per chunk -- the chunk boundary already
+    # syncs, so this is ~free)
+    check_finite: bool = False
     tolerance: float = 1e-6
 
 

@@ -60,6 +60,9 @@ class SimulationStatistics:
     current_scale_factor: float = 0.0
     current_redshift: float = 0.0
     energy_error: float = 0.0
+    # populated by validate_force_accuracy (validation.validate_forces)
+    force_avg_rel_err: float = 0.0
+    force_max_rel_err: float = 0.0
 
     def to_dict(self) -> dict:
         return dict(self.__dict__)
@@ -159,11 +162,118 @@ class SimulationEngine:
 
             if self.config.validation.check_initial_conditions:
                 self._validate_state()
+            if self.config.validation.validate_forces:
+                self.validate_force_accuracy(
+                    n_sample=self.config.validation.force_samples)
             self.lifecycle = LifecycleState.INITIALIZED
         except Exception as exc:
             self.lifecycle = LifecycleState.ERROR
             self.observers.notify("on_error", self, exc)
             raise
+
+    def validate_force_accuracy(self, n_sample: int = 1024,
+                                seed: int = 0) -> dict:
+        """Solver-vs-direct-summation force accuracy harness (reference:
+        examples/barnes_hut_test.cu:191-250 reported avg/max relative
+        error of tree forces against direct summation; SURVEY.md 2.4
+        sets "force accuracy vs direct summation" as the fidelity bar).
+
+        Evaluates the CONFIGURED solver on the current global state,
+        then exact direct summation for a random subsample of live
+        targets over ALL sources (O(n_sample * N), jitted in target
+        chunks), and returns {"avg_rel_err", "max_rel_err",
+        "n_sample"}. Runs automatically from initialize() when
+        config.validation.validate_forces is set; logs a warning when
+        the average error exceeds validation.force_tolerance. The
+        fast/mesh execution paths share their physics with the
+        stateless solvers, so treepm_fast/pm_fast validate through
+        treepm/pm on the same state."""
+        import copy
+
+        import numpy as np
+
+        cfg = self.config
+        st = self._state
+        solver_name = {"treepm_fast": "treepm", "pm_fast": "pm"}.get(
+            cfg.forces.type, cfg.forces.type)
+        vcfg = copy.deepcopy(cfg)
+        vcfg.forces.type = solver_name
+        from ..forces import create_force_computer
+        acc_solver = create_force_computer(vcfg)(st)
+
+        live = np.asarray(st.masses > 0)
+        idx_all = np.nonzero(live)[0]
+        rng = np.random.default_rng(seed)
+        k = int(min(n_sample, idx_all.size))
+        idx = jnp.asarray(rng.choice(idx_all, size=k, replace=False))
+
+        box = float(cfg.particles.box_size)
+        soft = float(cfg.forces.softening_length)
+        g = float(cfg.units.G)
+        mg = (float(cfg.forces.modified_gravity_strength)
+              if cfg.forces.force_kernel == "modified_gravity" else 0.0)
+        soft2 = soft * soft
+
+        tchunk = 64                      # peak temp: tchunk*N*3 floats
+
+        @jax.jit
+        def oracle(pos_t, positions, masses):
+            from ..forces.direct import min_image
+            pad = (-pos_t.shape[0]) % tchunk
+            pos_p = jnp.pad(pos_t, ((0, pad), (0, 0)))
+
+            def block(carry, i):
+                pt = jax.lax.dynamic_slice_in_dim(
+                    pos_p, i * tchunk, tchunk, axis=0)
+                dx = min_image(positions[None, :, :] - pt[:, None, :],
+                               box)
+                r2 = jnp.sum(dx * dx, axis=-1) + soft2
+                inv_r3 = jax.lax.rsqrt(r2) / r2
+                inv_r3 = jnp.where(r2 <= soft2 + 1e-30, 0.0, inv_r3)
+                return carry, jnp.einsum("ij,j,ijk->ik", inv_r3,
+                                         masses, dx)
+
+            _, blocks = jax.lax.scan(
+                block, None, jnp.arange(pos_p.shape[0] // tchunk))
+            return g * (1.0 + mg) * blocks.reshape(-1, 3)[:pos_t.shape[0]]
+
+        a_ref = oracle(st.positions[idx], st.positions, st.masses)
+        a_sol = jnp.asarray(acc_solver)[idx]
+        diff = jnp.linalg.norm(a_sol - a_ref, axis=-1)
+        ref_mag = jnp.linalg.norm(a_ref, axis=-1)
+        # scale-normalized error (the repo-wide solver metric, see
+        # tests/test_solvers.py): per-target relative error diverges on
+        # near-cancellation targets, and the min-image oracle differs
+        # from the PM solvers' true-periodic (Ewald) Green function by
+        # ~2% systematically on weak forces
+        scale = jnp.sqrt(jnp.mean(ref_mag ** 2))
+        floor = 1e-12 * jnp.max(ref_mag)
+        rel = diff / jnp.maximum(ref_mag, floor)
+        result = {"avg_err": float(jnp.mean(diff) / scale),
+                  "max_err": float(jnp.max(diff) / scale),
+                  "avg_rel_err": float(jnp.mean(rel)),
+                  "max_rel_err": float(jnp.max(rel)),
+                  "n_sample": k, "solver": solver_name}
+        self.statistics.force_avg_rel_err = result["avg_err"]
+        self.statistics.force_max_rel_err = result["max_err"]
+        import logging
+        logger = logging.getLogger("lambda_cdm_tpu")
+        if result["avg_err"] > cfg.validation.force_tolerance:
+            logger.warning(
+                "force validation: scale-normalized error %.3e vs "
+                "direct summation exceeds validation.force_tolerance "
+                "%.1e (solver=%s, max %.3e, per-target avg/max rel "
+                "%.3e/%.3e over %d targets)",
+                result["avg_err"], cfg.validation.force_tolerance,
+                solver_name, result["max_err"], result["avg_rel_err"],
+                result["max_rel_err"], k)
+        else:
+            logger.info(
+                "force validation: solver=%s scale-normalized err "
+                "avg %.3e max %.3e (per-target rel avg %.3e) over %d "
+                "targets", solver_name, result["avg_err"],
+                result["max_err"], result["avg_rel_err"], k)
+        return result
 
     def _validate_state(self) -> None:
         """IC sanity (reference: validate_initial_conditions,
@@ -769,6 +879,16 @@ class SimulationEngine:
                         self._state, self._acc = runner(
                             self._state, self._acc, self._dt)
                     jax.block_until_ready(self._state.positions)
+                # failure detection: a diverged integration (NaN/inf
+                # positions) otherwise propagates silently until the
+                # next analysis cadence; the chunk boundary already
+                # syncs, so this is one cheap scalar readback
+                if cfg.validation.check_finite and not bool(
+                        jnp.all(jnp.isfinite(self._state.positions))):
+                    raise FloatingPointError(
+                        f"non-finite positions after step "
+                        f"{self.statistics.total_steps + n} "
+                        f"(validation.check_finite)")
                 # adaptive dt BEFORE migration (which invalidates _acc);
                 # the fast path reads its own acc channel
                 if cfg.integration.adaptive_timestep:

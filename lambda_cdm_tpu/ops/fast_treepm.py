@@ -57,14 +57,24 @@ class FastState:
 def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
               split_factor: float = 1.25, cut_factor: float = 4.5,
               capacity: int = 0, margin: int = 1,
-              occupancy_headroom: float = 1.75) -> dict:
+              occupancy_headroom: float = 1.75,
+              align_ncell: bool | None = None) -> dict:
     """Static geometry: ncell must divide pm_grid AND give cells >= r_cut.
 
     Capacity is rounded to a multiple of 128 (the Pallas short-range
     kernel's DMA tiling); among the admissible ncell divisors, pick the
-    one minimizing padded short-range work ncell^3 * 27 * capacity^2."""
+    one minimizing padded short-range work ncell^3 * 27 * capacity^2.
+
+    `align_ncell` (default: auto = TPU backend present) additionally
+    requires ncell % 8 == 0: the compiled short-range kernel writes one
+    z-rod block (4, ncell, cap) of the (4, ncell^3, cap) output per grid
+    step, and Mosaic requires the sublane block dim divisible by 8 (a
+    100k/96^3 plan picked ncell=12 and failed to lower). The jnp
+    fallback used on CPU has no such constraint."""
     rs = split_factor * box_size / pm_grid
     r_cut = cut_factor * rs
+    if align_ncell is None:
+        align_ncell = _use_pallas()
 
     def cap_for(nc):
         if capacity > 0:
@@ -83,7 +93,7 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
             # Pallas PM kernels DMA per-cell rods on 8-aligned sublanes
             # (pallas_pm_rods.rod_geometry); 10M/384^3 picked ppc=6
             # without this and initialize_fast refused
-            if (pm_grid // d) % 8 == 0:
+            if (pm_grid // d) % 8 == 0 and not (align_ncell and d % 8):
                 cap = cap_for(d)
                 cost = d ** 3 * 27 * cap * cap
                 if best is None or cost < best[0]:
@@ -97,9 +107,11 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
             # an O(N^2/1) monster; fail with the actionable constraint
             raise ValueError(
                 f"pm_grid={pm_grid} has no divisor d >= 3 with cells "
-                f">= r_cut and pm_grid/d % 8 == 0; pick a PM grid with "
-                f"an 8-aligned cells-per-rod divisor (e.g. 192, 256, "
-                f"384, 448, 512)")
+                f">= r_cut, pm_grid/d % 8 == 0"
+                + (" and d % 8 == 0 (TPU short-range block alignment)"
+                   if align_ncell else "")
+                + "; pick a PM grid with an 8-aligned cells-per-rod "
+                  "divisor (e.g. 128, 192, 256, 384, 448, 512)")
         # box too small for a 3^3 stencil: single-cell degenerate plan
         return {"rs": rs, "r_cut": r_cut, "ncell": 1,
                 "capacity": cap_for(1), "margin": margin}

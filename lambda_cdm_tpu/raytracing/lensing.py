@@ -125,6 +125,23 @@ def deflection_from_kappa(kappa, extent, *, ng: int):
 
 
 @partial(jax.jit, static_argnames=("ng",))
+def second_derivs_from_kappa(kappa, extent, *, ng: int):
+    """[3, ng, ng]: psi_xx, psi_xy, psi_yy of the potential with
+    lap(psi) = 2 kappa. The distortion tensor is U = [[psi_xx, psi_xy],
+    [psi_xy, psi_yy]] = [[kappa+gamma1, gamma2], [gamma2,
+    kappa-gamma1]]; used per lens plane by the ray-Jacobian propagation
+    in trace_rays."""
+    kk = jnp.fft.rfftn(kappa)
+    kx, ky, k2 = _k2d(ng, extent)
+    inv = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    psi_k = -2.0 * inv * kk
+    uxx = jnp.fft.irfftn(-(kx * kx) * psi_k, s=(ng, ng))
+    uxy = jnp.fft.irfftn(-(kx * ky) * psi_k, s=(ng, ng))
+    uyy = jnp.fft.irfftn(-(ky * ky) * psi_k, s=(ng, ng))
+    return jnp.stack([uxx, uxy, uyy])
+
+
+@partial(jax.jit, static_argnames=("ng",))
 def shear_from_kappa(kappa, extent, *, ng: int):
     """gamma1 = (psi_xx - psi_yy)/2, gamma2 = psi_xy -> [2, ng, ng]."""
     kk = jnp.fft.rfftn(kappa)
@@ -198,11 +215,18 @@ class RayBundle:
     theta: jax.Array       # [R, 2] current angular position [rad]
     beta: jax.Array        # [R, 2] current physical/comoving transverse pos
     kappa: jax.Array       # [R] accumulated convergence along each ray
+    # set when trace_rays(jacobian=True): derived from the propagated
+    # distortion matrix A = d(theta_final)/d(theta0)
+    gamma: jax.Array | None = None       # [R, 2] ray-traced shear
+    mu: jax.Array | None = None          # [R] magnification 1/det(A)
+    omega: jax.Array | None = None       # [R] image rotation
+    kappa_jac: jax.Array | None = None   # [R] 1 - tr(A)/2
 
 
-@partial(jax.jit, static_argnames=("ng",))
+@partial(jax.jit, static_argnames=("ng", "jacobian"))
 def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
-               d_chi, box_size, theta0, chi_source, *, ng: int):
+               d_chi, box_size, theta0, chi_source, *, ng: int,
+               jacobian: bool = False):
     """Multi-plane raytracing (beyond Born): propagate a ray bundle through
     the lens planes, deflecting at each.
 
@@ -210,31 +234,46 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
     initial angles (radians). Returns RayBundle at the source plane:
     final angular positions beta (the lens mapping) and the per-ray
     accumulated convergence estimate.
+
+    `jacobian=True` additionally propagates the per-ray 2x2 distortion
+    matrix A = d(theta_l)/d(theta0) through the planes,
+    A_{l+1} = (I - U_l(x_l)) A_l with U the sampled Hessian of the
+    plane potential (Jain, Seljak & White 1997 multi-plane recursion in
+    the single-box geometry) -- giving the ray-traced shear gamma,
+    magnification mu = 1/det(A), rotation omega (a pure post-Born
+    effect: omega = 0 in any single-plane or Born treatment), and
+    kappa_jac = 1 - tr(A)/2. Three extra field channels ride the same
+    one-hot MXU sampling, so the added cost is ~2x the sampler, not 2x
+    the tracer.
     """
     chi_planes = jnp.asarray(chi_planes)
     a_planes = jnp.asarray(a_planes)
     n_planes = delta_planes.shape[0]
 
-    # precompute per-plane comoving deflection fields:
+    # precompute per-plane comoving deflection (and Hessian) fields:
     # alpha_comoving = grad_perp psi, lap(psi) = 2 W delta d_chi
-    def plane_alpha(delta, chi_l, a_l):
+    def plane_fields(delta, chi_l, a_l):
         w = lensing_efficiency(params, chi_l, chi_source, a_l)
         kappa_plane = w * d_chi * delta
-        return deflection_from_kappa(kappa_plane, box_size, ng=ng)
+        alpha = deflection_from_kappa(kappa_plane, box_size, ng=ng)
+        parts = [alpha, delta[None]]
+        if jacobian:
+            parts.append(second_derivs_from_kappa(kappa_plane, box_size,
+                                                  ng=ng))
+        return jnp.concatenate(parts, axis=0)
 
-    alphas = jax.vmap(plane_alpha)(delta_planes, chi_planes, a_planes)
+    fields_l = jax.vmap(plane_fields)(delta_planes, chi_planes, a_planes)
 
     def step(carry, idx):
-        theta, kap = carry
+        theta, kap, amat = carry
         chi_l = chi_planes[idx]
         # comoving impact position on this plane (small-angle)
         xy = jnp.mod(theta * chi_l, box_size)
-        # one MXU one-hot sampling for (alpha_x, alpha_y, delta): XLA
+        # one MXU one-hot sampling for every field channel: XLA
         # gathers serialize on TPU (~9 ms/plane at 65k rays; this is
         # ~0.5 ms)
-        fields = jnp.concatenate([alphas[idx],
-                                  delta_planes[idx][None]], axis=0)
-        ax, ay, dl = bilinear_sample_matmul(fields, xy, box_size)
+        sampled = bilinear_sample_matmul(fields_l[idx], xy, box_size)
+        ax, ay, dl = sampled[0], sampled[1], sampled[2]
         # the potential u solves lap_x(u) = 2 kappa on the COMOVING grid;
         # the angular potential is psi(theta) = u(chi theta)/chi^2, so the
         # angular deflection alpha_theta = grad_theta psi = (grad_x u)/chi
@@ -243,13 +282,35 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
         # accumulated convergence along the ray (Born-like estimator)
         w = lensing_efficiency(params, chi_l, chi_source, a_planes[idx])
         dk = dl * w * d_chi
-        return (theta, kap + dk), None
+        if jacobian:
+            # theta_{l+1} = theta_l - alpha(chi_l theta_l)/chi_l, so
+            # d theta_{l+1}/d theta_0 = (I - U) A with
+            # U_ij = d alpha_i/d x_j * chi_l / chi_l = psi_xx etc.
+            uxx, uxy, uyy = sampled[3], sampled[4], sampled[5]
+            u = jnp.stack([jnp.stack([uxx, uxy], -1),
+                           jnp.stack([uxy, uyy], -1)], -2)   # [R, 2, 2]
+            amat = amat - jnp.einsum("rij,rjk->rik", u, amat)
+        return (theta, kap + dk, amat), None
 
-    kap0 = jnp.zeros(theta0.shape[0])
-    (theta_f, kap), _ = jax.lax.scan(step, (theta0, kap0),
-                                     jnp.arange(n_planes))
+    n_rays = theta0.shape[0]
+    kap0 = jnp.zeros(n_rays)
+    a0 = jnp.broadcast_to(jnp.eye(2), (n_rays, 2, 2))
+    (theta_f, kap, amat), _ = jax.lax.scan(step, (theta0, kap0, a0),
+                                           jnp.arange(n_planes))
     beta = theta_f * chi_source
-    return RayBundle(theta=theta_f, beta=beta, kappa=kap)
+    if not jacobian:
+        return RayBundle(theta=theta_f, beta=beta, kappa=kap)
+    # A = [[1-k-g1, -g2+w], [-g2-w, 1-k+g1]]
+    g1 = 0.5 * (amat[:, 1, 1] - amat[:, 0, 0])
+    g2 = -0.5 * (amat[:, 0, 1] + amat[:, 1, 0])
+    om = 0.5 * (amat[:, 1, 0] - amat[:, 0, 1])
+    det = (amat[:, 0, 0] * amat[:, 1, 1]
+           - amat[:, 0, 1] * amat[:, 1, 0])
+    return RayBundle(theta=theta_f, beta=beta, kappa=kap,
+                     gamma=jnp.stack([g1, g2], axis=-1),
+                     mu=1.0 / det, omega=om,
+                     kappa_jac=1.0 - 0.5 * (amat[:, 0, 0]
+                                            + amat[:, 1, 1]))
 
 
 # ---------------------------------------------------------------------------

@@ -354,3 +354,77 @@ class TestAdviceRegressions:
         # limiter produced a finite, clipped dt (and actually ran)
         assert float(eng._dt) <= dt0 + 1e-12
         assert float(eng._dt) >= 1e-9
+
+
+class TestForceValidation:
+    """validation.validate_forces: solver-vs-direct-summation accuracy
+    harness (the reference's barnes_hut_test error report,
+    examples/barnes_hut_test.cu:191-250, as an engine capability)."""
+
+    def test_direct_solver_near_exact(self):
+        cfg = small_config(n=256, solver="direct_reference")
+        cfg.validation.validate_forces = True
+        cfg.validation.force_samples = 64
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        assert eng.statistics.force_avg_rel_err < 1e-4
+        assert eng.statistics.force_max_rel_err < 1e-3
+
+    def test_treepm_within_tolerance(self):
+        cfg = small_config(n=512, solver="treepm")
+        cfg.forces.pm_grid_size = 32
+        cfg.forces.softening_length = 0.05
+        cfg.validation.validate_forces = False
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        out = eng.validate_force_accuracy(n_sample=128)
+        assert out["solver"] == "treepm"
+        assert out["n_sample"] == 128
+        # split-force recombination: percent-level vs direct summation
+        # on the scale-normalized metric (per-target rel error diverges
+        # on near-cancellation targets; see tests/test_solvers.py)
+        assert out["avg_err"] < 0.05
+
+    def test_fast_path_maps_to_stateless_solver(self):
+        cfg = small_config(n=512, solver="treepm_fast")
+        cfg.forces.pm_grid_size = 32
+        cfg.forces.softening_length = 0.05
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        out = eng.validate_force_accuracy(n_sample=64)
+        assert out["solver"] == "treepm"
+        assert np.isfinite(out["avg_rel_err"])
+
+    def test_zero_mass_padding_excluded_from_targets(self):
+        cfg = small_config(n=128, solver="direct_reference")
+        cfg.validation.check_initial_conditions = False  # padding rows
+        eng = SimulationEngine(cfg)
+        st = random_state(jax.random.PRNGKey(0), 128,
+                          cfg.particles.box_size)
+        # kill the last 16 particles (padding convention: mass == 0)
+        st = st.replace(masses=st.masses.at[-16:].set(0.0))
+        eng.initialize(st)
+        out = eng.validate_force_accuracy(n_sample=1024)
+        assert out["n_sample"] == 112       # only live targets sampled
+
+
+class TestFiniteGuard:
+    def test_nan_positions_raise_in_run(self):
+        cfg = small_config(n=128)
+        cfg.validation.check_finite = True
+        cfg.validation.check_initial_conditions = False
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        bad = eng.state.replace(
+            positions=eng.state.positions.at[0, 0].set(jnp.nan))
+        eng.state = bad
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            eng.run(num_steps=5)
+
+    def test_finite_run_unaffected(self):
+        cfg = small_config(n=128)
+        cfg.validation.check_finite = True
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        eng.run(num_steps=5)
+        assert eng.lifecycle == LifecycleState.FINISHED

@@ -355,3 +355,79 @@ class TestAnalyticValidation:
         kappa = lz.born_convergence(PARAMS, planes, chis, d_chi,
                                     float(chis[-1]) + d_chi, a_l)
         assert bool(jnp.all(jnp.isfinite(kappa)))
+
+
+class TestRayJacobian:
+    """trace_rays(jacobian=True): multi-plane distortion-matrix
+    propagation A_{l+1} = (I - U_l) A_l -> ray-traced shear /
+    magnification / rotation."""
+
+    def _planes(self, key, n_planes=4, ng=32, amp=0.05):
+        delta = amp * jax.random.normal(key, (n_planes, ng, ng))
+        return delta - jnp.mean(delta, axis=(1, 2), keepdims=True)
+
+    def test_single_plane_matches_sampled_hessian(self):
+        """One plane: A = I - U(x0) exactly, so gamma/kappa_jac must
+        equal the direct bilinear sample of the plane's shear and
+        convergence fields at the (undeflected) impact points."""
+        ng, box = 32, 100.0
+        delta = self._planes(jax.random.PRNGKey(7), n_planes=1, ng=ng,
+                             amp=0.3)
+        chis = jnp.array([1200.0])
+        a_l = jnp.array([0.6])
+        d_chi, chi_s = 50.0, 3000.0
+        theta0 = jax.random.uniform(jax.random.PRNGKey(8), (64, 2),
+                                    maxval=box / 1200.0)
+        b = lz.trace_rays(PARAMS, delta, chis, a_l, d_chi, box, theta0,
+                          chi_s, ng=ng, jacobian=True)
+        w = lz.lensing_efficiency(PARAMS, chis[0], chi_s, a_l[0])
+        kplane = w * d_chi * delta[0]
+        xy = jnp.mod(theta0 * chis[0], box)
+        u3 = lz.second_derivs_from_kappa(kplane, box, ng=ng)
+        uxx, uxy, uyy = lz.bilinear_sample_matmul(u3, xy, box)
+        np.testing.assert_allclose(np.asarray(b.kappa_jac),
+                                   np.asarray(0.5 * (uxx + uyy)),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.gamma[:, 0]),
+                                   np.asarray(0.5 * (uxx - uyy)),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.gamma[:, 1]),
+                                   np.asarray(uxy), rtol=0, atol=1e-5)
+        # single plane: A = I - U is symmetric -> zero rotation
+        np.testing.assert_allclose(np.asarray(b.omega), 0.0, atol=1e-7)
+
+    def test_weak_field_consistency(self):
+        """Weak fields: kappa_jac ~ Born kappa estimator, mu ~ 1 + 2k,
+        omega = O(k^2) (rotation is a pure post-Born effect)."""
+        ng, box = 32, 100.0
+        delta = self._planes(jax.random.PRNGKey(9), n_planes=6, ng=ng)
+        chis = jnp.linspace(700.0, 1700.0, 6)
+        a_l = jnp.linspace(0.75, 0.55, 6)
+        d_chi, chi_s = 40.0, 2800.0
+        theta0 = jax.random.uniform(jax.random.PRNGKey(10), (128, 2),
+                                    maxval=box / float(chis[-1]))
+        b = lz.trace_rays(PARAMS, delta, chis, a_l, d_chi, box, theta0,
+                          chi_s, ng=ng, jacobian=True)
+        k_scale = float(jnp.std(b.kappa)) + 1e-12
+        # first-order agreement of the two kappa estimators
+        assert float(jnp.max(jnp.abs(b.kappa_jac - b.kappa))) \
+            < 0.05 * k_scale + 1e-6
+        np.testing.assert_allclose(np.asarray(b.mu),
+                                   np.asarray(1.0 + 2.0 * b.kappa_jac),
+                                   rtol=0, atol=0.05 * k_scale + 1e-6)
+        # rotation: second order => far below the shear scale
+        assert float(jnp.max(jnp.abs(b.omega))) < 0.1 * k_scale + 1e-9
+        assert b.gamma.shape == theta0.shape
+
+    def test_empty_universe_identity_jacobian(self):
+        ng, box = 16, 100.0
+        delta = jnp.zeros((3, ng, ng))
+        chis = jnp.linspace(500.0, 1500.0, 3)
+        b = lz.trace_rays(PARAMS, delta, chis, jnp.full((3,), 0.6),
+                          30.0, box,
+                          jnp.zeros((4, 2)), 2500.0, ng=ng,
+                          jacobian=True)
+        np.testing.assert_allclose(np.asarray(b.mu), 1.0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b.gamma), 0.0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b.kappa_jac), 0.0,
+                                   atol=1e-10)
