@@ -831,6 +831,36 @@ class SimulationEngine:
         self.statistics.total_steps += num_steps
         return self._state
 
+    def _measure_force_fraction(self) -> None:
+        """profiling.detailed_timing: the KDK chunk is one fused XLA
+        program, so force vs integration time cannot be split in-flight.
+        Time ONE standalone force evaluation (no state advancement);
+        the run loop then attributes min(chunk_time, n * t_force) of
+        each chunk's wall time to force_time_s and the remainder to
+        integration_time_s."""
+        if getattr(self, "_force_eval_s", None) is not None:
+            return
+        try:
+            if self._fstate is not None:
+                from ..ops.fast_treepm import _accel
+                import inspect
+                keys = set(inspect.signature(_accel).parameters)
+                kw = {k: v for k, v in (self._fast_kw or {}).items()
+                      if k in keys}
+                f = jax.jit(lambda fs: _accel(fs, **kw)[0])
+                arg = self._fstate
+            elif self._accel_fn is not None:
+                f = jax.jit(self._accel_fn)
+                arg = self._state
+            else:
+                return
+            jax.block_until_ready(f(arg))                 # compile
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(arg))
+            self._force_eval_s = time.perf_counter() - t0
+        except Exception:  # noqa: BLE001 -- diagnostics must not kill runs
+            self._force_eval_s = None
+
     def run(self, num_steps: int | None = None) -> SimState:
         """Main loop (reference: SimulationEngine::run,
         simulation_engine.cpp:82-116): advance in output-cadence chunks,
@@ -854,6 +884,8 @@ class SimulationEngine:
             trace_ctx.__enter__()
         try:
             self._ensure_acc()
+            if cfg.profiling.detailed_timing:
+                self._measure_force_fraction()
             # apply the adaptive limiter BEFORE the first chunk: a
             # high-z start at the configured initial_timestep can have
             # H dt >> 1 and blow through final_redshift inside chunk 1
@@ -870,6 +902,7 @@ class SimulationEngine:
                 n = min(cadence, max_steps - steps_done)
                 self.observers.notify("on_step_start", self,
                                       int(self._state.step))
+                t_chunk0 = time.perf_counter()
                 with self.profiler.timer("run.chunk"):
                     if self._fstate is not None:
                         self._fast_chunk(n)
@@ -879,6 +912,20 @@ class SimulationEngine:
                         self._state, self._acc = runner(
                             self._state, self._acc, self._dt)
                     jax.block_until_ready(self._state.positions)
+                # per-phase statistics (reference reserved these fields
+                # and never populated them, simulation_engine.cpp:267-273;
+                # the KDK chunk is one fused program, so the force share
+                # is attributed via the fraction measured once at the
+                # start of run() in detailed-timing mode)
+                dt_chunk = time.perf_counter() - t_chunk0
+                t_force = getattr(self, "_force_eval_s", None)
+                if t_force is None:
+                    self.statistics.force_time_s += dt_chunk
+                else:
+                    f_share = min(dt_chunk, n * t_force)
+                    self.statistics.force_time_s += f_share
+                    self.statistics.integration_time_s += \
+                        dt_chunk - f_share
                 # failure detection: a diverged integration (NaN/inf
                 # positions) otherwise propagates silently until the
                 # next analysis cadence; the chunk boundary already
@@ -902,12 +949,18 @@ class SimulationEngine:
                         self._mesh_migrate()
                 steps_done += n
                 self.statistics.total_steps += n
+                t_obs0 = time.perf_counter()
                 self.observers.notify("on_step_end", self,
                                       int(self._state.step))
+                self.statistics.analysis_time_s += \
+                    time.perf_counter() - t_obs0
                 if (cfg.simulation.checkpoint_frequency > 0
                         and self.statistics.total_steps
                         % cfg.simulation.checkpoint_frequency == 0):
+                    t_io0 = time.perf_counter()
                     self._periodic_checkpoint()
+                    self.statistics.io_time_s += \
+                        time.perf_counter() - t_io0
             self.lifecycle = LifecycleState.FINISHED
         except Exception as exc:
             self.lifecycle = LifecycleState.ERROR

@@ -428,3 +428,22 @@ class TestFiniteGuard:
         eng.initialize()
         eng.run(num_steps=5)
         assert eng.lifecycle == LifecycleState.FINISHED
+
+
+class TestDetailedTiming:
+    def test_phase_timers_populated(self):
+        """profiling.detailed_timing splits chunk wall time into
+        force/integration via a once-measured standalone force eval
+        (the reference reserved these SimulationStatistics fields and
+        never populated them, simulation_engine.cpp:267-273)."""
+        cfg = small_config(n=128)
+        cfg.profiling.detailed_timing = True
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        eng.run(num_steps=10)
+        st = eng.statistics
+        assert st.force_time_s > 0
+        assert st.integration_time_s >= 0
+        assert st.analysis_time_s >= 0
+        assert st.force_time_s + st.integration_time_s \
+            <= st.total_time_s + 1e-6
