@@ -97,7 +97,11 @@ class ForceConfig:
     #                                     fd4 | spectral | interp
     force_kernel: str = "newtonian"     # newtonian | modified_gravity
     modified_gravity_strength: float = 0.0
-    precision: str = "float32"          # pallas accumulate precision
+    # float32 -> Precision.HIGHEST contractions (default); bfloat16 ->
+    # bf16 MXU operands / f32 accumulate in the jnp direct solvers
+    # (~0.4% force error; the reference TRT FP16 flag analogue). The
+    # Pallas kernels are f32 throughout either way.
+    precision: str = "float32"
     fallback: str = "direct_reference"
 
 

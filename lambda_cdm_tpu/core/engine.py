@@ -230,8 +230,9 @@ class SimulationEngine:
                 r2 = jnp.sum(dx * dx, axis=-1) + soft2
                 inv_r3 = jax.lax.rsqrt(r2) / r2
                 inv_r3 = jnp.where(r2 <= soft2 + 1e-30, 0.0, inv_r3)
-                return carry, jnp.einsum("ij,j,ijk->ik", inv_r3,
-                                         masses, dx)
+                return carry, jnp.einsum(
+                    "ij,j,ijk->ik", inv_r3, masses, dx,
+                    precision=jax.lax.Precision.HIGHEST)
 
             _, blocks = jax.lax.scan(
                 block, None, jnp.arange(pos_p.shape[0] // tchunk))

@@ -134,13 +134,28 @@ def _common(config: SimulationConfig):
             config.units.G, mg)
 
 
+def _einsum_precision(config: SimulationConfig):
+    """forces.precision == "bfloat16": run the force-accumulation
+    contraction with bf16 MXU operands / f32 accumulation (the
+    reference TRT engine's FP16 build-flag analogue,
+    nbody_engine.cpp:45-206 -- an explicit reduced-precision opt-in;
+    ~0.4% force error, vs ~1e-7 at the float32 default, which maps to
+    Precision.HIGHEST). Displacements and 1/r^3 stay f32 either way."""
+    import jax
+    return (jax.lax.Precision.DEFAULT
+            if config.forces.precision == "bfloat16"
+            else jax.lax.Precision.HIGHEST)
+
+
 @register_force_computer("direct_reference")
 def _build_direct_reference(config: SimulationConfig):
     box, soft, g, mg = _common(config)
+    prec = _einsum_precision(config)
 
     def accel_fn(state: SimState):
         return _direct.direct_accelerations(
-            state.positions, state.masses, box, soft, g, mg)
+            state.positions, state.masses, box, soft, g, mg,
+            precision=prec)
     return accel_fn
 
 
@@ -149,12 +164,14 @@ def _build_direct(config: SimulationConfig):
     box, soft, g, mg = _common(config)
     n = config.particles.num_particles
     chunk = min(4096, max(256, n))
+    prec = _einsum_precision(config)
 
     def accel_fn(state: SimState):
         import jax
         if state.positions.shape[0] <= 2048:
             return _direct.direct_accelerations(
-                state.positions, state.masses, box, soft, g, mg)
+                state.positions, state.masses, box, soft, g, mg,
+                precision=prec)
         # Pallas tiled kernel on TPU; chunked jnp elsewhere
         if any(d.platform == "tpu" for d in jax.devices()):
             try:
@@ -165,7 +182,7 @@ def _build_direct(config: SimulationConfig):
                 pass
         return _direct.direct_accelerations_chunked(
             state.positions, state.masses, box, soft, g, mg,
-            chunk_size=chunk)
+            chunk_size=chunk, precision=prec)
     return accel_fn
 
 

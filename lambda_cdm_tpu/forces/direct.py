@@ -40,7 +40,8 @@ def _pair_accel(dx, mass_j, softening2, g):
 
 
 def direct_accelerations(positions, masses, box_size, softening=0.01,
-                         g_const=1.0, modified_gravity=0.0):
+                         g_const=1.0, modified_gravity=0.0,
+                         precision=None):
     """Softened pairwise accelerations, full [N,N] broadcast.
 
     a_i = G sum_j m_j (x_j - x_i) / (|x_j - x_i|^2 + eps^2)^(3/2)
@@ -52,13 +53,14 @@ def direct_accelerations(positions, masses, box_size, softening=0.01,
     # zero self-interaction (softening keeps it finite; mask keeps it exact)
     n = positions.shape[0]
     inv_r3 = jnp.where(jnp.eye(n, dtype=bool), 0.0, inv_r3)
-    acc = jnp.einsum("ij,j,ijk->ik", inv_r3, masses, dx)
+    acc = jnp.einsum("ij,j,ijk->ik", inv_r3, masses, dx,
+                     precision=precision or jax.lax.Precision.HIGHEST)
     return g_const * (1.0 + modified_gravity) * acc
 
 
 def direct_accelerations_chunked(positions, masses, box_size, softening=0.01,
                                  g_const=1.0, modified_gravity=0.0,
-                                 chunk_size=4096):
+                                 chunk_size=4096, precision=None):
     """Row-blocked direct sum: O(N^2) flops, O(chunk*N) memory.
 
     The XLA analogue of the reference's shared-memory tiling
@@ -81,7 +83,8 @@ def direct_accelerations_chunked(positions, masses, box_size, softening=0.01,
         # self-interaction: dx == 0 -> contribution 0 via explicit mask
         self_mask = r2 <= soft2 + 1e-30
         inv_r3 = jnp.where(self_mask, 0.0, inv_r3)
-        acc = jnp.einsum("ij,j,ijk->ik", inv_r3, masses, dx)
+        acc = jnp.einsum("ij,j,ijk->ik", inv_r3, masses, dx,
+                         precision=precision or jax.lax.Precision.HIGHEST)
         return carry, acc
 
     _, acc_blocks = jax.lax.scan(row_block, None, jnp.arange(num_chunks))

@@ -368,6 +368,42 @@ def convergence_map_from_state(state, params: CosmologyParams, box_size,
     return born_convergence(params, planes, chis, d_chi, chi_s, a_l)
 
 
+def raytraced_maps_from_state(state, params: CosmologyParams, box_size,
+                              *, ng: int = 256, n_planes: int = 8,
+                              z_source: float = 1.0, axis: int = 2,
+                              n_rays_side: int = 256):
+    """One-call ray-traced weak-lensing maps from a simulation state:
+    multi-plane propagation with distortion-matrix Jacobians
+    (trace_rays(jacobian=True)) on an n_rays_side^2 angular grid
+    spanning the box. Returns a dict of [n, n] maps: kappa (Born-like
+    line-of-sight estimator), kappa_jac / gamma1 / gamma2 / mu / omega
+    (from the propagated Jacobian). The Born map of
+    convergence_map_from_state is the first-order limit; these include
+    lens-lens coupling and ray deflection (post-Born)."""
+    from ..physics.cosmology import scale_factor_at_chi
+    deltas, d_chi = snapshot_lightcone_planes(
+        state.positions, state.masses, box_size, ng=ng, n_planes=n_planes,
+        axis=axis)
+    chi_s = comoving_distance(params, z_source) * params.h
+    chi0 = 0.5 * jnp.maximum(chi_s - box_size, 0.0)
+    chis = chi0 + (jnp.arange(n_planes) + 0.5) * d_chi
+    a_l = scale_factor_at_chi(params, chis / params.h)
+    # ray grid on the FIRST plane's pixel angles (the angular footprint
+    # the box subtends there)
+    ang = (jnp.arange(n_rays_side) + 0.5) * box_size         / n_rays_side / chis[0]
+    theta0 = jnp.stack(jnp.meshgrid(ang, ang, indexing="ij"),
+                       -1).reshape(-1, 2)
+    b = trace_rays(params, deltas, chis, a_l, d_chi, box_size, theta0,
+                   chi_s, ng=ng, jacobian=True)
+    shp = (n_rays_side, n_rays_side)
+    return {"kappa": b.kappa.reshape(shp),
+            "kappa_jac": b.kappa_jac.reshape(shp),
+            "gamma1": b.gamma[:, 0].reshape(shp),
+            "gamma2": b.gamma[:, 1].reshape(shp),
+            "mu": b.mu.reshape(shp),
+            "omega": b.omega.reshape(shp)}
+
+
 # ---------------------------------------------------------------------------
 # Multi-snapshot lightcone: observer -> source, tiled boxes
 # ---------------------------------------------------------------------------

@@ -138,3 +138,24 @@ class TestFactory:
         from lambda_cdm_tpu.forces import get_recommended_parameters
         p = get_recommended_parameters(1_000_000)
         assert p["pm_grid_size"] ** 3 >= 125_000
+
+
+class TestPrecisionKnob:
+    def test_bfloat16_precision_plumbs_through(self):
+        """forces.precision selects the contraction precision in the jnp
+        direct solvers (bf16 MXU operands / f32 accumulate on TPU; a
+        no-op on CPU, where this asserts the plumbing only)."""
+        import jax
+        import jax.numpy as jnp
+        from lambda_cdm_tpu.core.config import SimulationConfig
+        from lambda_cdm_tpu.core.state import random_state
+        from lambda_cdm_tpu.forces import create_force_computer
+        st = random_state(jax.random.PRNGKey(0), 64, 20.0)
+        for solver in ("direct_reference", "direct"):
+            cfg = SimulationConfig()
+            cfg.particles.num_particles = 64
+            cfg.particles.box_size = 20.0
+            cfg.forces.type = solver
+            cfg.forces.precision = "bfloat16"
+            acc = create_force_computer(cfg)(st)
+            assert bool(jnp.all(jnp.isfinite(acc)))

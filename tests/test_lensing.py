@@ -431,3 +431,27 @@ class TestRayJacobian:
         np.testing.assert_allclose(np.asarray(b.gamma), 0.0, atol=1e-10)
         np.testing.assert_allclose(np.asarray(b.kappa_jac), 0.0,
                                    atol=1e-10)
+
+
+class TestRaytracedMaps:
+    def test_maps_from_state(self):
+        """One-call ray-traced map products: finite, weak-field
+        consistent (kappa_jac ~ kappa, mu ~ 1 + 2 kappa, omega ~ 0)."""
+        from lambda_cdm_tpu.core.state import random_state
+        from lambda_cdm_tpu.raytracing.lensing import \
+            raytraced_maps_from_state
+        st = random_state(jax.random.PRNGKey(0), 4096, 100.0,
+                          scale_factor=0.7)
+        m = raytraced_maps_from_state(st, PARAMS, 100.0, ng=32,
+                                      n_planes=4, n_rays_side=16)
+        for k in ("kappa", "kappa_jac", "gamma1", "gamma2", "mu",
+                  "omega"):
+            assert m[k].shape == (16, 16)
+            assert bool(jnp.all(jnp.isfinite(m[k]))), k
+        ks = float(jnp.std(m["kappa"])) + 1e-12
+        assert float(jnp.max(jnp.abs(m["kappa_jac"] - m["kappa"]))) \
+            < 0.05 * ks + 1e-7
+        np.testing.assert_allclose(np.asarray(m["mu"]),
+                                   np.asarray(1.0 + 2.0 * m["kappa_jac"]),
+                                   atol=0.05 * ks + 1e-7)
+        assert float(jnp.max(jnp.abs(m["omega"]))) < 0.1 * ks
