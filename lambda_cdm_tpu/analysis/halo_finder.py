@@ -727,20 +727,29 @@ def find_halos(positions, velocities, masses, box_size, *,
                linking_length_factor: float = 0.2,
                min_particles: int = 20, max_halos: int = 256,
                overdensity: float = 200.0,
-               g_const: float = 43.0071057317063) -> HaloCatalog:
+               g_const: float = 43.0071057317063,
+               n_slabs: int = 0) -> HaloCatalog:
     """One-call FoF + SO catalog (reference:
     FriendsOfFriends::find_halos, halo_finder.cpp:15-45).
 
     linking_length = factor * mean interparticle separation (b=0.2
-    standard, the reference's default).
+    standard, the reference's default). `n_slabs > 1` routes the
+    labeling through fof_labels_slabwise (memory O(N/n_slabs) on the
+    device per slab pass; identical labels).
     """
     n = positions.shape[0]
     b = linking_length_factor * box_size / n ** (1.0 / 3.0)
     plan = fof_plan(n, float(box_size), float(b), positions=positions,
                     live=masses > 0)
-    labels, overflow = fof_labels(
-        positions, box_size, b, ncell=plan["ncell"],
-        capacity=plan["capacity"], live=masses > 0)
+    if n_slabs > 1:
+        labels, overflow = fof_labels_slabwise(
+            positions, box_size, b, n_slabs=n_slabs,
+            ncell=plan["ncell"], capacity=plan["capacity"],
+            live=masses > 0)
+    else:
+        labels, overflow = fof_labels(
+            positions, box_size, b, ncell=plan["ncell"],
+            capacity=plan["capacity"], live=masses > 0)
     window = (catalog_window_plan(positions, box_size, live=masses > 0)
               if n >= 200_000 else None)
     return catalog_from_labels(
@@ -767,3 +776,99 @@ def mass_function(catalog: HaloCatalog, box_size, num_bins: int = 16,
     centers = 10.0 ** (0.5 * (edges[1:] + edges[:-1]))
     volume = box_size ** 3
     return centers, counts / (volume * dlog), counts
+
+
+def fof_labels_slabwise(positions, box_size, linking_length, *,
+                        n_slabs: int, ncell: int, capacity: int,
+                        live=None, max_rounds: int = 64,
+                        hook: str = "auto"):
+    """FoF across shard boundaries via slab decomposition (SURVEY.md
+    section 7 "hard parts": halo linking over slab edges; the reference
+    has NO cross-rank FoF at all -- halo_finder.cpp is single-process
+    and cluster_comm.cpp never links halos).
+
+    The box is cut into `n_slabs` x-slabs. Each slab runs the standard
+    single-device `fof_labels` on its OWNED particles plus a ghost
+    layer of width `linking_length` from both periodic neighbors, so
+    every FoF edge (pair within b) appears in at least one subset
+    (an edge crossing a cut lies inside both adjacent subsets).
+    Particle buffers per invocation are O(N/n_slabs + ghosts) -- slabs
+    are pulled to the device one at a time, matching mesh-mode slab
+    ownership, so states whose particle arrays exceed one chip's HBM
+    stay analyzable. (The [ncell^3, capacity] cell lattice is still
+    allocated at the caller's plan; pass a per-slab plan to shrink its
+    capacity to the slab's occupancy.)
+
+    Cross-slab components are stitched on the host: every subset row
+    contributes a (particle, subset-root) star edge; vectorized
+    min-label propagation with pointer jumping resolves the global
+    components in O(log chain) numpy rounds. Labels match the global
+    `fof_labels` semantics (label = component's minimum particle
+    index; dead rows stay field singletons).
+
+    Returns (labels [N] int32, overflow = summed per-slab merged-cell
+    overflow counts; ghosts can be double-counted, so treat it as an
+    upper bound -- it is exactly 0 when no slab overflowed).
+    """
+    import numpy as np
+
+    n = positions.shape[0]
+    if live is None:
+        live = jnp.ones((n,), bool)
+    x = np.asarray(positions[:, 0])
+    live_np = np.asarray(live)
+    width = box_size / n_slabs
+    if width <= linking_length:
+        raise ValueError(
+            f"slab width {width:.3g} <= linking length {linking_length}"
+            f" -- reduce n_slabs (ghost layers would overlap)")
+    slab_of = np.minimum((x / width).astype(np.int64), n_slabs - 1)
+
+    def in_ghost(s):
+        lo, hi = s * width, (s + 1) * width
+        dlo = (x - lo) % box_size            # distance "below" lo
+        dhi = (hi - x) % box_size
+        return ((dlo > box_size - linking_length)
+                | (dhi > box_size - linking_length))
+
+    sels = []
+    for s in range(n_slabs):
+        sel = ((slab_of == s) | in_ghost(s)) & live_np
+        sels.append(np.nonzero(sel)[0])
+    pad_n = max(int(i.size) for i in sels)
+    # one compiled shape across slabs
+    pad_n = max(pad_n, 1)
+
+    g_arr, r_arr = [], []
+    overflow_total = 0
+    for s in range(n_slabs):
+        gids = sels[s]
+        k = gids.size
+        sub_pos = np.zeros((pad_n, 3), np.asarray(positions).dtype)
+        sub_pos[:k] = np.asarray(positions)[gids]
+        sub_live = np.zeros((pad_n,), bool)
+        sub_live[:k] = True
+        lab_s, ovf = fof_labels(
+            jnp.asarray(sub_pos), box_size, linking_length,
+            ncell=ncell, capacity=capacity, live=jnp.asarray(sub_live),
+            max_rounds=max_rounds, hook=hook)
+        lab_s = np.asarray(lab_s)[:k]
+        overflow_total += int(ovf)
+        g_arr.append(gids)
+        r_arr.append(gids[lab_s])            # subset root -> global id
+    g_all = np.concatenate(g_arr) if g_arr else np.zeros(0, np.int64)
+    r_all = np.concatenate(r_arr) if r_arr else np.zeros(0, np.int64)
+
+    # host stitch: min-label propagation over star edges + pointer jumps
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(64):
+        before = lab.copy()
+        np.minimum.at(lab, g_all, lab[r_all])
+        np.minimum.at(lab, r_all, lab[g_all])
+        for _ in range(4):                   # pointer jumping
+            lab = lab[lab]
+        if np.array_equal(lab, before):
+            break
+    lab = np.where(live_np, lab, np.arange(n))
+    return jnp.asarray(lab, jnp.int32), jnp.asarray(overflow_total,
+                                                    jnp.int32)

@@ -452,3 +452,58 @@ class TestPallasFofHook:
         # each full chain is one component (wraps periodically)
         assert np.unique(np.asarray(lb)[:npts]).size == 1
         assert np.unique(np.asarray(lb)[npts:2 * npts]).size == 1
+
+
+class TestSlabwiseFof:
+    """fof_labels_slabwise must reproduce global fof_labels exactly
+    (SURVEY section 7 hard part: FoF linking across shard boundaries;
+    the reference has no cross-rank FoF at all)."""
+
+    def _field(self):
+        rng = np.random.default_rng(3)
+        box, ll = 40.0, 0.2
+        c1 = rng.normal(10.0, 0.15, (300, 3))     # straddles x=10 cut
+        c2 = rng.normal(20.0, 0.15, (300, 3))     # straddles x=20 cut
+        chain = np.stack([29.0 + np.arange(12) * 0.18,
+                          np.full(12, 7.0), np.full(12, 7.0)], 1)
+        bg = rng.uniform(0, box, (2000, 3))
+        pos = np.concatenate([c1, c2, chain, bg]) % box
+        pos = np.concatenate([pos, np.zeros((40, 3))])
+        live = np.ones(len(pos), bool)
+        live[-40:] = False                          # dead padding
+        return (jnp.asarray(pos.astype(np.float32)), jnp.asarray(live),
+                box, ll)
+
+    def test_matches_global_labels_exactly(self):
+        pos, live, box, ll = self._field()
+        plan = hf.fof_plan(pos.shape[0], box, ll, positions=pos)
+        lab_g, o_g = hf.fof_labels(pos, box, ll, ncell=plan["ncell"],
+                                   capacity=plan["capacity"], live=live)
+        for n_slabs in (2, 4, 8):
+            lab_s, o_s = hf.fof_labels_slabwise(
+                pos, box, ll, n_slabs=n_slabs, ncell=plan["ncell"],
+                capacity=plan["capacity"], live=live)
+            np.testing.assert_array_equal(np.asarray(lab_g),
+                                          np.asarray(lab_s))
+            assert int(o_s) == 0 and int(o_g) == 0
+        # the boundary-crossing chain is one component either way
+        assert np.unique(np.asarray(lab_s)[600:612]).size == 1
+
+    def test_rejects_overlapping_ghost_layers(self):
+        pos, live, box, ll = self._field()
+        with pytest.raises(ValueError, match="slab width"):
+            hf.fof_labels_slabwise(pos, box, 0.2, n_slabs=256,
+                                   ncell=8, capacity=128, live=live)
+
+    def test_find_halos_n_slabs_route(self):
+        pos, vel, mass = make_clusters(jax.random.PRNGKey(21))
+        cat_g = hf.find_halos(pos, vel, mass, 100.0,
+                              linking_length_factor=0.3,
+                              min_particles=20)
+        cat_s = hf.find_halos(pos, vel, mass, 100.0,
+                              linking_length_factor=0.3,
+                              min_particles=20, n_slabs=4)
+        assert int(cat_s.num_halos) == int(cat_g.num_halos)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(cat_s.mass)[:3]),
+            np.sort(np.asarray(cat_g.mass)[:3]), rtol=1e-6)
