@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: fused bilinear field sampling for the ray tracer.
+
+`raytracing.lensing.bilinear_sample_matmul` expresses bilinear
+interpolation as two one-hot contractions so the MXU does the work
+(XLA gathers serialize at ~46 ns/element on TPU), but XLA materializes
+the intermediate t[F, R, ng] to HBM between the GEMM and the Wy
+reduction — ~400 MB of traffic per lens plane at the bench geometry
+(65k rays, ng=256, F=3), which dominates the tracer's step time.
+
+This kernel runs the same math per ray tile entirely in VMEM:
+
+    Wx[RT, ng] = one-hot rows (1-fx at ix, fx at ix+1)   (VPU build)
+    t = Wx @ fields_cat                                  (MXU, bf16x3)
+    out[tile, f] = sum_j t[:, f*ng:(f+1)*ng] * Wy        (VPU reduce)
+
+so the only HBM traffic is the rays in and samples out, and every
+field channel rides ONE GEMM (channels concatenated along lanes).
+Rays stay on sublanes end to end: xy arrives [RT, 2] and samples leave
+[RT, F], so the kernel needs no lane<->sublane relayouts (an earlier
+[2, RT] layout spent more time transposing than sampling).
+
+The GEMM runs as a manual bf16x3 split (hi/lo decomposition, three
+DEFAULT-precision passes): Mosaic's f32 dot (HIGHEST) costs 6 MXU
+passes and its DEFAULT single bf16 pass loses ~1e-2 absolute on O(1)
+fields; bf16x3 keeps f32-faithful samples at half the HIGHEST cost.
+
+Replaces the role of the reference's texture-unit interpolation in its
+planned raytracer (the reference shipped no raytracing code at all;
+capability defined by README.md:32 and BASELINE.json's lensing metric).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_RT = 2048   # rays per grid instance (sublane dim of the one-hot tiles);
+#              small tiles pay per-instance grid overhead (~1 ms/plane
+#              at RT=512), big ones trade VMEM: t is [RT, F*ng] f32
+
+
+def _dot_bf16x3(a, b):
+    """f32-faithful a @ b via three bf16 MXU passes. BOTH splits happen
+    in-kernel: XLA (outside Mosaic) folds `x - f32(bf16(x))` to zero
+    under its excess-precision simplification, silently dropping the
+    lo terms — splitting under Mosaic is the only safe place (same
+    lesson as ops/pallas_pm_rods._dot_f32)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (jax.lax.dot(a_hi, b_hi, **kw)
+            + (jax.lax.dot(a_hi, b_lo, **kw)
+               + jax.lax.dot(a_lo, b_hi, **kw)))
+
+
+def _lens_sample_kernel(xy_ref, fields_ref, out_ref, *, ng, n_fields):
+    """xy_ref [RT, 2] (positions pre-scaled to grid units = xy/extent*ng),
+    fields_ref [ng, F*ng] f32 (field stack, channels along lanes),
+    out_ref [RT, F]."""
+    rt = xy_ref.shape[0]
+    u = xy_ref[...] - 0.5                       # [RT, 2]
+    i0 = jnp.floor(u)
+    fr = u - i0                                 # in [0, 1)
+    i0i = i0.astype(jnp.int32)
+
+    ia_x = jnp.mod(i0i[:, 0:1], ng)             # [RT, 1] — no relayouts:
+    ia_y = jnp.mod(i0i[:, 1:2], ng)             # rays ride sublanes in
+    ib_x = jnp.mod(i0i[:, 0:1] + 1, ng)         # the input layout already
+    ib_y = jnp.mod(i0i[:, 1:2] + 1, ng)
+    fx = fr[:, 0:1]
+    fy = fr[:, 1:2]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rt, ng), 1)
+    wx = (jnp.where(iota == ia_x, 1.0 - fx, 0.0)
+          + jnp.where(iota == ib_x, fx, 0.0))   # [RT, ng]
+    wy = (jnp.where(iota == ia_y, 1.0 - fy, 0.0)
+          + jnp.where(iota == ib_y, fy, 0.0))
+
+    t = _dot_bf16x3(wx, fields_ref[...])              # [RT, F*ng]
+    for f in range(n_fields):
+        out_ref[:, f:f + 1] = jnp.sum(
+            t[:, f * ng:(f + 1) * ng] * wy, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_bilinear_sample(fields, xy, extent, *,
+                           interpret: bool = False):
+    """Periodic bilinear sampling of a [F, ng, ng] field stack at
+    xy [R, 2] points in [0, extent)^2 -> [F, R].
+
+    Drop-in for lensing.bilinear_sample_matmul's contraction (same
+    one-hot math, fused in VMEM). ng must be a multiple of 128 (lane
+    dim of the one-hot/GEMM tiles); R is padded to the ray tile
+    internally. `extent` may be a traced scalar.
+    """
+    n_fields, ng = fields.shape[0], fields.shape[-1]
+    if ng % 128:
+        raise ValueError(f"pallas_bilinear_sample needs ng % 128 == 0, "
+                         f"got {ng}")
+    r = xy.shape[0]
+    r_pad = ((r + _RT - 1) // _RT) * _RT
+    # pre-scale to grid units in XLA-land (extent may be traced)
+    xy_grid = (xy / extent * ng).astype(jnp.float32)
+    xyp = jnp.zeros((r_pad, 2), jnp.float32)
+    xyp = jax.lax.dynamic_update_slice(xyp, xy_grid, (0, 0))
+
+    # [F, ng, ng] -> [ng, F*ng]: channels side-by-side on lanes
+    fcat = jnp.concatenate(
+        [fields[f].astype(jnp.float32) for f in range(n_fields)], axis=1)
+
+    kernel = functools.partial(
+        _lens_sample_kernel, ng=ng, n_fields=n_fields)
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // _RT,),
+        in_specs=[
+            pl.BlockSpec((_RT, 2), lambda i: (i, 0)),
+            pl.BlockSpec((ng, n_fields * ng), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_RT, n_fields), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, n_fields), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xyp, fcat)
+    return out[:r].T

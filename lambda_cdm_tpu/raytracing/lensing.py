@@ -270,9 +270,15 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
         # comoving impact position on this plane (small-angle)
         xy = jnp.mod(theta * chi_l, box_size)
         # one MXU one-hot sampling for every field channel: XLA
-        # gathers serialize on TPU (~9 ms/plane at 65k rays; this is
-        # ~0.5 ms)
-        sampled = bilinear_sample_matmul(fields_l[idx], xy, box_size)
+        # gathers serialize on TPU (~9 ms/plane at 65k rays). On TPU
+        # the fused Pallas tile sampler avoids materializing the
+        # [F, R, ng] GEMM intermediate to HBM (~400 MB/plane at the
+        # bench geometry — the tracer's dominant cost).
+        if jax.default_backend() == "tpu" and ng % 128 == 0:
+            from ..ops.pallas_lens_sample import pallas_bilinear_sample
+            sampled = pallas_bilinear_sample(fields_l[idx], xy, box_size)
+        else:
+            sampled = bilinear_sample_matmul(fields_l[idx], xy, box_size)
         ax, ay, dl = sampled[0], sampled[1], sampled[2]
         # the potential u solves lap_x(u) = 2 kappa on the COMOVING grid;
         # the angular potential is psi(theta) = u(chi theta)/chi^2, so the
@@ -287,9 +293,17 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
             # d theta_{l+1}/d theta_0 = (I - U) A with
             # U_ij = d alpha_i/d x_j * chi_l / chi_l = psi_xx etc.
             uxx, uxy, uyy = sampled[3], sampled[4], sampled[5]
-            u = jnp.stack([jnp.stack([uxx, uxy], -1),
-                           jnp.stack([uxy, uyy], -1)], -2)   # [R, 2, 2]
-            amat = amat - jnp.einsum("rij,rjk->rik", u, amat)
+            # A <- (I - U) A, expanded to elementwise [R] arithmetic: a
+            # batched [R, 2, 2] einsum lowers to degenerate tiny-dim
+            # dots on TPU (measured ~2x the sampler GEMM at 65k rays)
+            a00, a01 = amat[:, 0, 0], amat[:, 0, 1]
+            a10, a11 = amat[:, 1, 0], amat[:, 1, 1]
+            n00 = a00 - (uxx * a00 + uxy * a10)
+            n01 = a01 - (uxx * a01 + uxy * a11)
+            n10 = a10 - (uxy * a00 + uyy * a10)
+            n11 = a11 - (uxy * a01 + uyy * a11)
+            amat = jnp.stack([jnp.stack([n00, n01], -1),
+                              jnp.stack([n10, n11], -1)], -2)
         return (theta, kap + dk, amat), None
 
     n_rays = theta0.shape[0]

@@ -150,7 +150,18 @@ class TestCompileCacheAndPallasProfiles:
             eng2.initialize()
             eng2.run(num_steps=4)   # loads compiled executables from disk
         finally:
+            # full teardown: resetting the config dir alone is not
+            # hermetic — jax holds a global cache object once
+            # initialized, and with min_compile_time_secs still 0.0
+            # every later compile in the suite kept writing into this
+            # test's tmp_path after pytest garbage-collected it
+            # (observed: segfault in put_executable_and_time mid-suite)
             _jax.config.update("jax_compilation_cache_dir", None)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc)
+            _cc.reset_cache()
 
     def test_compiled_engine_pallas_profile(self):
         """CompiledForceEngine over the production Pallas direct kernel

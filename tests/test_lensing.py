@@ -455,3 +455,50 @@ class TestRaytracedMaps:
                                    np.asarray(1.0 + 2.0 * m["kappa_jac"]),
                                    atol=0.05 * ks + 1e-7)
         assert float(jnp.max(jnp.abs(m["omega"]))) < 0.1 * ks
+
+
+class TestPallasSampler:
+    """ops/pallas_lens_sample: the fused ray-tile bilinear sampler that
+    trace_rays uses on TPU (CPU tests exercise interpret mode)."""
+
+    def _ref(self, fields, xy, ext):
+        from lambda_cdm_tpu.raytracing.lensing import bilinear_sample
+        return jnp.stack([bilinear_sample(fields[f], xy, ext)
+                          for f in range(fields.shape[0])])
+
+    def test_matches_gather_reference(self):
+        from lambda_cdm_tpu.ops.pallas_lens_sample import \
+            pallas_bilinear_sample
+        F, ng, R, ext = 3, 128, 700, 37.5
+        fields = jax.random.normal(jax.random.PRNGKey(0), (F, ng, ng))
+        xy = jax.random.uniform(jax.random.PRNGKey(1), (R, 2), maxval=ext)
+        got = pallas_bilinear_sample(fields, xy, ext, interpret=True)
+        ref = self._ref(fields, xy, ext)
+        # bf16x3 GEMM + f32 u-arithmetic: well under the 1e-3 maps bar
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_periodic_wrap_and_tile_padding(self):
+        """Points straddling the periodic edge + R not a multiple of the
+        ray tile (padding rows must not corrupt real outputs)."""
+        from lambda_cdm_tpu.ops.pallas_lens_sample import \
+            pallas_bilinear_sample
+        F, ng, ext = 2, 128, 50.0
+        fields = jax.random.normal(jax.random.PRNGKey(2), (F, ng, ng))
+        edge = jnp.array([[0.0, 0.0], [ext - 1e-3, ext - 1e-3],
+                          [0.01, ext - 0.01], [ext / 2, 0.0]])
+        xy = jnp.concatenate([
+            edge, jax.random.uniform(jax.random.PRNGKey(3), (29, 2),
+                                     maxval=ext)])
+        got = pallas_bilinear_sample(fields, xy, ext, interpret=True)
+        ref = self._ref(fields, xy, ext)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_rejects_unaligned_grid(self):
+        from lambda_cdm_tpu.ops.pallas_lens_sample import \
+            pallas_bilinear_sample
+        fields = jnp.zeros((1, 96, 96))
+        xy = jnp.zeros((8, 2))
+        with pytest.raises(ValueError, match="128"):
+            pallas_bilinear_sample(fields, xy, 10.0, interpret=True)
