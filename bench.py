@@ -195,11 +195,18 @@ def section_lensing(n, box):
                                 maxval=(box / 2000.0))
     f_rays = jax.jit(lambda t: trace_rays(
         params, planes, chis, a_l, 100.0, box, t, 2500.0, ng=ngl))
-    dt_rays = time_fn(f_rays, theta0)
+    dt_rays = time_fn(f_rays, theta0, reps=10)
     rays_per_s = n_rays / dt_rays
     log(f"lensing: {n_rays} rays x {n_planes} planes in "
         f"{dt_rays * 1e3:.1f} ms = {rays_per_s:.3e} rays/s")
-    return {"lensing_rays_per_s": round(rays_per_s, 1)}
+    f_jac = jax.jit(lambda t: trace_rays(
+        params, planes, chis, a_l, 100.0, box, t, 2500.0, ng=ngl,
+        jacobian=True))
+    dt_jac = time_fn(f_jac, theta0, reps=10)
+    log(f"lensing jacobian: {dt_jac * 1e3:.1f} ms = "
+        f"{n_rays / dt_jac:.3e} rays/s")
+    return {"lensing_rays_per_s": round(rays_per_s, 1),
+            "lensing_jacobian_rays_per_s": round(n_rays / dt_jac, 1)}
 
 
 def section_tenm(n, box):

@@ -23,6 +23,27 @@ streams neighbor data as contiguous z-rods:
 
 Replaces the role of the reference's shared-memory tree-walk force kernels
 (barnes_hut_tree.cu:280-338) at TPU-native efficiency.
+
+NOTE (round-2 close-out): vpu3 sits at this data structure's hardware
+floor on v5e; analyzed alternatives that do NOT pay off:
+  * Packed-j layouts (z-sorted per-rod arrays, per-cell offsets): any
+    per-cell j access quantizes to 128 lanes (lane slices must be
+    128-aligned, dynamic or static), so a static window capacity must
+    cover the worst (rod, z) window + 128 alignment slack — measured
+    against the numbers, slots/live-i lands within ~5% of the current
+    27*cap scheme at every occupancy tried (72/128 bench, 24/128 at
+    100k, 57/128 at 10M). The pair-slot floor is N * 27 * 128 for any
+    geometry with cap=128; vpu3 runs ~11% above it (i-chunk padding).
+  * MXU Gram-matrix r^2: cancellation error eps*|x|^2/r^2 with
+    cell-magnitude coordinates reaches ~4e-3 on sub-softening pairs —
+    above the 1e-3 force-accuracy bar (same conclusion as the direct
+    kernel's NOTE, which has box-magnitude coordinates and is far
+    worse).
+  * Newton's-3rd-law cell-pair halving: only the 3/27 center-rod share
+    is exploitable inside one sequential grid instance (cross-instance
+    accumulation would race); <4% upside.
+  * Lower-degree split polynomial: degree 8 costs 2 of ~31 VPU
+    ops/pair but raises the S-error 25x (1.4e-3); not worth it.
 """
 
 from __future__ import annotations
