@@ -360,6 +360,8 @@ def main():
         "direct100k_ms": extras.get("direct100k_ms"),
         "treepm100k_ms_per_step": extras.get("treepm100k_ms_per_step"),
         "lensing_rays_per_s": extras.get("lensing_rays_per_s"),
+        "lensing_jacobian_rays_per_s": extras.get(
+            "lensing_jacobian_rays_per_s"),
         "tenm_ms_per_step": extras.get("tenm_ms_per_step"),
     }
     print(json.dumps(result), flush=True)

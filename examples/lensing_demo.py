@@ -52,11 +52,18 @@ def main():
         jnp.linspace(0.2, 0.8, 16) * box / chis[0],
         indexing="ij"), -1).reshape(-1, 2)
     bundle = lz.trace_rays(params, planes, chis, a_l, d_chi, box, th,
-                           chi_s, ng=64)
+                           chi_s, ng=64, jacobian=True)
     defl = jnp.sqrt(jnp.sum((bundle.theta - th) ** 2, -1))
     print(f"traced {th.shape[0]} rays through 8 planes: "
           f"mean |deflection| = {float(jnp.mean(defl)):.3e} rad, "
           f"ray kappa rms = {float(jnp.std(bundle.kappa)):.3e}")
+    # distortion Jacobians propagated through the planes (post-Born):
+    # ray-traced shear/magnification, and the image rotation omega that
+    # vanishes identically in any Born treatment
+    print(f"ray-traced shear rms = "
+          f"{float(jnp.sqrt(jnp.mean(jnp.sum(bundle.gamma**2, -1)))):.3e}, "
+          f"mu rms-1 = {float(jnp.std(bundle.mu)):.3e}, "
+          f"omega rms = {float(jnp.std(bundle.omega)):.3e}")
 
 
 if __name__ == "__main__":
