@@ -46,6 +46,12 @@ class HaloCatalog:
     angular_momentum: jax.Array   # [H, 3]
     spin: jax.Array               # [H] Peebles spin parameter
     particle_label: jax.Array     # [N] halo id per particle (-1 = field)
+    # [] int32: live particles NOT represented in the windowed
+    # SO/vmax/L profiles because a window cell exceeded the supplied
+    # capacity (0 on the exact path, and whenever the window came from
+    # catalog_window_plan on the same positions). Per the repo rule,
+    # drops are counted, never silent.
+    profile_dropped: jax.Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -231,8 +237,11 @@ def _fof_round(lab_p, bxyz, occupied, counts, pslot, *, box_size: float,
     lab1 = jnp.where(pslot >= 0,
                      jnp.minimum(lab_p, hooked[safe_slot]), lab_p)
     lab2, changed = _fof_compress(lab1, lab_p)
-    # the jnp lattice hook has no skipping; keep the interface uniform
-    return lab2, changed, _active_next(lab2)
+    # the jnp lattice hook has no skipping, so the dilated changed-cell
+    # mask has no consumer on this path -- pass the incoming mask
+    # through unchanged rather than paying a full-lattice scatter +
+    # 27-dilation per round that XLA cannot DCE (it is an output)
+    return lab2, changed, active
 
 
 def _fof_compress(lab1, lab_prev):
@@ -456,6 +465,19 @@ def _occupancy_pyramid(positions, live, box_size, nf: int, caps: tuple):
 # Halo catalog
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("box",))
+def _window_occupancy(pos, lv, box):
+    """Pooled live-cell occupancy maxima at nc = 32/16/8 (one pass)."""
+    cell = jnp.clip(jnp.floor(pos / box * 32).astype(jnp.int32), 0, 31)
+    cid = (cell[:, 0] * 32 + cell[:, 1]) * 32 + cell[:, 2]
+    c32 = jnp.zeros((32 ** 3,), jnp.int32).at[cid].add(
+        jnp.where(lv, 1, 0))
+    c32 = c32.reshape(32, 32, 32)
+    c16 = c32.reshape(16, 2, 16, 2, 16, 2).sum((1, 3, 5))
+    c8 = c16.reshape(8, 2, 8, 2, 8, 2).sum((1, 3, 5))
+    return jnp.max(c32), jnp.max(c16), jnp.max(c8)
+
+
 def catalog_window_plan(positions, box_size, *, live=None, r_max=None,
                         mem_budget_mb: int = 768):
     """Host-side plan for catalog_from_labels' windowed profiles:
@@ -470,21 +492,10 @@ def catalog_window_plan(positions, box_size, *, live=None, r_max=None,
     if r_max is None:
         r_max = 0.1 * box
     n = positions.shape[0]
-
-    @jax.jit
-    def occupancy(pos, lv):
-        cell = jnp.clip(jnp.floor(pos / box * 32).astype(jnp.int32),
-                        0, 31)
-        cid = (cell[:, 0] * 32 + cell[:, 1]) * 32 + cell[:, 2]
-        c32 = jnp.zeros((32 ** 3,), jnp.int32).at[cid].add(
-            jnp.where(lv, 1, 0))
-        c32 = c32.reshape(32, 32, 32)
-        c16 = c32.reshape(16, 2, 16, 2, 16, 2).sum((1, 3, 5))
-        c8 = c16.reshape(8, 2, 8, 2, 8, 2).sum((1, 3, 5))
-        return jnp.max(c32), jnp.max(c16), jnp.max(c8)
-
     lv = jnp.ones((n,), bool) if live is None else live
-    m32, m16, m8 = (int(x) for x in occupancy(positions, lv))
+    # module-level jit: a per-call closure would re-trace + re-compile
+    # the occupancy pass on every catalog/find_halos invocation
+    m32, m16, m8 = (int(x) for x in _window_occupancy(positions, lv, box))
     best = None
     for nc, mx in ((32, m32), (16, m16), (8, m8)):
         pad = int(math.ceil(r_max * nc / box))
@@ -549,7 +560,19 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
         m_s[:, None] * jnp.sin(theta_s),
         m_s[:, None] * velocities[order],
     ], axis=1)                             # [N, 10]
-    cum = jnp.cumsum(chan, axis=0)
+    # SEGMENTED cumsum (resets at run starts): a plain global cumsum
+    # quantizes every per-group difference at ulp(global prefix) --
+    # ~ulp(1e7) = 1.0 in f32 at 10M unit masses, i.e. several-% errors
+    # on min_particles-sized halos. Keeping accumulation within each
+    # run bounds the error by ulp(group sum), matching the old
+    # segment_sum precision at sort+scan cost (no scatters).
+
+    def _seg_combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf[:, None], bv, av + bv), af | bf
+
+    cum, _ = jax.lax.associative_scan(_seg_combine, (chan, is_start))
 
     # rank halos by particle count (one candidate per group: its start)
     score = jnp.where(is_start & (counts_row >= min_particles),
@@ -564,8 +587,9 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
 
     sel_safe = jnp.where(valid, sel, 0)
     top_roots = lab_s[sel_safe]
-    run_sum = cum[last[sel_safe]] - jnp.where(
-        (sel_safe > 0)[:, None], cum[jnp.maximum(sel_safe - 1, 0)], 0.0)
+    # the segmented cumsum restarts at each run, so its value at the
+    # run's last row IS the group sum
+    run_sum = cum[last[sel_safe]]
     msum_h, cx_h, sx_h, vsum_h = (run_sum[:, 0], run_sum[:, 1:4],
                                   run_sum[:, 4:7], run_sum[:, 7:10])
     ang = jnp.arctan2(sx_h, cx_h)
@@ -653,7 +677,7 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
         nc_w, cap_w, p_w = window
         w_sz = 2 * p_w + 1
         cell_w = box_size / nc_w
-        src, _, _, _, _ = bucket_src_map(
+        src, _, _, _, w_overflow = bucket_src_map(
             positions, jnp.where(masses > 0, 1.0, 0.0).astype(
                 positions.dtype), box_size, ncell=nc_w, capacity=cap_w)
 
@@ -694,11 +718,14 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
             return profile_tail(hist, d, rel_v, w_mass,
                                 (pl_w == idx) & live_w)
 
-        return halo_profile_w
+        return halo_profile_w, w_overflow
 
+    if window is not None:
+        profile_fn, prof_dropped = make_windowed_profile()
+    else:
+        profile_fn, prof_dropped = halo_profile, jnp.int32(0)
     r_delta, m_delta, v_max, ell = jax.lax.map(
-        make_windowed_profile() if window is not None else halo_profile,
-        jnp.arange(max_halos))
+        profile_fn, jnp.arange(max_halos))
     r_delta = jnp.where(valid, r_delta, 0.0)
     v_max = jnp.where(valid, v_max, 0.0)
     ell = jnp.where(valid[:, None], ell, 0.0)
@@ -720,7 +747,8 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
         center=h_com, velocity=h_vel, mass=h_mass,
         radius=r_delta, v_max=v_max,
         angular_momentum=ell, spin=spin,
-        particle_label=plabel)
+        particle_label=plabel,
+        profile_dropped=jnp.asarray(prof_dropped, jnp.int32))
 
 
 def find_halos(positions, velocities, masses, box_size, *,
@@ -752,10 +780,19 @@ def find_halos(positions, velocities, masses, box_size, *,
             capacity=plan["capacity"], live=masses > 0)
     window = (catalog_window_plan(positions, box_size, live=masses > 0)
               if n >= 200_000 else None)
-    return catalog_from_labels(
+    cat = catalog_from_labels(
         positions, velocities, masses, labels, box_size,
         max_halos=max_halos, min_particles=min_particles,
         overdensity=overdensity, g_const=g_const, window=window)
+    if cat.profile_dropped is not None and int(cat.profile_dropped) > 0:
+        # cannot happen when the window was planned on these positions
+        # (capacity = true max occupancy); guards stale/hand-built plans
+        import logging
+        logging.getLogger("lambda_cdm_tpu").warning(
+            "halo catalog: %d particles exceeded the profile window "
+            "capacity and are missing from SO/vmax/L profiles",
+            int(cat.profile_dropped))
+    return cat
 
 
 def mass_function(catalog: HaloCatalog, box_size, num_bins: int = 16,

@@ -51,7 +51,12 @@ class SimulationStatistics:
     total_steps: int = 0
     total_time_s: float = 0.0
     compile_time_s: float = 0.0
-    force_time_s: float = 0.0          # populated in detailed-timing mode
+    compute_time_s: float = 0.0        # stepping wall time, always exact
+    # force/integration split: populated ONLY in detailed-timing mode
+    # (the KDK chunk is one fused XLA program; the split is attributed
+    # from a standalone force-eval measurement). Both stay 0 otherwise
+    # rather than misreporting the whole chunk as force time.
+    force_time_s: float = 0.0
     integration_time_s: float = 0.0
     analysis_time_s: float = 0.0
     io_time_s: float = 0.0
@@ -60,9 +65,12 @@ class SimulationStatistics:
     current_scale_factor: float = 0.0
     current_redshift: float = 0.0
     energy_error: float = 0.0
-    # populated by validate_force_accuracy (validation.validate_forces)
-    force_avg_rel_err: float = 0.0
-    force_max_rel_err: float = 0.0
+    # populated by validate_force_accuracy (validation.validate_forces):
+    # SCALE-NORMALIZED errors |a_solver - a_direct| / rms(|a_direct|)
+    # (the repo-wide solver metric; per-target relative errors are in
+    # the method's return dict under avg_rel_err/max_rel_err)
+    force_avg_err: float = 0.0
+    force_max_err: float = 0.0
 
     def to_dict(self) -> dict:
         return dict(self.__dict__)
@@ -255,8 +263,8 @@ class SimulationEngine:
                   "avg_rel_err": float(jnp.mean(rel)),
                   "max_rel_err": float(jnp.max(rel)),
                   "n_sample": k, "solver": solver_name}
-        self.statistics.force_avg_rel_err = result["avg_err"]
-        self.statistics.force_max_rel_err = result["max_err"]
+        self.statistics.force_avg_err = result["avg_err"]
+        self.statistics.force_max_err = result["max_err"]
         import logging
         logger = logging.getLogger("lambda_cdm_tpu")
         if result["avg_err"] > cfg.validation.force_tolerance:
@@ -839,7 +847,8 @@ class SimulationEngine:
         the run loop then attributes min(chunk_time, n * t_force) of
         each chunk's wall time to force_time_s and the remainder to
         integration_time_s."""
-        if getattr(self, "_force_eval_s", None) is not None:
+        if (getattr(self, "_force_eval_s", None) is not None
+                or getattr(self, "_force_frac_failed", False)):
             return
         try:
             if self._fstate is not None:
@@ -861,6 +870,7 @@ class SimulationEngine:
             self._force_eval_s = time.perf_counter() - t0
         except Exception:  # noqa: BLE001 -- diagnostics must not kill runs
             self._force_eval_s = None
+            self._force_frac_failed = True   # don't re-fail every run()
 
     def run(self, num_steps: int | None = None) -> SimState:
         """Main loop (reference: SimulationEngine::run,
@@ -919,10 +929,9 @@ class SimulationEngine:
                 # is attributed via the fraction measured once at the
                 # start of run() in detailed-timing mode)
                 dt_chunk = time.perf_counter() - t_chunk0
+                self.statistics.compute_time_s += dt_chunk
                 t_force = getattr(self, "_force_eval_s", None)
-                if t_force is None:
-                    self.statistics.force_time_s += dt_chunk
-                else:
+                if t_force is not None:
                     f_share = min(dt_chunk, n * t_force)
                     self.statistics.force_time_s += f_share
                     self.statistics.integration_time_s += \

@@ -265,7 +265,11 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
     fields_l = jax.vmap(plane_fields)(delta_planes, chi_planes, a_planes)
 
     def step(carry, idx):
-        theta, kap, amat = carry
+        # the [R, 2, 2] distortion carry exists only in jacobian mode:
+        # scan carries are materialized every step and cannot be DCE'd,
+        # so threading an unused A through a plain trace would cost
+        # ~32 B/ray/plane of loop-state traffic for nothing
+        theta, kap, amat = carry if jacobian else (*carry, None)
         chi_l = chi_planes[idx]
         # comoving impact position on this plane (small-angle)
         xy = jnp.mod(theta * chi_l, box_size)
@@ -304,13 +308,18 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
             n11 = a11 - (uxy * a01 + uyy * a11)
             amat = jnp.stack([jnp.stack([n00, n01], -1),
                               jnp.stack([n10, n11], -1)], -2)
-        return (theta, kap + dk, amat), None
+            return (theta, kap + dk, amat), None
+        return (theta, kap + dk), None
 
     n_rays = theta0.shape[0]
     kap0 = jnp.zeros(n_rays)
-    a0 = jnp.broadcast_to(jnp.eye(2), (n_rays, 2, 2))
-    (theta_f, kap, amat), _ = jax.lax.scan(step, (theta0, kap0, a0),
-                                           jnp.arange(n_planes))
+    if jacobian:
+        a0 = jnp.broadcast_to(jnp.eye(2), (n_rays, 2, 2))
+        (theta_f, kap, amat), _ = jax.lax.scan(
+            step, (theta0, kap0, a0), jnp.arange(n_planes))
+    else:
+        (theta_f, kap), _ = jax.lax.scan(step, (theta0, kap0),
+                                         jnp.arange(n_planes))
     beta = theta_f * chi_source
     if not jacobian:
         return RayBundle(theta=theta_f, beta=beta, kappa=kap)

@@ -507,3 +507,48 @@ class TestSlabwiseFof:
         np.testing.assert_allclose(
             np.sort(np.asarray(cat_s.mass)[:3]),
             np.sort(np.asarray(cat_g.mass)[:3]), rtol=1e-6)
+
+
+class TestCatalogNumerics:
+    def test_group_sums_immune_to_global_prefix_magnitude(self):
+        """Per-halo sums must carry ulp(group sum) rounding, not
+        ulp(global prefix): a plain f32 cumsum difference would give a
+        20-particle halo behind a 16.7M-mass prefix ~10% mass error
+        (the segmented scan keeps it exact)."""
+        n_big, n_small = 1024, 20
+        n = n_big + n_small
+        # group A: 1024 particles of mass 16384 -> sum 2^24 (f32 ulp 2
+        # beyond it); group B: 20 particles of mass 1.0 sorted after A
+        mass = jnp.concatenate([jnp.full((n_big,), 16384.0),
+                                jnp.ones((n_small,))])
+        lab = jnp.concatenate([
+            jnp.zeros((n_big,), jnp.int32),
+            jnp.full((n_small,), n_big, jnp.int32)])
+        key = jax.random.PRNGKey(0)
+        pos = jnp.concatenate([
+            20.0 + jax.random.uniform(key, (n_big, 3)),
+            70.0 + jax.random.uniform(jax.random.PRNGKey(1),
+                                      (n_small, 3))])
+        cat = hf.catalog_from_labels(pos, jnp.zeros((n, 3)), mass, lab,
+                                     100.0, max_halos=4)
+        assert int(cat.num_halos) == 2
+        masses = np.sort(np.asarray(cat.mass)[:2])
+        np.testing.assert_allclose(masses[0], 20.0, rtol=1e-6)
+        np.testing.assert_allclose(masses[1], 1024 * 16384.0, rtol=1e-6)
+
+    def test_window_overflow_counted_not_silent(self):
+        """A stale/undersized window capacity must surface in
+        profile_dropped (CLAUDE.md: drops are counted, never silent)."""
+        n = 300
+        pos = 50.0 + 0.1 * jax.random.uniform(jax.random.PRNGKey(2),
+                                              (n, 3))
+        mass = jnp.ones((n,))
+        lab = jnp.zeros((n,), jnp.int32)
+        vel = jnp.zeros((n, 3))
+        # all 300 particles in one cell; capacity 128 drops 172
+        cat = hf.catalog_from_labels(pos, vel, mass, lab, 100.0,
+                                     max_halos=4, window=(8, 128, 1))
+        assert int(cat.profile_dropped) == n - 128
+        exact = hf.catalog_from_labels(pos, vel, mass, lab, 100.0,
+                                       max_halos=4)
+        assert int(exact.profile_dropped) == 0
