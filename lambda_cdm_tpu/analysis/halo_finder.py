@@ -50,8 +50,12 @@ class HaloCatalog:
     # SO/vmax/L profiles because a window cell exceeded the supplied
     # capacity (0 on the exact path, and whenever the window came from
     # catalog_window_plan on the same positions). Per the repo rule,
-    # drops are counted, never silent.
-    profile_dropped: jax.Array = None
+    # drops are counted, never silent. default_factory (not None): a
+    # None default would flatten to an empty subtree, giving catalogs a
+    # population-dependent treedef that breaks tree_map/lax.cond
+    # structure matching.
+    profile_dropped: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 # ---------------------------------------------------------------------------

@@ -73,7 +73,13 @@ class SimulationStatistics:
     force_max_err: float = 0.0
 
     def to_dict(self) -> dict:
-        return dict(self.__dict__)
+        d = dict(self.__dict__)
+        # deprecated aliases: rounds 1-2 exposed the scale-normalized
+        # force errors as *_rel_err; keep old keys so external consumers
+        # keyed on them read the same values instead of silent zeros
+        d["force_avg_rel_err"] = self.force_avg_err
+        d["force_max_rel_err"] = self.force_max_err
+        return d
 
 
 class SimulationEngine:
