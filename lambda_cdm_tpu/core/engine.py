@@ -453,24 +453,50 @@ class SimulationEngine:
         # so rows must live on their owning slab from step one (ring/PM
         # solvers are ownership-agnostic but migration is harmless there)
         self._state = state
+        self._mesh_bounds = None
+        if (cfg.compute.mesh.load_balancing
+                and solver in ("direct", "direct_reference", "pm")):
+            # ownership-agnostic solvers: home with load-adaptive bounds
+            # from step one — a heavy cluster may simply not FIT a uniform
+            # slab/block's row budget, so a trigger that waits for row
+            # imbalance never engages (migration fails, rows stay put)
+            self._mesh_bounds = self._adaptive_bounds()
         self._mesh_migrate()
         return self._state
 
+    def _adaptive_bounds(self):
+        """Equal-load partition bounds for the current mesh topology."""
+        from ..parallel.exchange import (adaptive_bounds_nd,
+                                         adaptive_slab_bounds)
+        ax = getattr(self, "_mesh_axis", "shard")
+        st = self._state
+        box = self.config.particles.box_size
+        if isinstance(ax, tuple):
+            dims = tuple(int(self._mesh.shape[a]) for a in ax)
+            return adaptive_bounds_nd(st.positions, st.masses, dims, box)
+        n_dev = 1
+        for v in self._mesh.shape.values():
+            n_dev *= int(v)
+        return adaptive_slab_bounds(st.positions, st.masses, n_dev, box)
+
     def _mesh_migrate(self) -> None:
-        """Re-home particles to their owning slabs (run between chunks).
+        """Re-home particles to their owning slabs/blocks (run between
+        chunks).
 
         Emigrant-only exchange (buffers O(migrate_fraction * n_loc), the
         scalable design) with grow-and-retry on overflow: an overflowed
         result is discarded and the exchange reruns from the original
         state with doubled capacity. For ownership-agnostic solvers
-        (ring direct / GSPMD PM) a load imbalance beyond
-        compute.mesh.rebalance_threshold triggers adaptive slab bounds
-        (the reference's LoadBalancer rebalance, cluster_comm.cpp:314-349);
-        the halo TreePM needs cell-plane-aligned uniform slabs, so it
-        keeps uniform bounds and absorbs imbalance with capacity headroom.
+        (ring direct / GSPMD PM) the engine homes against persistent
+        load-adaptive bounds — 1D slab planes or hierarchical 3D bricks
+        (adaptive_bounds_nd) — recomputed when live-count imbalance
+        exceeds compute.mesh.rebalance_threshold (the reference's
+        LoadBalancer rebalance, cluster_comm.cpp:314-349 +
+        domain_decomposition.cpp:114-264); the halo TreePM needs
+        cell-plane-aligned uniform slabs, so it keeps uniform bounds and
+        absorbs imbalance with capacity headroom.
         """
-        from ..parallel.exchange import (adaptive_slab_bounds,
-                                         load_imbalance,
+        from ..parallel.exchange import (load_imbalance,
                                          migrate_particles_emigrant)
         cfg = self.config
         st = self._state
@@ -481,15 +507,15 @@ class SimulationEngine:
         n_loc = st.positions.shape[0] // n_dev
         box = cfg.particles.box_size
 
-        bounds = None
+        bounds = getattr(self, "_mesh_bounds", None)
         if (cfg.compute.mesh.load_balancing
-                and not isinstance(ax, tuple)   # adaptive bounds: 1D only
                 and self._mesh_solver in ("direct", "direct_reference",
                                           "pm")):
-            imb = float(load_imbalance(st.masses, mesh=self._mesh))
+            imb = float(load_imbalance(st.masses, mesh=self._mesh,
+                                       axis_name=ax))
             if imb > cfg.compute.mesh.rebalance_threshold:
-                bounds = adaptive_slab_bounds(
-                    st.positions, st.masses, n_dev, box)
+                bounds = self._adaptive_bounds()
+                self._mesh_bounds = bounds
 
         cap = max(128, int(cfg.compute.mesh.migrate_fraction * n_loc))
         cap = min(cap, n_loc)

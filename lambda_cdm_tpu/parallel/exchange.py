@@ -59,17 +59,38 @@ def find_owner(positions, box_size, n_dev: int, bounds=None):
     return jnp.clip(d.astype(jnp.int32), 0, n_dev - 1)
 
 
-def find_owner_3d(positions, box_size, dims: tuple[int, int, int]):
+def find_owner_3d(positions, box_size, dims: tuple[int, int, int],
+                  bounds=None):
     """Owning flat device id for a 3D block decomposition: device (i,j,k)
     of a row-major (dx, dy, dz) mesh owns the box block
     [i,i+1)x[j,j+1)x[k,k+1) * box/dims. Matches make_mesh3d's device
-    order (and lax.axis_index over the 3-axis tuple)."""
-    ids = []
-    for a in range(3):
-        d = jnp.floor(positions[:, a] / box_size * dims[a]).astype(
-            jnp.int32)
-        ids.append(jnp.clip(d, 0, dims[a] - 1))
-    return (ids[0] * dims[1] + ids[1]) * dims[2] + ids[2]
+    order (and lax.axis_index over the 3-axis tuple).
+
+    With `bounds` = (bx [dx+1], by [dx, dy+1], bz [dx, dy, dz+1]) from
+    adaptive_bounds_nd, blocks are the hierarchical non-uniform bricks
+    instead (x planes, then per-x-slab y planes, then per-(x,y)-block z
+    planes) -- the load-adaptive analogue of the reference's Morton
+    greedy cell assignment (domain_decomposition.cpp:114-264)."""
+    if bounds is None:
+        ids = []
+        for a in range(3):
+            d = jnp.floor(positions[:, a] / box_size * dims[a]).astype(
+                jnp.int32)
+            ids.append(jnp.clip(d, 0, dims[a] - 1))
+        return (ids[0] * dims[1] + ids[1]) * dims[2] + ids[2]
+    bx, by, bz = bounds
+    ix = jnp.clip(jnp.searchsorted(bx[1:-1], positions[:, 0],
+                                   side="right").astype(jnp.int32),
+                  0, dims[0] - 1)
+    byr = by[ix]                                   # [n, dy+1]
+    iy = jnp.sum(positions[:, 1][:, None] >= byr[:, 1:-1],
+                 axis=1).astype(jnp.int32)
+    iy = jnp.clip(iy, 0, dims[1] - 1)
+    bzr = bz[ix, iy]                               # [n, dz+1]
+    iz = jnp.sum(positions[:, 2][:, None] >= bzr[:, 1:-1],
+                 axis=1).astype(jnp.int32)
+    iz = jnp.clip(iz, 0, dims[2] - 1)
+    return (ix * dims[1] + iy) * dims[2] + iz
 
 
 def adaptive_slab_bounds(positions, masses, n_dev: int, box_size, *,
@@ -94,16 +115,79 @@ def adaptive_slab_bounds(positions, masses, n_dev: int, box_size, *,
                             jnp.full((1,), box_size)])
 
 
+@partial(jax.jit, static_argnames=("dims", "box_size", "resolution"))
+def adaptive_bounds_nd(positions, masses, dims: tuple[int, int, int],
+                       box_size, *, resolution: int = 256):
+    """Hierarchical equal-load brick bounds for a (dx, dy, dz) block mesh.
+
+    Recursive conditional splits -- x planes from the x marginal, then
+    per-x-slab y planes, then per-(x,y)-block z planes -- so arbitrary
+    3D clustering (not just product distributions) balances, the same
+    capability as the reference's Morton-greedy cell-to-rank assignment
+    (domain_decomposition.cpp:114-264). Returns (bx [dx+1],
+    by [dx, dy+1], bz [dx, dy, dz+1]) consumed by find_owner_3d.
+    """
+    dx, dy, dz = dims
+    live = masses > 0
+    w = jnp.where(live, 1.0, 0.0)
+    R = resolution
+    step = box_size / R
+
+    def axbin(a):
+        return jnp.clip((positions[:, a] / box_size * R).astype(
+            jnp.int32), 0, R - 1)
+
+    def equal_cuts(hist, n_parts):
+        """hist [..., R] -> bounds [..., n_parts+1] splitting each row's
+        mass into n_parts near-equal contiguous chunks, with linear
+        interpolation inside the boundary bin (a whole-bin cut can
+        misassign an entire peak bin on tightly clustered data)."""
+        cum = jnp.cumsum(hist, axis=-1)
+        total = cum[..., -1:]
+        targets = total * (jnp.arange(1, n_parts) / n_parts)
+        cnt = jnp.sum(cum[..., None, :] < targets[..., :, None],
+                      axis=-1)                          # [..., n_parts-1]
+        cum_pad = jnp.concatenate(
+            [jnp.zeros(hist.shape[:-1] + (1,)), cum], axis=-1)
+        before = jnp.take_along_axis(cum_pad, cnt, axis=-1)
+        h = jnp.take_along_axis(hist, jnp.minimum(cnt, R - 1), axis=-1)
+        frac = jnp.clip((targets - before) / jnp.maximum(h, 1e-30),
+                        0.0, 1.0)
+        inner = (cnt.astype(jnp.float32) + frac) * step
+        shape = hist.shape[:-1]
+        return jnp.concatenate(
+            [jnp.zeros(shape + (1,)), inner,
+             jnp.full(shape + (1,), box_size)], axis=-1)
+
+    xb, yb, zb = axbin(0), axbin(1), axbin(2)
+    bx = equal_cuts(jax.ops.segment_sum(w, xb, num_segments=R), dx)
+
+    ix = jnp.clip(jnp.searchsorted(bx[1:-1], positions[:, 0],
+                                   side="right").astype(jnp.int32),
+                  0, dx - 1)
+    hy = jax.ops.segment_sum(w, ix * R + yb,
+                             num_segments=dx * R).reshape(dx, R)
+    by = equal_cuts(hy, dy)
+
+    byr = by[ix]
+    iy = jnp.clip(jnp.sum(positions[:, 1][:, None] >= byr[:, 1:-1],
+                          axis=1).astype(jnp.int32), 0, dy - 1)
+    hz = jax.ops.segment_sum(w, (ix * dy + iy) * R + zb,
+                             num_segments=dx * dy * R).reshape(dx, dy, R)
+    bz = equal_cuts(hz, dz)
+    return bx, by, bz
+
+
 
 
 def _owner_of(pos, mass, box_size, mesh, axis_name, bounds, my_id):
     """Owner per particle: 1D slabs (str axis) or 3D blocks (3-tuple
-    axis, row-major device order). Dead rows stay home."""
+    axis, row-major device order). Dead rows stay home. `bounds` selects
+    adaptive partitions: [n_dev+1] slab planes (1D) or the
+    adaptive_bounds_nd (bx, by, bz) brick tuple (3D)."""
     if isinstance(axis_name, tuple):
-        if bounds is not None:
-            raise ValueError("adaptive bounds are 1D-slab only")
         dims = tuple(mesh.shape[a] for a in axis_name)
-        owner = find_owner_3d(pos, box_size, dims)
+        owner = find_owner_3d(pos, box_size, dims, bounds=bounds)
     else:
         owner = find_owner(pos, box_size, _axis_size(mesh, axis_name),
                            bounds=bounds)
