@@ -381,6 +381,246 @@ def _short_kernel_mxu(pts_hbm, out_ref, *, nc, cap, box_size, rs,
     )
 
 
+def _short_kernel_v4(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
+                     rs, softening2, ch):
+    """Paired-z-cell variant: TWO z-cells of capacity 64 share each
+    128-lane row, so the assembled j row covers the 3-cell z window with
+    2 paired rows = 18 lane-tiles instead of vpu3's 27 -- a 1.5x cut of
+    the N*27*128 pair-slot floor that the module NOTE declared for
+    cap=128 layouts (the premise this variant removes: a cap-64 cell no
+    longer owns a whole 128-lane row). Addresses stay fully static: the
+    z sweep is Python-unrolled and paired-row indices (zc+-1)>>1 are
+    compile-time; i comes from the cell's 64-lane half-row.
+
+    Layout: pts [4, nc^2, nc/2, 128] = the standard [C, 64] bucket
+    arrays reshaped (cell (cx,cy,cz) occupies lanes (cz&1)*64..+64 of
+    paired row cz>>1). Requires nc % 2 == 0 and capacity == 64.
+    """
+    i = pl.program_id(0)
+    cx = i // nc
+    cy = i % nc
+    nrow = nc // 2
+    h_lo, h_hi = nrow, nrow + 1     # halo rows: cells (-2,-1), (nc,nc+1)
+    chq, v_scale, c1 = _poly_even_coeffs(rs)
+
+    def body(rods, jrow, icol, accc, sem):
+        dmas = []
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                dmas.append(pltpu.make_async_copy(
+                    pts_hbm.at[:, r_id], rods.at[idx, :, pl.ds(0, nrow)],
+                    sem.at[idx]))
+                idx += 1
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                # z halos are periodic wraps within the rod: register
+                # copies + one-time z shift (cf. vpu3's halo planes)
+                rods[idx, :, h_lo:h_lo + 1, :] = \
+                    rods[idx, :, nrow - 1:nrow, :]
+                rods[idx, :, h_hi:h_hi + 1, :] = rods[idx, :, 0:1, :]
+                rods[idx, 2, h_lo:h_lo + 1, :] = \
+                    rods[idx, 2, h_lo:h_lo + 1, :] - box_size
+                rods[idx, 2, h_hi:h_hi + 1, :] = \
+                    rods[idx, 2, h_hi:h_hi + 1, :] + box_size
+                shift_x = jnp.where(cx + dx < 0, -box_size,
+                                    jnp.where(cx + dx >= nc, box_size, 0.0))
+                shift_y = jnp.where(cy + dy < 0, -box_size,
+                                    jnp.where(cy + dy >= nc, box_size, 0.0))
+                rods[idx, 0] = rods[idx, 0] + shift_x
+                rods[idx, 1] = rods[idx, 1] + shift_y
+                idx += 1
+
+        for zc in range(nc):
+            # the 3-cell j window {zc-1, zc, zc+1} lives in 2 paired rows
+            r_lo = h_lo if zc == 0 else (zc - 1) >> 1
+            r_hi = h_hi if zc == nc - 1 else (zc + 1) >> 1
+            for r in range(9):
+                for p, zr in enumerate((r_lo, r_hi)):
+                    off = (r * 2 + p) * 128
+                    for comp in range(3):
+                        jrow[comp:comp + 1, off:off + 128] = \
+                            rods[r, comp, zr:zr + 1, :]
+                    jrow[3:4, off:off + 128] = \
+                        rods[r, 3, zr:zr + 1, :] * c1
+            half = (zc & 1) * cap
+            icol[0, :, :] = jnp.transpose(
+                rods[4, 0, zc >> 1:(zc >> 1) + 1, half:half + cap])
+            icol[1, :, :] = jnp.transpose(
+                rods[4, 1, zc >> 1:(zc >> 1) + 1, half:half + cap])
+            icol[2, :, :] = jnp.transpose(
+                rods[4, 2, zc >> 1:(zc >> 1) + 1, half:half + cap])
+            accc[...] = jnp.zeros_like(accc)
+
+            cnt = counts_ref[i * nc + zc]
+            kiq = (cnt + ch - 1) // ch
+
+            def chunk(ci, _):
+                s8 = pl.ds(ci * ch, ch)
+                dxt = jrow[0:1, :] - icol[0, s8, :]     # [ch, 18*128]
+                dyt = jrow[1:2, :] - icol[1, s8, :]
+                dzt = jrow[2:3, :] - icol[2, s8, :]
+                r2 = dxt * dxt + (dyt * dyt + (dzt * dzt + softening2))
+                inv_r = jax.lax.rsqrt(r2)
+                v = jnp.minimum(r2 * v_scale - 1.0, 1.0)
+                q = jnp.full_like(v, chq[0])
+                for c in chq[1:]:
+                    q = q * v + c
+                f = jnp.maximum((inv_r * inv_r) * inv_r + q, 0.0)
+                w = jrow[3:4, :] * f
+                accc[0, s8, :] = jnp.sum(w * dxt, axis=1, keepdims=True)
+                accc[1, s8, :] = jnp.sum(w * dyt, axis=1, keepdims=True)
+                accc[2, s8, :] = jnp.sum(w * dzt, axis=1, keepdims=True)
+                return ()
+
+            jax.lax.fori_loop(0, kiq, chunk, ())
+
+            out_ref[0, zc >> 1:(zc >> 1) + 1, half:half + cap] = \
+                jnp.transpose(accc[0, :, :])
+            out_ref[1, zc >> 1:(zc >> 1) + 1, half:half + cap] = \
+                jnp.transpose(accc[1, :, :])
+            out_ref[2, zc >> 1:(zc >> 1) + 1, half:half + cap] = \
+                jnp.transpose(accc[2, :, :])
+        out_ref[3, :, :] = jnp.zeros((nc // 2, 128), jnp.float32)
+
+    pl.run_scoped(
+        body,
+        rods=pltpu.VMEM((9, 4, nc // 2 + 2, 128), jnp.float32),
+        jrow=pltpu.VMEM((4, 18 * 128), jnp.float32),
+        icol=pltpu.VMEM((3, cap, 1), jnp.float32),
+        accc=pltpu.VMEM((3, cap, 1), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((9,)),
+    )
+
+
+def _short_kernel_v4b(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
+                      rs, softening2, ch):
+    """vpu4 without the per-cell j-row assembly: the chunk body reads the
+    18 paired-row tiles straight from the rods buffer (static slices),
+    accumulates [ch, 128] per component in registers, and lane-reduces
+    once per chunk. c1 is hoisted to the wrapper (a global pair-weight
+    scale), and the center rod is transposed once per instance instead
+    of once per cell. Tests the hypothesis that vpu4's per-cell fixed
+    costs (72 single-sublane assembly copies + 3 transposes per cell at
+    2.37x vpu3's cell count) eat the 1.35x pair-slot reduction."""
+    i = pl.program_id(0)
+    cx = i // nc
+    cy = i % nc
+    nrow = nc // 2
+    h_lo, h_hi = nrow, nrow + 1
+    chq, v_scale, _c1 = _poly_even_coeffs(rs)
+
+    def body(rods, icolt, accx, accy, accz, sem):
+        dmas = []
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                dmas.append(pltpu.make_async_copy(
+                    pts_hbm.at[:, r_id], rods.at[idx, :, pl.ds(0, nrow)],
+                    sem.at[idx]))
+                idx += 1
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                rods[idx, :, h_lo:h_lo + 1, :] = \
+                    rods[idx, :, nrow - 1:nrow, :]
+                rods[idx, :, h_hi:h_hi + 1, :] = rods[idx, :, 0:1, :]
+                rods[idx, 2, h_lo:h_lo + 1, :] = \
+                    rods[idx, 2, h_lo:h_lo + 1, :] - box_size
+                rods[idx, 2, h_hi:h_hi + 1, :] = \
+                    rods[idx, 2, h_hi:h_hi + 1, :] + box_size
+                shift_x = jnp.where(cx + dx < 0, -box_size,
+                                    jnp.where(cx + dx >= nc, box_size, 0.0))
+                shift_y = jnp.where(cy + dy < 0, -box_size,
+                                    jnp.where(cy + dy >= nc, box_size, 0.0))
+                rods[idx, 0] = rods[idx, 0] + shift_x
+                rods[idx, 1] = rods[idx, 1] + shift_y
+                idx += 1
+
+        # center-rod i coordinates transposed ONCE per instance:
+        # [nrow, 128] -> [128, nrow]; cell zc's column lives at
+        # sublanes (zc&1)*64.. and lane zc>>1
+        for comp in range(3):
+            icolt[comp] = jnp.transpose(rods[4, comp, 0:nrow, :])
+
+        for zc in range(nc):
+            r_lo = h_lo if zc == 0 else (zc - 1) >> 1
+            r_hi = h_hi if zc == nc - 1 else (zc + 1) >> 1
+            half = (zc & 1) * cap
+            row = zc >> 1
+
+            cnt = counts_ref[i * nc + zc]
+            kiq = (cnt + ch - 1) // ch
+            accx[...] = jnp.zeros_like(accx)
+            accy[...] = jnp.zeros_like(accy)
+            accz[...] = jnp.zeros_like(accz)
+
+            def chunk(ci, _, half=half, row=row, r_lo=r_lo, r_hi=r_hi):
+                s8 = pl.ds(ci * ch, ch)
+                # dynamic sublane ref-slices (half + ci*ch is 8-aligned)
+                si = pl.ds(half + ci * ch, ch)
+                icx = icolt[0, si, row:row + 1]
+                icy = icolt[1, si, row:row + 1]
+                icz = icolt[2, si, row:row + 1]
+                ax = jnp.zeros((ch, 128), jnp.float32)
+                ay = jnp.zeros((ch, 128), jnp.float32)
+                az = jnp.zeros((ch, 128), jnp.float32)
+                for r in range(9):
+                    for zr in (r_lo, r_hi):
+                        dxt = rods[r, 0, zr:zr + 1, :] - icx
+                        dyt = rods[r, 1, zr:zr + 1, :] - icy
+                        dzt = rods[r, 2, zr:zr + 1, :] - icz
+                        r2 = dxt * dxt + (dyt * dyt
+                                          + (dzt * dzt + softening2))
+                        inv_r = jax.lax.rsqrt(r2)
+                        v = jnp.minimum(r2 * v_scale - 1.0, 1.0)
+                        q = jnp.full_like(v, chq[0])
+                        for c in chq[1:]:
+                            q = q * v + c
+                        f = jnp.maximum((inv_r * inv_r) * inv_r + q, 0.0)
+                        w = rods[r, 3, zr:zr + 1, :] * f
+                        ax = ax + w * dxt
+                        ay = ay + w * dyt
+                        az = az + w * dzt
+                accx[s8, :] = jnp.sum(ax, axis=1, keepdims=True)
+                accy[s8, :] = jnp.sum(ay, axis=1, keepdims=True)
+                accz[s8, :] = jnp.sum(az, axis=1, keepdims=True)
+                return ()
+
+            jax.lax.fori_loop(0, kiq, chunk, ())
+
+            out_ref[0, row:row + 1, half:half + cap] = \
+                jnp.transpose(accx[:, 0:1])
+            out_ref[1, row:row + 1, half:half + cap] = \
+                jnp.transpose(accy[:, 0:1])
+            out_ref[2, row:row + 1, half:half + cap] = \
+                jnp.transpose(accz[:, 0:1])
+        out_ref[3, :, :] = jnp.zeros((nc // 2, 128), jnp.float32)
+
+    pl.run_scoped(
+        body,
+        rods=pltpu.VMEM((9, 4, nc // 2 + 2, 128), jnp.float32),
+        icolt=pltpu.VMEM((3, 128, nc // 2), jnp.float32),
+        accx=pltpu.VMEM((cap, 1), jnp.float32),
+        accy=pltpu.VMEM((cap, 1), jnp.float32),
+        accz=pltpu.VMEM((cap, 1), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((9,)),
+    )
+
+
 def _short_kernel_v2(pts_hbm, out_ref, *, nc, cap, box_size, rs,
                      softening2):
     """Optimized VPU variant. Differences from _short_kernel:
@@ -575,10 +815,11 @@ def _short_kernel(pts_hbm, out_ref, *, nc, cap, box_size, rs, softening2):
 
 @functools.partial(jax.jit, static_argnames=(
     "ncell", "capacity", "box_size", "rs", "softening", "interpret",
-    "variant"))
+    "variant", "i_chunk"))
 def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
                        box_size: float, rs: float, softening: float,
-                       interpret: bool = False, variant: str = "vpu3"):
+                       interpret: bool = False, variant: str = "vpu3",
+                       i_chunk: int = 16):
     """Short-range accelerations for every bucket slot -> [C, K, 3].
 
     bpos [C, K, 3], bmass [C, K] in the treepm bucket layout
@@ -591,6 +832,11 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
     particles parked after a dead slot would be skipped. Slots past the
     live count get exactly zero output (dead slots are inert padding
     everywhere downstream). Measured 1M/v5e: 66.3 ms vs 96.7 (vpu2).
+
+    The vpu4 variant (capacity == 64, ncell even, live-first) pairs two
+    z-cells per 128-lane row, cutting the assembled j row from 27 to 18
+    lane-tiles -- use when the plan's occupancy fits 64 slots/cell.
+    `i_chunk` sets its i sublane chunk rows (8-multiple dividing 64).
     """
     if ncell < 3:
         raise ValueError("pallas_short_range needs ncell >= 3")
@@ -603,8 +849,60 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
     pts = jnp.concatenate(
         [bpos.reshape(cc * cap, 3).T.astype(jnp.float32),
          bmass.reshape(1, cc * cap).astype(jnp.float32)], axis=0)
-    pts = pts.reshape(4, ncell * ncell, ncell, cap)
 
+    counts = None
+    if variant in ("vpu3", "vpu4", "vpu4b"):
+        # live-first bucket counts (bucket_particles packs live slots at
+        # rank 0..n_c): drives the dynamic per-cell i-chunk trip counts.
+        # counts go to SMEM FLAT [C]: a 2D [ncell^2, ncell] SMEM array
+        # pads its minor dim to 128 lanes (1.18 MB at ncell=48, over the
+        # ~1 MB SMEM budget), and blocked SMEM specs need 8/128-divisible
+        # blocks; a 1-D scalar array stays unpadded (4 B/cell) and takes
+        # dynamic indices
+        counts = jnp.sum(bmass.reshape(cc, cap) > 0, axis=1) \
+            .astype(jnp.int32)
+
+    if variant in ("vpu4", "vpu4b"):
+        if capacity != 64:
+            raise ValueError("vpu4 requires capacity == 64")
+        if ncell % 2:
+            raise ValueError("vpu4 requires an even ncell")
+        if i_chunk % 8 or 64 % i_chunk:
+            raise ValueError("i_chunk must be a multiple of 8 dividing 64")
+        pts = pts.reshape(4, ncell * ncell, ncell // 2, 128)
+        kernel = functools.partial(
+            _short_kernel_v4 if variant == "vpu4" else _short_kernel_v4b,
+            nc=ncell, cap=cap,
+            box_size=float(box_size), rs=float(rs),
+            softening2=float(softening) ** 2, ch=i_chunk)
+        out = pl.pallas_call(
+            kernel,
+            grid=(ncell * ncell,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((4, ncell // 2, 128),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (4, cc // 2, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=cc * cap * 18 * 128 * 40 // 64,
+                bytes_accessed=cc * cap * 16 * 10,
+                transcendentals=cc * cap * 18 * 128 // 64,
+            ),
+            interpret=interpret,
+        )(counts, pts)
+        out = out.reshape(4, cc, cap)[0:3].transpose(1, 2, 0)
+        if variant == "vpu4b":
+            # c1 (the truncated-split normalization) is a global pair
+            # scale: applied once here instead of per assembly copy
+            out = out * _poly_even_coeffs(float(rs))[2]
+        return out
+
+    pts = pts.reshape(4, ncell * ncell, ncell, cap)
     kfn = {"vpu": _short_kernel, "mxu": _short_kernel_mxu,
            "vpu2": _short_kernel_v2, "vpu3": _short_kernel_v3}[variant]
     kernel = functools.partial(
@@ -614,15 +912,6 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
     operands = [pts]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if variant == "vpu3":
-        # live-first bucket counts (bucket_particles packs live slots at
-        # rank 0..n_c): drives the dynamic per-cell i-chunk trip counts
-        counts = jnp.sum(bmass.reshape(cc, cap) > 0, axis=1) \
-            .astype(jnp.int32)
-        # counts go to SMEM FLAT [C]: a 2D [ncell^2, ncell] SMEM array
-        # pads its minor dim to 128 lanes (1.18 MB at ncell=48, over the
-        # ~1 MB SMEM budget), and blocked SMEM specs need 8/128-divisible
-        # blocks; a 1-D scalar array stays unpadded (4 B/cell) and takes
-        # dynamic indices
         operands = [counts, pts]
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY)]

@@ -166,6 +166,30 @@ class TestShortRangePoly:
         diff = jnp.where(live, jnp.abs(out - ref), 0.0)
         assert float(jnp.max(diff)) / scale < 1e-5
 
+    def test_pallas_v4_matches_oracle(self, bucketed):
+        """The paired-z-cell variant (capacity 64, two cells per 128-lane
+        row) agrees with the exact-erfc reference at the vpu3 bar,
+        including the z-wrap halo rows."""
+        b = bucketed
+        rs, soft = 2.0, 0.1
+        bpos, bmass, pslot, ovf = bucket_particles(
+            b["pos"], b["m"], b["box"], ncell=b["ncell"], capacity=64)
+        assert int(ovf) == 0
+        ref = short_range_bucketed(bpos, bmass, b["box"], rs, soft,
+                                   ncell=b["ncell"], capacity=64,
+                                   use_poly=False)
+        for variant, ch in (("vpu4", 8), ("vpu4", 16), ("vpu4b", 16)):
+            out = pallas_short_range(bpos, bmass, ncell=b["ncell"],
+                                     capacity=64, box_size=b["box"],
+                                     rs=rs, softening=soft,
+                                     interpret=True, variant=variant,
+                                     i_chunk=ch)
+            scale = float(jnp.max(jnp.abs(ref)))
+            live = (bmass > 0)[..., None]
+            diff = jnp.where(live, jnp.abs(out - ref), 0.0)
+            assert float(jnp.max(diff)) / scale < 1e-3, \
+                f"{variant} ch={ch}"
+
     def test_pallas_v3_matches_v2(self, bucketed):
         """The occupancy-aware dynamic-chunk variant agrees with the
         fixed-shape vpu2 kernel on live slots (dead slots: vpu3 returns
