@@ -14,6 +14,8 @@ from lambda_cdm_tpu.parallel.mesh import make_mesh3d
 AX3 = ("shx", "shy", "shz")
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 def _clustered(key, n, box, frac=0.8):
     """frac of particles in a tight off-center 3D blob (non-product after
     mixing with the uniform background), rest uniform."""

@@ -20,6 +20,8 @@ from lambda_cdm_tpu.parallel.exchange import (find_owner_3d,
                                               pad_particles)
 from lambda_cdm_tpu.parallel.mesh import make_mesh3d, particle_sharding
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 AX = ("shx", "shy", "shz")
 DIMS = (2, 2, 2)
 

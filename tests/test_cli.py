@@ -4,6 +4,7 @@
 import json
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -11,6 +12,8 @@ from lambda_cdm_tpu import cli
 from lambda_cdm_tpu.core.state import make_state
 from lambda_cdm_tpu.utils.checkpoint import save_snapshot
 
+
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
 
 def _clustered_state(n_blob=300, n_field=2000, box=100.0):
     blobs = []

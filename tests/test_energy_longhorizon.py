@@ -24,6 +24,8 @@ from lambda_cdm_tpu.core.state import make_state
 from lambda_cdm_tpu.physics.cosmology import CosmologyParams, e_function
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 def _base_config(solver, n, box):
     cfg = SimulationConfig()
     cfg.particles.num_particles = n

@@ -24,6 +24,8 @@ N, BOX, NG = 4096, 50.0, 48
 SOFT = 0.05
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 @pytest.fixture(scope="module")
 def mesh():
     return make_mesh()

@@ -25,6 +25,8 @@ from lambda_cdm_tpu.physics.cosmology import CosmologyParams
 N, BOX, NG = 6000, 64.0, 48
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 @pytest.fixture(scope="module")
 def mesh22():
     if len(jax.devices()) < 4:

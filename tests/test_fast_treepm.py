@@ -22,6 +22,8 @@ from lambda_cdm_tpu.ops.fast_treepm import (build_fast_state, fast_plan,
 from lambda_cdm_tpu.ops.pallas_short_range import pallas_short_range
 from lambda_cdm_tpu.physics.cosmology import CosmologyParams
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 PARAMS = CosmologyParams()
 
 
@@ -215,8 +217,27 @@ class TestFastStepper:
     def test_plan_constraints(self):
         plan = fast_plan(1_000_000, 100.0, 256)
         assert 256 % plan["ncell"] == 0
-        assert plan["capacity"] % 128 == 0
+        # standard plans quantize capacity to 128; the paired-z-cell
+        # variant runs two 64-slot cells per 128-lane row
+        if plan["variant"] == "vpu4b":
+            assert plan["capacity"] == 64 and plan["ncell"] % 2 == 0
+        else:
+            assert plan["capacity"] % 128 == 0
         assert 100.0 / plan["ncell"] >= plan["r_cut"]
+
+    def test_plan_paired_selection(self):
+        """The paired kernel engages exactly when occupancy fits 64
+        slots/cell (and the grown-capacity retry falls back)."""
+        p = fast_plan(1_000_000, 100.0, 256, align_ncell=True)
+        assert (p["ncell"], p["capacity"], p["variant"]) == \
+            (32, 64, "vpu4b")
+        # 10M @ 448^3: occupancy 57 needs 1.75x headroom > 64 -> vpu3
+        p = fast_plan(10_000_000, 100.0, 448, align_ncell=True)
+        assert p["variant"] == "vpu3" and p["capacity"] % 128 == 0
+        # explicit grown capacity (overflow retry) falls back to vpu3
+        p = fast_plan(1_000_000, 100.0, 256, align_ncell=True,
+                      capacity=128)
+        assert p["variant"] == "vpu3" and p["capacity"] == 128
 
     def test_force_agreement_with_stateless(self, bucketed):
         b = bucketed

@@ -10,6 +10,8 @@ from lambda_cdm_tpu.analysis import halo_finder as hf
 from lambda_cdm_tpu.analysis import theory
 from lambda_cdm_tpu.physics.cosmology import CosmologyParams
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 PARAMS = CosmologyParams()
 
 

@@ -13,6 +13,8 @@ from lambda_cdm_tpu.physics.cosmology import CosmologyParams, growth_factor
 from lambda_cdm_tpu.physics.power_spectra import linear_power
 from lambda_cdm_tpu.analysis.power_spectrum import measure_power_spectrum
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 PARAMS = CosmologyParams()
 
 

@@ -9,6 +9,8 @@ import pytest
 from lambda_cdm_tpu.physics.cosmology import CosmologyParams
 from lambda_cdm_tpu.raytracing import lensing as lz
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 PARAMS = CosmologyParams()
 
 

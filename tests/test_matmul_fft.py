@@ -8,6 +8,8 @@ import pytest
 from lambda_cdm_tpu.ops import matmul_fft as mf
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 @pytest.mark.parametrize("shape", [(16, 16, 16), (32, 16, 8),
                                    (24, 24, 24), (33, 18, 15)])
 def test_rfftn_matches_numpy(shape):

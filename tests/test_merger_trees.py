@@ -11,6 +11,8 @@ from lambda_cdm_tpu.analysis.merger_trees import (MergerForest,
                                                   match_halos)
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 def blob(key, center, n, radius=1.0):
     return jnp.asarray(center, jnp.float32) + radius * jax.random.normal(
         key, (n, 3))

@@ -10,6 +10,8 @@ from lambda_cdm_tpu.core.analysis_observers import (
     PowerSpectrumObserver, SnapshotObserver, build_observers_from_config)
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 def tiny_config(tmp_path=None):
     cfg = SimulationConfig()
     cfg.particles.num_particles = 512

@@ -17,6 +17,8 @@ from lambda_cdm_tpu.parallel import exchange as ex
 from lambda_cdm_tpu.parallel import sharded as sh
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 @pytest.fixture(scope="module")
 def mesh(cpu_devices):
     return make_mesh(8)

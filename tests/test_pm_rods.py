@@ -22,6 +22,8 @@ from lambda_cdm_tpu.ops.pallas_pm_rods import (assemble_rods,
 N, BOX, NG, NC, CAP, MARGIN = 6000, 10.0, 32, 4, 128, 1
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 @pytest.fixture(scope="module")
 def bucketed():
     pos = jax.random.uniform(jax.random.PRNGKey(0), (N, 3), maxval=BOX)

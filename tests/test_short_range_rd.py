@@ -12,6 +12,8 @@ from lambda_cdm_tpu.forces.direct import min_image
 from lambda_cdm_tpu.forces.treepm import short_range_factor
 from lambda_cdm_tpu.ops import pallas_short_range_rd as rd
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 BOX = 64.0
 NCELL = 4
 RS = 2.0          # r_cut = 4.5*rs = 9 <= cell = 16

@@ -23,6 +23,8 @@ from lambda_cdm_tpu.forces.treepm import (bucket_particles,
 from lambda_cdm_tpu.ops.pallas_direct import pallas_direct_accelerations
 
 
+pytestmark = pytest.mark.slow  # heavy tier: > ~30 s on one core (smoke cover in test_smoke_fast.py)
+
 @pytest.fixture(scope="module")
 def cloud():
     key = jax.random.PRNGKey(0)
