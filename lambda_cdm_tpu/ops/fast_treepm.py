@@ -70,7 +70,15 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
     z-rod block (4, ncell, cap) of the (4, ncell^3, cap) output per grid
     step, and Mosaic requires the sublane block dim divisible by 8 (a
     100k/96^3 plan picked ncell=12 and failed to lower). The jnp
-    fallback used on CPU has no such constraint."""
+    fallback used on CPU has no such constraint.
+
+    When a divisor admits capacity 64 (occupancy_headroom * mean_occ
+    <= 64, ncell % 16 == 0 for the paired output block), the plan offers
+    the paired-z-cell kernel (variant "vpu4b": two cells per 128-lane
+    row, 18 instead of 27 j lane-tiles; 51.1 vs 58.6 ms at 1M) and
+    competes it on the same padded-work cost model. Explicit `capacity`
+    requests >= 128 (e.g. the engine's overflow grow-and-retry) fall
+    back to the standard vpu3 layout automatically."""
     rs = split_factor * box_size / pm_grid
     r_cut = cut_factor * rs
     if align_ncell is None:
@@ -82,6 +90,14 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
         mean_occ = num_particles / max(nc ** 3, 1)
         c = int(math.ceil(occupancy_headroom * mean_occ))
         return max(128, ((c + 127) // 128) * 128)
+
+    def paired_ok(nc):
+        if capacity > 64 or nc % 2 or (align_ncell and nc % 16):
+            return False
+        mean_occ = num_particles / max(nc ** 3, 1)
+        need = capacity if capacity > 0 else \
+            math.ceil(occupancy_headroom * mean_occ)
+        return need <= 64
 
     best = None
     geom_ok = False
@@ -97,7 +113,12 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
                 cap = cap_for(d)
                 cost = d ** 3 * 27 * cap * cap
                 if best is None or cost < best[0]:
-                    best = (cost, d, cap)
+                    best = (cost, d, cap, "vpu3")
+                if paired_ok(d):
+                    # paired cost: 64 i-rows against 18 128-lane j tiles
+                    pcost = d ** 3 * 64 * 18 * 128
+                    if pcost < best[0]:
+                        best = (pcost, d, 64, "vpu4b")
         d += 1
     if best is None:
         if geom_ok:
@@ -114,10 +135,11 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
                   "divisor (e.g. 128, 192, 256, 384, 448, 512)")
         # box too small for a 3^3 stencil: single-cell degenerate plan
         return {"rs": rs, "r_cut": r_cut, "ncell": 1,
-                "capacity": cap_for(1), "margin": margin}
-    _, ncell, cap = best
+                "capacity": cap_for(1), "margin": margin,
+                "variant": "vpu3"}
+    _, ncell, cap, variant = best
     return {"rs": rs, "r_cut": r_cut, "ncell": ncell,
-            "capacity": cap, "margin": margin}
+            "capacity": cap, "margin": margin, "variant": variant}
 
 
 def build_fast_state(positions, velocities, masses, scale_factor, *,
@@ -165,7 +187,7 @@ def _use_pallas() -> bool:
 
 def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
            rs, softening, g_const, gradient, pm_pallas=None,
-           pm_only=False):
+           pm_only=False, variant="vpu3"):
     acc_long, dropped = pm_accelerations_bucketed(
         fstate.bpos, fstate.bmass, ncell=ncell, ng=ng, box_size=box_size,
         g_const=g_const, split_scale=0.0 if pm_only else rs, margin=margin,
@@ -191,7 +213,7 @@ def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
         acc_short = pallas_short_range(
             bpos, bmass, ncell=ncell, capacity=capacity,
             box_size=float(box_size), rs=float(rs),
-            softening=float(softening))
+            softening=float(softening), variant=variant)
     else:
         acc_short = short_range_bucketed(
             bpos, bmass, box_size, rs, softening, ncell=ncell,
@@ -316,19 +338,20 @@ def _rebucket_jit(fstate, *, box_size, ncell, capacity):
 @partial(jax.jit, static_argnames=(
     "box_size", "ng", "ncell", "capacity", "margin", "softening",
     "g_const", "gradient", "rs", "h0_internal", "kick_mode", "sf_method",
-    "cosmological", "pm_pallas", "pm_only", "n_steps"))
+    "cosmological", "pm_pallas", "pm_only", "variant", "n_steps"))
 def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
                   box_size: float, ng: int, ncell: int, capacity: int,
                   margin: int, rs: float, softening: float, g_const: float,
                   gradient: str = "fd4", h0_internal: float = 100.0,
                   kick_mode: str = "reference", sf_method: str = "rk4",
                   cosmological: bool = True, pm_pallas=None,
-                  pm_only: bool = False,
+                  pm_only: bool = False, variant: str = "vpu3",
                   n_steps: int = 1) -> FastState:
     """Advance `n_steps` fused KDK steps entirely on device."""
     kw = dict(box_size=box_size, ng=ng, ncell=ncell, capacity=capacity,
               margin=margin, rs=rs, softening=softening, g_const=g_const,
-              gradient=gradient, pm_pallas=pm_pallas, pm_only=pm_only)
+              gradient=gradient, pm_pallas=pm_pallas, pm_only=pm_only,
+              variant=variant)
 
     def one_step(fs: FastState, _):
         a0 = fs.scale_factor
@@ -384,7 +407,8 @@ def initialize_fast(positions, velocities, masses, scale_factor, *,
                     ncell=plan["ncell"], capacity=plan["capacity"],
                     margin=plan["margin"], rs=float(plan["rs"]),
                     softening=float(softening), g_const=float(g_const),
-                    gradient=gradient, pm_only=bool(pm_only))
+                    gradient=gradient, pm_only=bool(pm_only),
+                    variant=plan.get("variant", "vpu3"))
     kw = dict(accel_kw, h0_internal=float(h0_internal),
               kick_mode=str(kick_mode), sf_method=str(sf_method),
               cosmological=bool(cosmological))
