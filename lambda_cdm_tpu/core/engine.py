@@ -352,6 +352,65 @@ class SimulationEngine:
             self.statistics.compile_time_s += time.perf_counter() - t0
         return self._chunk_runners[chunk_len]
 
+    def warmup(self, chunk_len: int | None = None) -> dict:
+        """AOT-compile the run loop's device programs before the first
+        step (the cold-start story: reference ships serialized TensorRT
+        engines, nbody_engine.cpp:120-206; here the XLA executables
+        persist via compute.tpu.compilation_cache_dir, so a FRESH
+        process at the same shapes reaches its first step in seconds
+        instead of the 30-500 s TPU compile).
+
+        `chunk_len` defaults to the run loop's chunk
+        (simulation.output_frequency). Compiles exactly the programs
+        run() will request: the fast path's scan segments (full
+        rebucket cadence + the chunk remainder) and rebucket pass, or
+        the generic fused-KDK chunk runner. The mesh (multi-chip) path
+        compiles shard_map programs lazily on first use and is not
+        covered here. Returns {"programs": n, "seconds": s}.
+        """
+        if self._dt is None:
+            raise RuntimeError("warmup() requires initialize() first")
+        t0 = time.perf_counter()
+        n_prog = 0
+        chunk = int(chunk_len or
+                    max(1, self.config.simulation.output_frequency))
+
+        def abstract(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+        if getattr(self, "_fstate", None) is not None \
+                and getattr(self, "_fast_mesh_kw", None) is None:
+            from ..ops.fast_treepm import _fast_segment, _rebucket_jit
+            params = self.config.cosmology_params()
+            rebucket_every = getattr(self, "_fast_rebucket_every", None) \
+                or self.config.forces.rebucket_every
+            abs_state = abstract(self._fstate)
+            segs = {min(chunk, rebucket_every)}
+            if chunk > rebucket_every and chunk % rebucket_every:
+                segs.add(chunk % rebucket_every)
+            for s in sorted(segs):
+                _fast_segment.lower(abs_state, params, float(self._dt),
+                                    n_steps=int(s),
+                                    **self._fast_kw).compile()
+                n_prog += 1
+            _rebucket_jit.lower(
+                abs_state, box_size=self._fast_kw["box_size"],
+                ncell=self._fast_kw["ncell"],
+                capacity=self._fast_kw["capacity"]).compile()
+            n_prog += 1
+        elif getattr(self, "_mesh", None) is None \
+                and self._state is not None:
+            runner = self._get_chunk_runner(chunk)
+            abs_state = abstract(self._state)
+            abs_acc = jax.ShapeDtypeStruct(self._state.positions.shape,
+                                           self._state.positions.dtype)
+            runner.lower(abs_state, abs_acc, self._dt).compile()
+            n_prog += 1
+        dt_s = time.perf_counter() - t0
+        self.statistics.compile_time_s += dt_s
+        return {"programs": n_prog, "seconds": dt_s}
+
     # -- multi-chip path: sharded state + ICI collectives ---------------------
     def _init_mesh_path(self, state: SimState) -> SimState:
         """Shard the simulation over the device mesh (the compute.mesh
