@@ -205,8 +205,19 @@ def section_lensing(n, box):
     dt_jac = time_fn(f_jac, theta0, reps=10)
     log(f"lensing jacobian: {dt_jac * 1e3:.1f} ms = "
         f"{n_rays / dt_jac:.3e} rays/s")
+    # scaling row: 512^2 deflection fields (4x the texels per plane) --
+    # the sampler's one-hot window GEMMs are field-size independent, so
+    # rays/s should hold within noise (VERDICT r2 item 8)
+    ngl2 = 512
+    planes2 = 0.2 * jax.random.normal(key, (n_planes, ngl2, ngl2))
+    f_512 = jax.jit(lambda t: trace_rays(
+        params, planes2, chis, a_l, 100.0, box, t, 2500.0, ng=ngl2))
+    dt_512 = time_fn(f_512, theta0, reps=10)
+    log(f"lensing @512^2 fields: {dt_512 * 1e3:.1f} ms = "
+        f"{n_rays / dt_512:.3e} rays/s")
     return {"lensing_rays_per_s": round(rays_per_s, 1),
-            "lensing_jacobian_rays_per_s": round(n_rays / dt_jac, 1)}
+            "lensing_jacobian_rays_per_s": round(n_rays / dt_jac, 1),
+            "lensing_rays_per_s_512": round(n_rays / dt_512, 1)}
 
 
 def section_tenm(n, box):
