@@ -99,17 +99,18 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
             math.ceil(occupancy_headroom * mean_occ)
         return need <= 64
 
+    # ppc = pm_grid/d no longer needs 8-alignment: the rod-resident PM
+    # gather self-aligns its y window to 8-blocks (residual-shifted
+    # one-hot indices) and the deposit pads its output block rows, so
+    # e.g. ppc=6 (192^3 at ncell=32, the paired short-range geometry)
+    # is a first-class plan
     best = None
     geom_ok = False
     d = 2
     while d <= pm_grid:
         if pm_grid % d == 0 and box_size / d >= r_cut and d >= 3:
             geom_ok = True
-            # ppc = pm_grid/d must be a multiple of 8: the rod-resident
-            # Pallas PM kernels DMA per-cell rods on 8-aligned sublanes
-            # (pallas_pm_rods.rod_geometry); 10M/384^3 picked ppc=6
-            # without this and initialize_fast refused
-            if (pm_grid // d) % 8 == 0 and not (align_ncell and d % 8):
+            if not (align_ncell and d % 8):
                 cap = cap_for(d)
                 cost = d ** 3 * 27 * cap * cap
                 if best is None or cost < best[0]:
@@ -128,11 +129,11 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
             # an O(N^2/1) monster; fail with the actionable constraint
             raise ValueError(
                 f"pm_grid={pm_grid} has no divisor d >= 3 with cells "
-                f">= r_cut, pm_grid/d % 8 == 0"
+                f">= r_cut"
                 + (" and d % 8 == 0 (TPU short-range block alignment)"
                    if align_ncell else "")
-                + "; pick a PM grid with an 8-aligned cells-per-rod "
-                  "divisor (e.g. 128, 192, 256, 384, 448, 512)")
+                + "; pick a PM grid with such a divisor "
+                  "(e.g. 128, 192, 256, 384, 448, 512)")
         # box too small for a 3^3 stencil: single-cell degenerate plan
         return {"rs": rs, "r_cut": r_cut, "ncell": 1,
                 "capacity": cap_for(1), "margin": margin,

@@ -91,7 +91,7 @@ def _dot_f32(a, b, gemm: str):
 
 
 def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
-                   la, halo, box_size, margin, h, s, gemm):
+                   la, ly, halo, box_size, margin, h, s, gemm):
     """Grid (rod, slot-chunk): each instance gathers `s` slots of one
     (cx, cy) rod. Chunking the slot axis keeps the one-hot + GEMM
     working set ~4 MB (a whole 24*128-slot rod at once needs ~14 MB,
@@ -105,9 +105,14 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
     def body(win, sem):
         # phi arrives 4D [X, Y/8, 8, ng]: both window axes are LEADING
         # (untiled) dims -- a dynamic slice on the sublane dim itself
-        # crashes the Mosaic backend even 8-aligned
+        # crashes the Mosaic backend even 8-aligned. The y window starts
+        # at the 8-ALIGNED block below the true origin cy*ppc (ppc need
+        # not be a multiple of 8); the residual ry = cy*ppc % 8 shifts
+        # the in-window y one-hot indices instead.
+        y0 = cy * ppc
+        ry = (y0 - (y0 // 8) * 8).astype(jnp.float32)
         dma = pltpu.make_async_copy(
-            phi_hbm.at[pl.ds(cx * ppc, la), pl.ds(cy * ppc // 8, la // 8)],
+            phi_hbm.at[pl.ds(cx * ppc, la), pl.ds(y0 // 8, ly // 8)],
             win, sem)
         dma.start()
 
@@ -130,11 +135,12 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
         ok = jnp.where(
             jnp.all((il >= 0) & (il <= ell - 2), axis=0), 1.0, 0.0)
 
-        # x/y one-hots in window coords [La, S] (origin c*ppc - halo)
+        # x/y one-hots in window coords (origin c*ppc - halo; y is
+        # additionally shifted by the block-alignment residual ry)
         ax = (i0[0] - (cx * ppc - halo))[None, :]
-        ay = (i0[1] - (cy * ppc - halo))[None, :]
+        ay = (i0[1] - (cy * ppc - halo) + ry)[None, :]
         x1 = _onehot_la(ax, frac[0][None, :], la=la, s=s)
-        y1 = _onehot_la(ay, frac[1][None, :], la=la, s=s)
+        y1 = _onehot_la(ay, frac[1][None, :], la=ly, s=s)
 
         def fdconv_la(base):
             out = jnp.zeros_like(base)
@@ -194,14 +200,14 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
                 z4 += wgt * z_onehot(float(sh))
 
         dma.wait()
-        w2 = win[:].reshape(la * la, ng_p)
+        w2 = win[:].reshape(la * ly, ng_p)
 
         # MXU: z contraction for all slots at once (plain DEFAULT bf16
         # operand truncation would be a ~0.4% force error)
-        g1 = _dot_f32(w2, zt, gemm)                   # [La^2, S]
+        g1 = _dot_f32(w2, zt, gemm)                   # [La*Ly, S]
         g4 = _dot_f32(w2, z4, gemm)
-        g1 = g1.reshape(la, la, s)
-        g4 = g4.reshape(la, la, s)
+        g1 = g1.reshape(la, ly, s)
+        g4 = g4.reshape(la, ly, s)
 
         # contract b (y) then a (x) on the VPU
         t_y = jnp.sum(g1 * y1[None, :, :], axis=1)    # [La, S]
@@ -213,7 +219,7 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
 
     pl.run_scoped(
         body,
-        win=pltpu.VMEM((la, la // 8, 8, ng_p), jnp.float32),
+        win=pltpu.VMEM((la, ly // 8, 8, ng_p), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -242,14 +248,21 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
     ppc, ell, la, halo = rod_geometry(ng, ncell, margin)
     h = float(box_size) / ng
 
-    if ppc % 8 or la % 8:
-        raise ValueError("pallas_gather_fd4 needs ppc (= ng/ncell) and "
-                         "the fd4 window to be multiples of 8")
+    # y window rows: when ppc (= ng/ncell) is a multiple of 8 the per-rod
+    # y origins are 8-block aligned and the window is exactly la rows;
+    # otherwise the DMA starts at the aligned block below the origin and
+    # the window grows to cover the residual (<= 7 rows), with the
+    # in-kernel y one-hot indices shifted by that residual
+    ly = la if (ppc % 8 == 0 and la % 8 == 0) else ((la + 14) // 8) * 8
     # periodic x/y halo (z stays global inside the kernel); y padded up
-    # to a multiple of 8 so it reshapes into 8-wide leading blocks; z
+    # to a multiple of 8 so it reshapes into 8-wide leading blocks --
+    # and far enough that the LAST rod's (aligned) window fits; z
     # ZERO-padded to a multiple of 256 lanes (partial lane-tile DMAs
     # crash Mosaic; the kernel's one-hot indices never touch the pad)
-    ypad = (-(ng + 2 * halo)) % 8
+    base_y = ng + 2 * halo
+    need_y = (((ncell - 1) * ppc) // 8) * 8 + ly
+    ypad = max((-base_y) % 8, need_y - base_y)
+    ypad += (-(base_y + ypad)) % 8
     zpad = (-ng) % 256
     ng_p = ng + zpad
     phi_pad = jnp.pad(phi, ((halo, halo), (halo, halo + ypad), (0, 0)),
@@ -275,8 +288,8 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
                  .reshape(rr, nchunks, s, 3).transpose(0, 1, 3, 2))
         kernel = functools.partial(
             _gather_kernel_occ, nc=ncell, ng=ng, ng_p=ng_p, ppc=ppc,
-            la=la, halo=halo, box_size=float(box_size), margin=margin,
-            h=h, s=s, nchunks=nchunks, gemm=gemm)
+            la=la, ly=ly, halo=halo, box_size=float(box_size),
+            margin=margin, h=h, s=s, nchunks=nchunks, gemm=gemm)
         out = pl.pallas_call(
             kernel,
             grid=(rr,),
@@ -290,7 +303,7 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
             out_shape=jax.ShapeDtypeStruct((rr, nchunks, 3, s),
                                            jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((la, la // 8, 8, ng_p), jnp.float32),
+                pltpu.VMEM((la, ly // 8, 8, ng_p), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -318,8 +331,8 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
 
     kernel = functools.partial(
         _gather_kernel, nc=ncell, cap=cap, ng=ng, ng_p=ng_p, ppc=ppc,
-        la=la, halo=halo, box_size=float(box_size), margin=margin, h=h,
-        s=s, gemm=gemm)
+        la=la, ly=ly, halo=halo, box_size=float(box_size), margin=margin,
+        h=h, s=s, gemm=gemm)
     out = pl.pallas_call(
         kernel,
         grid=(rr, nchunks),
@@ -343,8 +356,8 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
 
 
 def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
-                       nc, ng, ng_p, ppc, la, halo, box_size, margin, h,
-                       s, nchunks, gemm):
+                       nc, ng, ng_p, ppc, la, ly, halo, box_size, margin,
+                       h, s, nchunks, gemm):
     """Occupancy-aware gather: grid (rod,), slots RANK-MAJOR within the
     rod (slot = rank * nc + bucket_z), chunk loop with a DYNAMIC trip
     count ceil(rod_max_count * nc / s) from SMEM. Bucket layouts pack
@@ -360,14 +373,16 @@ def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
     live = counts_ref[rod] * nc
     trips = (live + s - 1) // s
 
+    y0 = cy * ppc
+    ry = (y0 - (y0 // 8) * 8).astype(jnp.float32)
     dma = pltpu.make_async_copy(
-        phi_hbm.at[pl.ds(cx * ppc, la), pl.ds(cy * ppc // 8, la // 8)],
+        phi_hbm.at[pl.ds(cx * ppc, la), pl.ds(y0 // 8, ly // 8)],
         win, sem)
     dma.start()
     # skipped (all-dead) chunks must still output zeros
     out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
     dma.wait()
-    w2 = win[:].reshape(la * la, ng_p)
+    w2 = win[:].reshape(la * ly, ng_p)
 
     def chunk(k, carry):
         chunk0 = k * s
@@ -389,9 +404,9 @@ def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
             jnp.all((il >= 0) & (il <= ell - 2), axis=0), 1.0, 0.0)
 
         ax = (i0[0] - (cx * ppc - halo))[None, :]
-        ay = (i0[1] - (cy * ppc - halo))[None, :]
+        ay = (i0[1] - (cy * ppc - halo) + ry)[None, :]
         x1 = _onehot_la(ax, frac[0][None, :], la=la, s=s)
-        y1 = _onehot_la(ay, frac[1][None, :], la=la, s=s)
+        y1 = _onehot_la(ay, frac[1][None, :], la=ly, s=s)
 
         def fdconv_la(base):
             out = jnp.zeros_like(base)
@@ -436,10 +451,10 @@ def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
             for sh, wgt in _fd4_coeffs(h):
                 z4 += wgt * z_onehot(float(sh))
 
-        g1 = _dot_f32(w2, zt, gemm)                   # [La^2, S]
+        g1 = _dot_f32(w2, zt, gemm)                   # [La*Ly, S]
         g4 = _dot_f32(w2, z4, gemm)
-        g1 = g1.reshape(la, la, s)
-        g4 = g4.reshape(la, la, s)
+        g1 = g1.reshape(la, ly, s)
+        g4 = g4.reshape(la, ly, s)
 
         t_y = jnp.sum(g1 * y1[None, :, :], axis=1)    # [La, S]
         t_y4 = jnp.sum(g1 * y4[None, :, :], axis=1)
@@ -493,8 +508,14 @@ def _deposit_kernel(pos_ref, mass_ref, out_ref, *, nc, cap, ng, ppc, ell,
     zm = (jnp.where(ziota == iz.T, 1.0 - fz.T, 0.0)
           + jnp.where(ziota == izp1.T, fz.T, 0.0)) * w[:, None]  # [S, ng]
 
-    # outer product [L^2, S] then ONE MXU GEMM -> [L^2, ng]
+    # outer product [L^2, S] then ONE MXU GEMM -> [L^2, ng]; the
+    # output block is padded to 8-aligned rows when ell^2 % 8 != 0
+    # (ppc=6 -> ell=10; Mosaic blocks need 8-divisible sublane dims)
     m1 = (x1[:, None, :] * y1[None, :, :]).reshape(ell * ell, s)
+    esp = out_ref.shape[0]
+    if esp > ell * ell:
+        m1 = jnp.concatenate(
+            [m1, jnp.zeros((esp - ell * ell, s), jnp.float32)], axis=0)
     out_ref[:] = _dot_f32(m1, zm, gemm)
 
 
@@ -543,6 +564,11 @@ def _deposit_kernel_occ(counts_ref, pts_ref, out_ref, *, nc, ng, ppc,
               + jnp.where(ziota == izp1.T, fz.T, 0.0)) * w[:, None]
 
         m1 = (x1[:, None, :] * y1[None, :, :]).reshape(ell * ell, s)
+        esp = out_ref.shape[0]
+        if esp > ell * ell:
+            m1 = jnp.concatenate(
+                [m1, jnp.zeros((esp - ell * ell, s), jnp.float32)],
+                axis=0)
         out_ref[:] += _dot_f32(m1, zm, gemm)
         return carry
 
@@ -566,6 +592,7 @@ def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
     ppc, ell, _, _ = rod_geometry(ng, ncell, margin)
     rr = ncell * ncell
     s_rod = ncell * cap
+    esp = ((ell * ell + 7) // 8) * 8   # 8-aligned output block rows
 
     if counts is not None:
         s = min(s_rod, 512)
@@ -589,8 +616,8 @@ def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, nchunks, 4, s), lambda i: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((ell * ell, ng), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((rr * ell * ell, ng),
+            out_specs=pl.BlockSpec((esp, ng), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rr * esp, ng),
                                            jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
@@ -612,14 +639,17 @@ def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
                 pl.BlockSpec((3, s_rod), lambda i: (0, i)),
                 pl.BlockSpec((s_rod,), lambda i: (i,)),
             ],
-            out_specs=pl.BlockSpec((ell * ell, ng), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((rr * ell * ell, ng),
+            out_specs=pl.BlockSpec((esp, ng), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rr * esp, ng),
                                            jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(pos_t, mass_r)
+    if esp > ell * ell:
+        blocks = (blocks.reshape(rr, esp, ng)[:, :ell * ell]
+                  .reshape(rr * ell * ell, ng))
 
     # margin-drop count (cheap elementwise, outside the kernel)
     from .bucketed_pm import _block_origins
