@@ -991,7 +991,10 @@ class SimulationEngine:
             # apply the adaptive limiter BEFORE the first chunk: a
             # high-z start at the configured initial_timestep can have
             # H dt >> 1 and blow through final_redshift inside chunk 1
-            if cfg.integration.adaptive_timestep:
+            # (max_dloga > 0 implies the adaptive update: an expansion
+            # limit that never runs was a silent-explosion footgun)
+            if cfg.integration.adaptive_timestep \
+                    or cfg.integration.max_dloga > 0:
                 self._update_dt()
             while steps_done < max_steps:
                 if self.lifecycle != LifecycleState.RUNNING:
@@ -1039,7 +1042,8 @@ class SimulationEngine:
                         f"(validation.check_finite)")
                 # adaptive dt BEFORE migration (which invalidates _acc);
                 # the fast path reads its own acc channel
-                if cfg.integration.adaptive_timestep:
+                if cfg.integration.adaptive_timestep \
+                        or cfg.integration.max_dloga > 0:
                     self._update_dt()
                 # stateless mesh solvers re-home particles per chunk;
                 # the sharded fast stepper migrates inside its own

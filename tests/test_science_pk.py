@@ -50,6 +50,7 @@ def test_evolved_pk_matches_linear_growth_on_large_scales():
     cfg.cosmology.initial_redshift = 1.0 / a_i - 1.0
     cfg.cosmology.final_redshift = 0.0
     cfg.integration.kick_mode = "comoving"
+    cfg.integration.adaptive_timestep = True
     cfg.integration.max_dloga = 0.03
     cfg.simulation.output_frequency = 16
     cfg.simulation.checkpoint_frequency = 0
