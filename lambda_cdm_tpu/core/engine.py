@@ -434,6 +434,16 @@ class SimulationEngine:
             mesh = make_mesh3d((int(axes3["shx"]), int(axes3["shy"]),
                                 int(axes3["shz"])))
             ax = ("shx", "shy", "shz")
+        elif all(a in axes3 for a in ("shx", "shy")):
+            # 2D pencil topology for the GENERIC solvers (ring direct /
+            # GSPMD PM / halo TreePM): a degenerate z=1 block mesh reuses
+            # the 3D ownership / migration / 26-neighbor halo machinery
+            # (the z-axis ppermutes become periodic self-sends, which is
+            # exactly the 1-rank wrap). treepm_fast on these axes takes
+            # the dedicated pencil-rod stepper (parallel/fast_mesh2d)
+            # before reaching this path.
+            mesh = make_mesh3d((int(axes3["shx"]), int(axes3["shy"]), 1))
+            ax = ("shx", "shy", "shz")
         else:
             mesh = make_mesh()
             ax = "shard"
