@@ -33,6 +33,7 @@ TPU-native cost.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +92,7 @@ def _dot_f32(a, b, gemm: str):
 
 
 def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
-                   la, ly, halo, box_size, margin, h, s, gemm):
+                   la, ly, g8, halo, box_size, margin, h, s, gemm):
     """Grid (rod, slot-chunk): each instance gathers `s` slots of one
     (cx, cy) rod. Chunking the slot axis keeps the one-hot + GEMM
     working set ~4 MB (a whole 24*128-slot rod at once needs ~14 MB,
@@ -103,16 +104,20 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
     ell = ppc + 2 * (margin + 1)
 
     def body(win, sem):
-        # phi arrives 4D [X, Y/8, 8, ng]: both window axes are LEADING
-        # (untiled) dims -- a dynamic slice on the sublane dim itself
-        # crashes the Mosaic backend even 8-aligned. The y window starts
-        # at the 8-ALIGNED block below the true origin cy*ppc (ppc need
-        # not be a multiple of 8); the residual ry = cy*ppc % 8 shifts
-        # the in-window y one-hot indices instead.
+        # phi arrives 5D [P, X, Y/8, 8, ng]: P phase-shifted replicas of
+        # the padded grid (replica p's rows start g8*p rows later), so
+        # EVERY rod's y window starts 8-block-aligned in the replica
+        # whose phase matches its origin cy*ppc % 8 -- the window is the
+        # tight round_up(la, 8) rows instead of the +7-row down-aligned
+        # slack (at ppc=6 that slack made the GEMM M dim 24 rows vs 16:
+        # +50% MXU passes). Both window axes stay LEADING (untiled)
+        # dims -- a dynamic slice on the sublane dim itself crashes the
+        # Mosaic backend even 8-aligned.
         y0 = cy * ppc
-        ry = (y0 - (y0 // 8) * 8).astype(jnp.float32)
+        py = y0 - (y0 // 8) * 8          # phase: a multiple of g8
         dma = pltpu.make_async_copy(
-            phi_hbm.at[pl.ds(cx * ppc, la), pl.ds(y0 // 8, ly // 8)],
+            phi_hbm.at[py // g8, pl.ds(cx * ppc, la),
+                       pl.ds((y0 - py) // 8, ly // 8)],
             win, sem)
         dma.start()
 
@@ -135,10 +140,10 @@ def _gather_kernel(phi_hbm, pos_ref, out_ref, *, nc, cap, ng, ng_p, ppc,
         ok = jnp.where(
             jnp.all((il >= 0) & (il <= ell - 2), axis=0), 1.0, 0.0)
 
-        # x/y one-hots in window coords (origin c*ppc - halo; y is
-        # additionally shifted by the block-alignment residual ry)
+        # x/y one-hots in window coords (origin c*ppc - halo; the
+        # replica phase makes the y window start exactly there)
         ax = (i0[0] - (cx * ppc - halo))[None, :]
-        ay = (i0[1] - (cy * ppc - halo) + ry)[None, :]
+        ay = (i0[1] - (cy * ppc - halo))[None, :]
         x1 = _onehot_la(ax, frac[0][None, :], la=la, s=s)
         y1 = _onehot_la(ay, frac[1][None, :], la=ly, s=s)
 
@@ -248,28 +253,33 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
     ppc, ell, la, halo = rod_geometry(ng, ncell, margin)
     h = float(box_size) / ng
 
-    # y window rows: when ppc (= ng/ncell) is a multiple of 8 the per-rod
-    # y origins are 8-block aligned and the window is exactly la rows;
-    # otherwise the DMA starts at the aligned block below the origin and
-    # the window grows to cover the residual (<= 7 rows), with the
-    # in-kernel y one-hot indices shifted by that residual
-    ly = la if (ppc % 8 == 0 and la % 8 == 0) else ((la + 14) // 8) * 8
-    # periodic x/y halo (z stays global inside the kernel); y padded up
-    # to a multiple of 8 so it reshapes into 8-wide leading blocks --
-    # and far enough that the LAST rod's (aligned) window fits; z
-    # ZERO-padded to a multiple of 256 lanes (partial lane-tile DMAs
+    # y window rows: the tight round_up(la, 8). Per-rod y origins cy*ppc
+    # are NOT 8-block aligned when ppc % 8 != 0; instead of down-aligning
+    # the DMA start (which costs up to +7 extra window rows -> +50% GEMM
+    # M passes at ppc=6), the padded grid is replicated at every origin
+    # PHASE (multiples of g8 = gcd(ppc, 8); 8/g8 replicas), and each rod
+    # DMAs from the replica where its window start IS block-aligned.
+    ly = la if la % 8 == 0 else ((la + 7) // 8) * 8
+    g8 = math.gcd(ppc, 8)
+    n_ph = 8 // g8
+    # periodic x/y halo (z stays global inside the kernel); y padded far
+    # enough that the LAST rod's window fits in the LAST-phase replica;
+    # z ZERO-padded to a multiple of 256 lanes (partial lane-tile DMAs
     # crash Mosaic; the kernel's one-hot indices never touch the pad)
     base_y = ng + 2 * halo
-    need_y = (((ncell - 1) * ppc) // 8) * 8 + ly
-    ypad = max((-base_y) % 8, need_y - base_y)
-    ypad += (-(base_y + ypad)) % 8
+    yrep = ((((ncell - 1) * ppc) + ly + 7) // 8) * 8   # rows per replica
+    ypad = max(0, (n_ph - 1) * g8 + yrep - base_y)
     zpad = (-ng) % 256
     ng_p = ng + zpad
     phi_pad = jnp.pad(phi, ((halo, halo), (halo, halo + ypad), (0, 0)),
                       mode="wrap")
     phi_pad = jnp.pad(phi_pad, ((0, 0), (0, 0), (0, zpad)))
-    phi_pad = phi_pad.reshape(ng + 2 * halo, (ng + 2 * halo + ypad) // 8,
-                              8, ng_p)
+    if n_ph == 1:
+        phi_pad = phi_pad[:, :yrep][None]
+    else:
+        phi_pad = jnp.stack([phi_pad[:, p * g8:p * g8 + yrep]
+                             for p in range(n_ph)])
+    phi_pad = phi_pad.reshape(n_ph, ng + 2 * halo, yrep // 8, 8, ng_p)
 
     rr = ncell * ncell
     s_rod = ncell * cap
@@ -288,7 +298,7 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
                  .reshape(rr, nchunks, s, 3).transpose(0, 1, 3, 2))
         kernel = functools.partial(
             _gather_kernel_occ, nc=ncell, ng=ng, ng_p=ng_p, ppc=ppc,
-            la=la, ly=ly, halo=halo, box_size=float(box_size),
+            la=la, ly=ly, g8=g8, halo=halo, box_size=float(box_size),
             margin=margin, h=h, s=s, nchunks=nchunks, gemm=gemm)
         out = pl.pallas_call(
             kernel,
@@ -331,8 +341,8 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
 
     kernel = functools.partial(
         _gather_kernel, nc=ncell, cap=cap, ng=ng, ng_p=ng_p, ppc=ppc,
-        la=la, ly=ly, halo=halo, box_size=float(box_size), margin=margin,
-        h=h, s=s, gemm=gemm)
+        la=la, ly=ly, g8=g8, halo=halo, box_size=float(box_size),
+        margin=margin, h=h, s=s, gemm=gemm)
     out = pl.pallas_call(
         kernel,
         grid=(rr, nchunks),
@@ -356,8 +366,8 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
 
 
 def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
-                       nc, ng, ng_p, ppc, la, ly, halo, box_size, margin,
-                       h, s, nchunks, gemm):
+                       nc, ng, ng_p, ppc, la, ly, g8, halo, box_size,
+                       margin, h, s, nchunks, gemm):
     """Occupancy-aware gather: grid (rod,), slots RANK-MAJOR within the
     rod (slot = rank * nc + bucket_z), chunk loop with a DYNAMIC trip
     count ceil(rod_max_count * nc / s) from SMEM. Bucket layouts pack
@@ -365,7 +375,8 @@ def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
     slot in the leading chunks and the dead capacity padding (the
     128-multiple quantization + clustering headroom) is never touched.
     The potential window DMA also runs ONCE per rod instead of once per
-    chunk. Same math as _gather_kernel otherwise."""
+    chunk. Same math as _gather_kernel otherwise (incl. the phase
+    replica selection -- see that kernel's window note)."""
     rod = pl.program_id(0)
     cx = rod // nc
     cy = rod % nc
@@ -374,9 +385,10 @@ def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
     trips = (live + s - 1) // s
 
     y0 = cy * ppc
-    ry = (y0 - (y0 // 8) * 8).astype(jnp.float32)
+    py = y0 - (y0 // 8) * 8
     dma = pltpu.make_async_copy(
-        phi_hbm.at[pl.ds(cx * ppc, la), pl.ds(y0 // 8, ly // 8)],
+        phi_hbm.at[py // g8, pl.ds(cx * ppc, la),
+                   pl.ds((y0 - py) // 8, ly // 8)],
         win, sem)
     dma.start()
     # skipped (all-dead) chunks must still output zeros
@@ -404,7 +416,7 @@ def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
             jnp.all((il >= 0) & (il <= ell - 2), axis=0), 1.0, 0.0)
 
         ax = (i0[0] - (cx * ppc - halo))[None, :]
-        ay = (i0[1] - (cy * ppc - halo) + ry)[None, :]
+        ay = (i0[1] - (cy * ppc - halo))[None, :]
         x1 = _onehot_la(ax, frac[0][None, :], la=la, s=s)
         y1 = _onehot_la(ay, frac[1][None, :], la=ly, s=s)
 
