@@ -131,3 +131,108 @@ def pallas_bilinear_sample(fields, xy, extent, *,
         interpret=interpret,
     )(xyp, fcat)
     return out[:r].T
+
+
+# ---------------------------------------------------------------------------
+# x-windowed variant: grid-coherent ray tiles
+# ---------------------------------------------------------------------------
+
+def _lens_sample_kernel_win(xy_ref, win_ref, out_ref, *, ng, n_fields, w):
+    """Same math as _lens_sample_kernel, but the x (GEMM contraction)
+    axis is a per-tile window: xy_ref[:, 0] arrives RELATIVE to the
+    tile's window origin (in [0, w-2]); win_ref [1, w, F*ng] holds the
+    field rows of this tile's window. The GEMM K dim shrinks from ng to
+    w (one 128-quantized MXU pass instead of ng/128)."""
+    rt = xy_ref.shape[0]
+    u = xy_ref[...] - 0.5
+    i0 = jnp.floor(u)
+    fr = u - i0
+    i0i = i0.astype(jnp.int32)
+
+    ia_x = i0i[:, 0:1]                          # window coords: no mod
+    ia_y = jnp.mod(i0i[:, 1:2], ng)
+    ib_y = jnp.mod(i0i[:, 1:2] + 1, ng)
+    fx = fr[:, 0:1]
+    fy = fr[:, 1:2]
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1)
+    wx = (jnp.where(iota_w == ia_x, 1.0 - fx, 0.0)
+          + jnp.where(iota_w == ia_x + 1, fx, 0.0))   # [RT, w]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rt, ng), 1)
+    wy = (jnp.where(iota == ia_y, 1.0 - fy, 0.0)
+          + jnp.where(iota == ib_y, fy, 0.0))
+
+    t = _dot_bf16x3(wx, win_ref[0])                   # [RT, F*ng]
+    for f in range(n_fields):
+        out_ref[:, f:f + 1] = jnp.sum(
+            t[:, f * ng:(f + 1) * ng] * wy, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def pallas_bilinear_sample_xwin(fields, xy, extent, *, window: int,
+                                interpret: bool = False):
+    """Periodic bilinear sampling of a [F, ng, ng] field stack at
+    xy [R, 2] points -> [F, R], with a per-ray-tile x WINDOW.
+
+    xy[:, 0] must be UNWRAPPED (periodic equivalence assumed, any
+    magnitude/sign): consecutive rays in grid order keep a small x
+    span per tile, which mod-wrapping would split across the box edge.
+    The caller guarantees every _RT-ray tile's x span (in grid cells)
+    is <= window - 10 (see raytracing.lensing.auto_sample_window for
+    the provable bound); the full-field sampler is the fallback when
+    no such bound holds. Cost: the full kernel's GEMM contracts ng
+    rows per tile (cost ~ F*ng^2 per ray); here it contracts `window`
+    rows (~ F*ng*128-quantized), so 512^2 fields stop paying 4x over
+    256^2 on the MXU side.
+    """
+    n_fields, ng = fields.shape[0], fields.shape[-1]
+    if ng % 128:
+        raise ValueError(f"pallas_bilinear_sample_xwin needs ng % 128 "
+                         f"== 0, got {ng}")
+    w = ((int(window) + 7) // 8) * 8
+    if w >= ng:
+        raise ValueError(f"window {window} >= ng {ng}: use "
+                         f"pallas_bilinear_sample")
+    r = xy.shape[0]
+    r_pad = ((r + _RT - 1) // _RT) * _RT
+    n_tiles = r_pad // _RT
+    xg = (xy[:, 0] / extent * ng).astype(jnp.float32)     # unwrapped
+    yg = jnp.mod(xy[:, 1] / extent * ng, ng).astype(jnp.float32)
+    # edge-pad: zero-padding would drag the LAST tile's window origin
+    # to row 0 and push its real rays past the window
+    xg = jnp.pad(xg, (0, r_pad - r), mode="edge") if r_pad > r else xg
+    yg = jnp.pad(yg, (0, r_pad - r)) if r_pad > r else yg
+
+    # per-tile window origin = the tile's minimum CIC base cell, so the
+    # in-kernel i0_rel = floor(xrel - 0.5) = i0 - x0 starts at row 0
+    xt = xg.reshape(n_tiles, _RT)
+    x0 = jnp.floor(jnp.min(xt, axis=1) - 0.5).astype(jnp.int32)   # [T]
+    phase = jnp.mod(x0, ng)                                # in [0, ng)
+    xrel = (xt - x0[:, None].astype(jnp.float32)).reshape(r_pad)
+    xyp = jnp.stack([xrel, yg], axis=1)
+
+    # [F, ng, ng] -> [ng + w, F*ng] with wrap rows so every window
+    # [phase, phase + w) reads periodic content
+    fcat = jnp.concatenate(
+        [fields[f].astype(jnp.float32) for f in range(n_fields)], axis=1)
+    fcat_pad = jnp.concatenate([fcat, fcat[:w]], axis=0)
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            fcat_pad, (s, 0), (w, n_fields * ng)))(phase)  # [T, w, F*ng]
+
+    kernel = functools.partial(
+        _lens_sample_kernel_win, ng=ng, n_fields=n_fields, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_RT, 2), lambda i: (i, 0)),
+            pl.BlockSpec((1, w, n_fields * ng), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_RT, n_fields), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, n_fields), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xyp, windows)
+    return out[:r].T

@@ -224,9 +224,67 @@ class RayBundle:
 
 
 @partial(jax.jit, static_argnames=("ng", "jacobian"))
+def lens_plane_fields(params: CosmologyParams, delta_planes, chi_planes,
+                      a_planes, d_chi, box_size, chi_source, *, ng: int,
+                      jacobian: bool = False):
+    """Per-plane field stacks [L, F, ng, ng] for trace_rays: comoving
+    deflection (alpha_x, alpha_y), the overdensity, and (jacobian=True)
+    the three potential second derivatives. Split out of trace_rays so
+    callers can bound the deflection magnitudes BEFORE tracing (the
+    windowed sampler needs a static ray-wander bound:
+    auto_sample_window)."""
+    def plane_fields(delta, chi_l, a_l):
+        w = lensing_efficiency(params, chi_l, chi_source, a_l)
+        kappa_plane = w * d_chi * delta
+        alpha = deflection_from_kappa(kappa_plane, box_size, ng=ng)
+        parts = [alpha, delta[None]]
+        if jacobian:
+            parts.append(second_derivs_from_kappa(kappa_plane, box_size,
+                                                  ng=ng))
+        return jnp.concatenate(parts, axis=0)
+
+    return jax.vmap(plane_fields)(delta_planes, jnp.asarray(chi_planes),
+                                  jnp.asarray(a_planes))
+
+
+def auto_sample_window(fields_l, chi_planes, theta0, box_size,
+                       *, ng: int, rt: int | None = None) -> int:
+    """Provable per-tile x-span bound (grid cells) for the windowed ray
+    sampler, or 0 when no useful bound holds (callers then use the
+    full-field sampler).
+
+    Any ray's angular wander is bounded by sum_l max|alpha_x,l| / chi_l
+    (bilinear samples are convex combinations of grid values), so a
+    tile of consecutive rays spans at most
+    (theta0 tile span + 2 * wander) * chi_max in comoving x. Host-side:
+    pulls L+1 scalars off device; call once per geometry, outside jit.
+    """
+    import numpy as np
+    from ..ops.pallas_lens_sample import _RT
+    if rt is None:
+        rt = _RT
+    chis = np.asarray(chi_planes, dtype=np.float64)
+    # per-plane max |alpha_x| (field channel 0), one scalar per plane
+    a_max = np.asarray(jax.jit(
+        lambda f: jnp.max(jnp.abs(f[:, 0]), axis=(1, 2)))(fields_l))
+    wander = float(np.sum(a_max / chis))            # radians
+    tx = np.asarray(theta0[:, 0], dtype=np.float64)
+    pad = (-len(tx)) % rt
+    if pad:
+        tx = np.concatenate([tx, np.repeat(tx[-1], pad)])
+    tiles = tx.reshape(-1, rt)
+    span0 = float((tiles.max(axis=1) - tiles.min(axis=1)).max())
+    cell = float(box_size) / ng
+    span_cells = (span0 + 2.0 * wander) * float(chis.max()) / cell
+    window = int(np.ceil(span_cells)) + 10
+    return window if window < ng else 0
+
+
+@partial(jax.jit, static_argnames=("ng", "jacobian", "window"))
 def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
                d_chi, box_size, theta0, chi_source, *, ng: int,
-               jacobian: bool = False):
+               jacobian: bool = False, window: int = 0,
+               fields_l=None):
     """Multi-plane raytracing (beyond Born): propagate a ray bundle through
     the lens planes, deflecting at each.
 
@@ -245,24 +303,25 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
     kappa_jac = 1 - tr(A)/2. Three extra field channels ride the same
     one-hot MXU sampling, so the added cost is ~2x the sampler, not 2x
     the tracer.
+
+    `window > 0` (TPU, grid-ordered rays): per-tile x-windowed MXU
+    sampling — the sampler GEMM contracts `window` field rows instead
+    of all ng, making the cost ~ng-linear instead of ~ng^2 (the 512^2
+    degradation of BASELINE.md round 3). The caller must supply a
+    window honoring auto_sample_window's span bound. `fields_l`
+    optionally passes precomputed lens_plane_fields (callers that
+    needed them for the window bound avoid building them twice).
     """
     chi_planes = jnp.asarray(chi_planes)
     a_planes = jnp.asarray(a_planes)
     n_planes = delta_planes.shape[0]
 
-    # precompute per-plane comoving deflection (and Hessian) fields:
-    # alpha_comoving = grad_perp psi, lap(psi) = 2 W delta d_chi
-    def plane_fields(delta, chi_l, a_l):
-        w = lensing_efficiency(params, chi_l, chi_source, a_l)
-        kappa_plane = w * d_chi * delta
-        alpha = deflection_from_kappa(kappa_plane, box_size, ng=ng)
-        parts = [alpha, delta[None]]
-        if jacobian:
-            parts.append(second_derivs_from_kappa(kappa_plane, box_size,
-                                                  ng=ng))
-        return jnp.concatenate(parts, axis=0)
-
-    fields_l = jax.vmap(plane_fields)(delta_planes, chi_planes, a_planes)
+    if fields_l is None:
+        # per-plane comoving deflection (and Hessian) fields:
+        # alpha_comoving = grad_perp psi, lap(psi) = 2 W delta d_chi
+        fields_l = lens_plane_fields(params, delta_planes, chi_planes,
+                                     a_planes, d_chi, box_size,
+                                     chi_source, ng=ng, jacobian=jacobian)
 
     def step(carry, idx):
         # the [R, 2, 2] distortion carry exists only in jacobian mode:
@@ -271,17 +330,25 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
         # ~32 B/ray/plane of loop-state traffic for nothing
         theta, kap, amat = carry if jacobian else (*carry, None)
         chi_l = chi_planes[idx]
-        # comoving impact position on this plane (small-angle)
-        xy = jnp.mod(theta * chi_l, box_size)
         # one MXU one-hot sampling for every field channel: XLA
         # gathers serialize on TPU (~9 ms/plane at 65k rays). On TPU
         # the fused Pallas tile sampler avoids materializing the
         # [F, R, ng] GEMM intermediate to HBM (~400 MB/plane at the
         # bench geometry — the tracer's dominant cost).
-        if jax.default_backend() == "tpu" and ng % 128 == 0:
+        on_tpu = jax.default_backend() == "tpu" and ng % 128 == 0
+        if on_tpu and window > 0:
+            from ..ops.pallas_lens_sample import (
+                pallas_bilinear_sample_xwin)
+            # UNWRAPPED comoving impact position: mod would split a
+            # grid-coherent tile's x span across the box edge
+            sampled = pallas_bilinear_sample_xwin(
+                fields_l[idx], theta * chi_l, box_size, window=window)
+        elif on_tpu:
             from ..ops.pallas_lens_sample import pallas_bilinear_sample
+            xy = jnp.mod(theta * chi_l, box_size)
             sampled = pallas_bilinear_sample(fields_l[idx], xy, box_size)
         else:
+            xy = jnp.mod(theta * chi_l, box_size)
             sampled = bilinear_sample_matmul(fields_l[idx], xy, box_size)
         ax, ay, dl = sampled[0], sampled[1], sampled[2]
         # the potential u solves lap_x(u) = 2 kappa on the COMOVING grid;
@@ -416,8 +483,21 @@ def raytraced_maps_from_state(state, params: CosmologyParams, box_size,
     ang = (jnp.arange(n_rays_side) + 0.5) * box_size         / n_rays_side / chis[0]
     theta0 = jnp.stack(jnp.meshgrid(ang, ang, indexing="ij"),
                        -1).reshape(-1, 2)
+    window = 0
+    fields_l = None
+    if jax.default_backend() == "tpu" and ng % 128 == 0:
+        # two-stage: build the plane fields first, bound the ray wander
+        # from their measured deflection maxima, then trace with the
+        # windowed sampler (falls back to full-field when the bound is
+        # useless, window=0)
+        fields_l = lens_plane_fields(params, deltas, chis, a_l, d_chi,
+                                     box_size, chi_s, ng=ng,
+                                     jacobian=True)
+        window = auto_sample_window(fields_l, chis, theta0, box_size,
+                                    ng=ng)
     b = trace_rays(params, deltas, chis, a_l, d_chi, box_size, theta0,
-                   chi_s, ng=ng, jacobian=True)
+                   chi_s, ng=ng, jacobian=True, window=window,
+                   fields_l=fields_l)
     shp = (n_rays_side, n_rays_side)
     return {"kappa": b.kappa.reshape(shp),
             "kappa_jac": b.kappa_jac.reshape(shp),

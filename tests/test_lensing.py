@@ -504,3 +504,79 @@ class TestPallasSampler:
         xy = jnp.zeros((8, 2))
         with pytest.raises(ValueError, match="128"):
             pallas_bilinear_sample(fields, xy, 10.0, interpret=True)
+
+class TestWindowedSampler:
+    """ops/pallas_lens_sample.pallas_bilinear_sample_xwin: the per-tile
+    x-windowed variant for grid-coherent ray bundles (512^2 scaling)."""
+
+    def _ref(self, fields, xy, ext):
+        from lambda_cdm_tpu.raytracing.lensing import bilinear_sample
+        xyw = jnp.mod(xy, ext)
+        return jnp.stack([bilinear_sample(fields[f], xyw, ext)
+                          for f in range(fields.shape[0])])
+
+    def _coherent_rays(self, key, n, ext, drift):
+        """Grid-coherent bundle: consecutive rays' x advances slowly
+        (total drift `drift`*ext, UNWRAPPED: starts negative, ends past
+        the box edge), y uniform over the box."""
+        idx = jnp.arange(n) / n
+        x = (-0.25 + drift * idx) * ext
+        x = x + jax.random.uniform(key, (n,), maxval=0.01 * ext)
+        y = jax.random.uniform(jax.random.fold_in(key, 1), (n,),
+                               maxval=ext)
+        return jnp.stack([x, y], axis=1)
+
+    def test_matches_full_sampler(self):
+        from lambda_cdm_tpu.ops.pallas_lens_sample import (
+            _RT, pallas_bilinear_sample_xwin)
+        F, ng, ext = 3, 128, 37.5
+        n = 2 * _RT + 700          # exercises the edge-padded last tile
+        fields = jax.random.normal(jax.random.PRNGKey(0), (F, ng, ng))
+        xy = self._coherent_rays(jax.random.PRNGKey(1), n, ext, drift=0.6)
+        # per-tile span: 0.6 * ext * _RT / n ~ 0.25 ext = 32 cells
+        got = pallas_bilinear_sample_xwin(fields, xy, ext, window=48,
+                                          interpret=True)
+        ref = self._ref(fields, xy, ext)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_rejects_window_ge_ng(self):
+        from lambda_cdm_tpu.ops.pallas_lens_sample import \
+            pallas_bilinear_sample_xwin
+        fields = jnp.zeros((1, 128, 128))
+        xy = jnp.zeros((8, 2))
+        with pytest.raises(ValueError, match="window"):
+            pallas_bilinear_sample_xwin(fields, xy, 10.0, window=128,
+                                        interpret=True)
+
+    def test_auto_window_bound(self):
+        """auto_sample_window's bound is safe: tracing with it matches
+        the full-field matmul sampler (CPU path drives the same math;
+        the window contract itself is validated in interpret mode
+        above)."""
+        from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+        from lambda_cdm_tpu.raytracing.lensing import (
+            auto_sample_window, lens_plane_fields)
+        params = CosmologyParams()
+        ng, L, box = 128, 4, 400.0
+        key = jax.random.PRNGKey(5)
+        deltas = 0.3 * jax.random.normal(key, (L, ng, ng))
+        chis = 900.0 + jnp.arange(L) * 100.0
+        a_l = jnp.full((L,), 0.7)
+        chi_s = 1500.0
+        fields = lens_plane_fields(params, deltas, chis, a_l, box / L,
+                                   box, chi_s, ng=ng, jacobian=False)
+        n_side = 64
+        ang = (jnp.arange(n_side) + 0.5) * box / n_side / chis[0]
+        theta0 = jnp.stack(jnp.meshgrid(ang, ang, indexing="ij"),
+                           -1).reshape(-1, 2)
+        w = auto_sample_window(fields, chis, theta0, box, ng=ng, rt=2048)
+        assert isinstance(w, int)
+        if w:   # bound useful: every tile's true span must fit
+            import numpy as np_
+            xg = np_.asarray(theta0[:, 0]) * float(chis[-1]) / (box / ng)
+            pad = (-len(xg)) % 2048
+            xg = np_.concatenate([xg, np_.repeat(xg[-1], pad)])
+            tiles = xg.reshape(-1, 2048)
+            span = (tiles.max(1) - tiles.min(1)).max()
+            assert span + 4 < w
