@@ -75,6 +75,42 @@ print("LENS WIN OK")
 EOF
 rc=$?; tail -3 $LOG/lens_win.log; [ $rc -ne 0 ] && echo "stage 2 rc=$rc" && exit 1
 
+echo "=== stage 2b: windowed trace_rays vs full (integration parity)"
+timeout 1800 python - > $LOG/trace_win.log 2>&1 <<'EOF'
+import sys; sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+from lambda_cdm_tpu.raytracing.lensing import (auto_sample_window,
+                                               lens_plane_fields,
+                                               trace_rays)
+params = CosmologyParams()
+ng, L, box = 256, 8, 100.0
+planes = 0.2 * jax.random.normal(jax.random.PRNGKey(0), (L, ng, ng))
+chis = jnp.linspace(400.0, 1100.0, L)
+a_l = jnp.linspace(0.9, 0.7, L)
+n_side = 128
+ang = (jnp.arange(n_side) + 0.5) * (box / 2000.0) / n_side
+theta0 = jnp.stack(jnp.meshgrid(ang, ang, indexing="ij"),
+                   -1).reshape(-1, 2)
+fl = lens_plane_fields(params, planes, chis, a_l, 100.0, box, 2500.0,
+                       ng=ng, jacobian=True)
+w = auto_sample_window(fl, chis, theta0, box, ng=ng)
+print("window:", w)
+assert w > 0
+bw = trace_rays(params, planes, chis, a_l, 100.0, box, theta0, 2500.0,
+                ng=ng, jacobian=True, window=w, fields_l=fl)
+bf = trace_rays(params, planes, chis, a_l, 100.0, box, theta0, 2500.0,
+                ng=ng, jacobian=True, window=0, fields_l=fl)
+for name in ("theta", "kappa", "gamma", "mu", "omega"):
+    a = np.asarray(getattr(bw, name)); b = np.asarray(getattr(bf, name))
+    scale = np.max(np.abs(b)) + 1e-30
+    err = np.max(np.abs(a - b)) / scale
+    print(f"{name}: rel {err:.2e}")
+    assert err < 1e-3, name
+print("TRACE WIN OK")
+EOF
+rc=$?; tail -8 $LOG/trace_win.log; [ $rc -ne 0 ] && echo "stage 2b rc=$rc" && exit 1
+
 echo "=== stage 3: 1M full step @192^3 (replica-window PM, vpu4b SR)"
 timeout 3000 python benchmarks/exp_fullstep.py > $LOG/fullstep.log 2>&1
 rc=$?; tail -4 $LOG/fullstep.log; echo "exp_fullstep rc=$rc"
