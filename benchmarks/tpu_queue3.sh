@@ -36,8 +36,13 @@ for ng, ncell in ((48, 8), (64, 8)):   # ppc=6 (4 replicas), ppc=8 (1)
     #                                dense path computes an origin force
     got = np.asarray(pallas_gather_fd4(
         phi, bpos, ncell=ncell, ng=ng, box_size=box))
+    # reference: interpret + HIGHEST. Interpret-mode bf16x3 on the TPU
+    # backend hits the documented cast-pair folding (CLAUDE.md): XLA
+    # folds x - f32(bf16(x)) to zero, degrading it to ONE bf16 pass
+    # (~3e-3) -- the real Mosaic kernel is the accurate one (8e-6).
     ref = np.asarray(pallas_gather_fd4(
-        phi, bpos, ncell=ncell, ng=ng, box_size=box, interpret=True))
+        phi, bpos, ncell=ncell, ng=ng, box_size=box, interpret=True,
+        gemm="highest"))
     scale = np.max(np.abs(ref[live])) + 1e-30
     err = np.max(np.abs((got - ref)[live])) / scale
     print(f"ng={ng} ppc={ng//ncell}: rel err vs interpret {err:.2e}")
