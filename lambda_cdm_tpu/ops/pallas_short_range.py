@@ -42,6 +42,22 @@ floor on v5e; analyzed alternatives that do NOT pay off:
   * Newton's-3rd-law cell-pair halving: only the 3/27 center-rod share
     is exploitable inside one sequential grid instance (cross-instance
     accumulation would race); <4% upside.
+  * Newton-3 ACROSS instances via per-offset output buffers (round-3
+    re-analysis of the remaining cross-instance idea, in vreg-row
+    issues per [16,128] pair tile on vpu4b): the mirror tile this
+    saves costs 36 (shared pair math) + 8 (i-accumulate) = 44 issues;
+    the j-side accumulation it adds costs 2 (wj = m_i*f) + 6 (wj*d) +
+    ~18 (three cross-sublane reductions [16,128]->[1,128]) + 6 (VMEM
+    read-modify-write of the j accumulator) = ~32 issues, i.e. a
+    ~14% net cut of the pair loop BEFORE the new fixed costs: 13
+    per-offset HBM force buffers (one [4, nc^3, cap] f32 write + read
+    each, ~1 ms at the 1M geometry) and an XLA reduction pass. Every
+    scheme in this family has measured at or above its issue-count
+    estimate (rod-dense: 4x over; vpu4: 2x over), so the realistic
+    upside is <=10% with high Mosaic-lowering risk -- rejected. The
+    j-reduction is irreducible: holding [16,128] j accumulators per
+    (rod, zr) tile to amortize it needs 9*(nc/2+2)*3 vregs (~4 MB
+    VMEM at nc=32) and still pays the same RMW issues per tile.
   * Lower-degree split polynomial: degree 8 costs 2 of ~31 VPU
     ops/pair but raises the S-error 25x (1.4e-3); not worth it.
 """
