@@ -312,6 +312,62 @@ def cross_power_spectrum(positions_a, positions_b, box_size, ng: int = 128,
     return ksum / safe, psum / safe, counts
 
 
+@partial(jax.jit, static_argnames=("num_bins", "log_bins"))
+def angular_power_spectrum(map_a, fov, map_b=None, *, num_bins: int = 24,
+                           ell_min=None, ell_max=None,
+                           log_bins: bool = True):
+    """Flat-sky angular (cross-)power spectrum C_ell of a square map.
+
+    Closes the loop from the raytracer's kappa/gamma maps
+    (raytracing.lensing.raytraced_maps_from_state) back to a binned
+    observable -- the 2D analogue of power_from_delta. The reference
+    framework has no map-space spectra at all; its raytracing README
+    north star stops at the maps.
+
+    `map_a` (and optional `map_b` for a cross-spectrum) is [n, n] over
+    a `fov` x `fov` (radians) field; returns (ell, C_ell, counts) with
+    ell the bin-averaged multipole. Estimator: C_ell = |kappa_hat|^2 /
+    Omega with the continuum transform kappa_hat = pix^2 * DFT(map),
+    Omega = fov^2; modes binned by |l|, rfft2 half-plane weighted by
+    Hermitian multiplicity. On TPU the transform is the MXU
+    DFT-by-matmul (ops/matmul_fft) and binning is chunked one-hot
+    GEMMs (_bin_reduce) -- no scatters.
+    """
+    n = map_a.shape[-1]
+    pix = fov / n
+    fa = _rfftn(map_a[None])[0]                      # [n, n//2 + 1]
+    fb = fa if map_b is None else _rfftn(map_b[None])[0]
+    spec = (fa.real * fb.real + fa.imag * fb.imag) \
+        * (pix ** 4 / (fov * fov))
+
+    nz = n // 2 + 1
+    # fftfreq/rfftfreq by hand: `pix` may be traced (fov is not static)
+    idx = jnp.arange(n)
+    lx = 2.0 * jnp.pi * jnp.where(idx <= (n - 1) // 2, idx, idx - n) \
+        / (n * pix)                                  # [n]
+    ly = 2.0 * jnp.pi * jnp.arange(nz) / (n * pix)   # [nz]
+    lmag = jnp.sqrt(lx[:, None] ** 2 + ly[None, :] ** 2)
+    mult = jnp.full((nz,), 2.0).at[0].set(1.0)
+    if n % 2 == 0:
+        mult = mult.at[nz - 1].set(1.0)
+    mult = jnp.broadcast_to(mult[None, :], (n, nz))
+
+    l_lo = (2.0 * jnp.pi / fov) if ell_min is None else ell_min
+    # default reach includes the corner modes (|l| up to sqrt(2) Nyq)
+    l_hi = (jnp.sqrt(2.0) * jnp.pi * n / fov) * (1 + 1e-6) \
+        if ell_max is None else ell_max
+    bin_idx = _bin_index(lmag.ravel(), l_lo, l_hi, num_bins,
+                         log_bins=log_bins)
+    valid = (bin_idx >= 0) & (bin_idx < num_bins) & (lmag.ravel() > 0)
+    bin_idx = jnp.where(valid, bin_idx, num_bins)
+    wts = jnp.where(valid, mult.ravel(), 0.0)
+    csum, lsum, counts = _bin_reduce(
+        jnp.stack([wts * spec.ravel(), wts * lmag.ravel(), wts]),
+        bin_idx, num_bins)
+    safe = jnp.maximum(counts, 1e-30)
+    return lsum / safe, csum / safe, counts
+
+
 def redshift_space_positions(positions, velocities, box_size, *,
                              scale_factor, hubble_internal_rate,
                              axis: int = 2):
