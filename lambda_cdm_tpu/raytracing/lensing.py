@@ -71,8 +71,16 @@ def overdensity_plane(sigma):
 
 def lensing_efficiency(params: CosmologyParams, chi_l, chi_s, a_l):
     """Lensing kernel W = (3/2) (H0/c)^2 Omega_m chi_l (1 - chi_l/chi_s)/a_l
-    (flat universe, comoving distances)."""
-    h0_c = params.h0 / C_KM_S   # [1/Mpc]
+    (flat universe).
+
+    UNITS: every comoving length in this module is **Mpc/h** — the
+    simulation's box unit (RHO_CRIT is (1e10 Msun/h)/(Mpc/h)^3), which
+    is what the *_from_state entry points pass straight through. In
+    Mpc/h, H0/c = 100/c per (Mpc/h) independent of h. (Round-3 fix: this
+    previously used params.h0/c = per-PHYSICAL-Mpc against Mpc/h
+    distances, underestimating kappa by h^2 ~ 2.2x; caught by the
+    Limber C_ell pipeline validation, tests/test_lensing_limber.py.)"""
+    h0_c = 100.0 / C_KM_S   # [h/Mpc] = per (Mpc/h)
     return (1.5 * h0_c * h0_c * params.omega_m
             * chi_l * (1.0 - chi_l / chi_s) / a_l)
 
@@ -435,6 +443,41 @@ def snapshot_lightcone_planes(positions, masses, box_size, *, ng: int,
         # convert surface density to mean 3D overdensity through the slab
         planes.append(sigma / (rho_bar * d_chi) - 1.0)
     return jnp.stack(planes), d_chi
+
+
+def limber_convergence_cl(params: CosmologyParams, ells, z_source,
+                          *, n_chi: int = 256,
+                          transfer: str = "eisenstein_hu"):
+    """Theory C_ell^kappa-kappa in the Limber + flat-sky approximation
+    from the LINEAR matter power spectrum:
+
+        C_ell = int_0^chi_s dchi  W(chi)^2 / chi^2
+                                  P_lin((ell + 1/2)/chi, z(chi))
+
+    with W = lensing_efficiency (all lengths Mpc/h; linear_power takes
+    k in h/Mpc and returns (Mpc/h)^3, so the integrand is consistently
+    dimensionless per (Mpc/h)). Midpoint rule on a uniform chi grid.
+
+    This is the theory curve the measured angular_power_spectrum of a
+    traced kappa map validates against (the reference has no lensing
+    theory at all); accurate on linear scales — a nonlinear P(k) would
+    be needed for ell >~ a few hundred at z_s ~ 1 against a real
+    evolved lightcone, but the pipeline test traces planes DRAWN from
+    linear theory, closing the normalization loop exactly.
+    """
+    from ..physics.cosmology import scale_factor_at_chi
+    from ..physics.power_spectra import linear_power
+    ells = jnp.asarray(ells, jnp.float32)
+    chi_s = comoving_distance(params, z_source) * params.h   # Mpc/h
+    i = (jnp.arange(n_chi, dtype=jnp.float32) + 0.5) / n_chi
+    chi = chi_s * i
+    d_chi = chi_s / n_chi
+    a = scale_factor_at_chi(params, chi / params.h)
+    z = 1.0 / a - 1.0
+    w = lensing_efficiency(params, chi, chi_s, a)            # [n_chi]
+    k = (ells[:, None] + 0.5) / chi[None, :]                 # h/Mpc
+    p = linear_power(params, k, z=z[None, :], transfer=transfer)
+    return jnp.sum((w / chi)[None, :] ** 2 * p, axis=1) * d_chi
 
 
 def convergence_map_from_state(state, params: CosmologyParams, box_size,
