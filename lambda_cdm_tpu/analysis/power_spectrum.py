@@ -368,6 +368,72 @@ def angular_power_spectrum(map_a, fov, map_b=None, *, num_bins: int = 24,
     return lsum / safe, csum / safe, counts
 
 
+@partial(jax.jit, static_argnames=("num_bins", "log_bins"))
+def shear_eb_spectra(gamma1, gamma2, fov, *, num_bins: int = 24,
+                     ell_min=None, ell_max=None, log_bins: bool = True):
+    """Flat-sky E/B decomposition of a shear map -> (ell, C_EE, C_BB,
+    C_EB, counts).
+
+    E(l) = cos(2 phi_l) g1(l) + sin(2 phi_l) g2(l),
+    B(l) = -sin(2 phi_l) g1(l) + cos(2 phi_l) g2(l), phi_l the mode
+    angle. For shear derived from any scalar lensing potential,
+    C_EE = C_kappakappa and C_BB = 0 (B modes only from post-Born
+    coupling, systematics, or noise) -- the standard weak-lensing
+    null test, validated by tests/test_angular_power.py against the
+    module's own kappa -> gamma chain. Same estimator normalization
+    and binning as angular_power_spectrum.
+
+    Caveat: modes on the axis-Nyquist rows (|l_i| = pi*n/fov, even n)
+    have sign-ambiguous mode angles under the real FFT, leaking ~0.4%
+    E power into B in the bins that contain them; pass
+    ell_max < pi*n/fov for a clean null test.
+    """
+    n = gamma1.shape[-1]
+    pix = fov / n
+    g1 = _rfftn(gamma1[None])[0]
+    g2 = _rfftn(gamma2[None])[0]
+
+    nz = n // 2 + 1
+    idx = jnp.arange(n)
+    lx = 2.0 * jnp.pi * jnp.where(idx <= (n - 1) // 2, idx, idx - n) \
+        / (n * pix)
+    ly = 2.0 * jnp.pi * jnp.arange(nz) / (n * pix)
+    lxg = jnp.broadcast_to(lx[:, None], (n, nz))
+    lyg = jnp.broadcast_to(ly[None, :], (n, nz))
+    l2 = jnp.maximum(lxg ** 2 + lyg ** 2, 1e-30)
+    c2 = (lxg ** 2 - lyg ** 2) / l2          # cos(2 phi_l)
+    s2 = 2.0 * lxg * lyg / l2                # sin(2 phi_l)
+
+    e_re = c2 * g1.real + s2 * g2.real
+    e_im = c2 * g1.imag + s2 * g2.imag
+    b_re = -s2 * g1.real + c2 * g2.real
+    b_im = -s2 * g1.imag + c2 * g2.imag
+    norm = pix ** 4 / (fov * fov)
+    see = (e_re ** 2 + e_im ** 2) * norm
+    sbb = (b_re ** 2 + b_im ** 2) * norm
+    seb = (e_re * b_re + e_im * b_im) * norm
+
+    lmag = jnp.sqrt(lxg ** 2 + lyg ** 2)
+    mult = jnp.full((nz,), 2.0).at[0].set(1.0)
+    if n % 2 == 0:
+        mult = mult.at[nz - 1].set(1.0)
+    mult = jnp.broadcast_to(mult[None, :], (n, nz))
+    l_lo = (2.0 * jnp.pi / fov) if ell_min is None else ell_min
+    l_hi = (jnp.sqrt(2.0) * jnp.pi * n / fov) * (1 + 1e-6) \
+        if ell_max is None else ell_max
+    bin_idx = _bin_index(lmag.ravel(), l_lo, l_hi, num_bins,
+                         log_bins=log_bins)
+    valid = (bin_idx >= 0) & (bin_idx < num_bins) & (lmag.ravel() > 0)
+    bin_idx = jnp.where(valid, bin_idx, num_bins)
+    wts = jnp.where(valid, mult.ravel(), 0.0)
+    esum, bsum, xsum, lsum, counts = _bin_reduce(
+        jnp.stack([wts * see.ravel(), wts * sbb.ravel(),
+                   wts * seb.ravel(), wts * lmag.ravel(), wts]),
+        bin_idx, num_bins)
+    safe = jnp.maximum(counts, 1e-30)
+    return (lsum / safe, esum / safe, bsum / safe, xsum / safe, counts)
+
+
 def redshift_space_positions(positions, velocities, box_size, *,
                              scale_factor, hubble_internal_rate,
                              axis: int = 2):

@@ -83,3 +83,34 @@ def test_cross_spectrum_identity_and_symmetry():
     # correlated part dominates: 0 < C_ab < sqrt(C_aa C_bb) (Cauchy-
     # Schwarz holds per mode, binned average can fluctuate -- loose)
     assert np.all(np.asarray(c_ab) > 0)
+
+
+def test_shear_eb_identity_from_scalar_potential():
+    """gamma derived from a scalar kappa must be pure E with
+    C_EE = C_kappakappa and C_BB = 0 (flat-sky identity)."""
+    from lambda_cdm_tpu.analysis.power_spectrum import shear_eb_spectra
+    from lambda_cdm_tpu.raytracing.lensing import second_derivs_from_kappa
+
+    n, fov = 128, 0.1
+    kappa = jax.random.normal(jax.random.PRNGKey(5), (n, n))
+    kappa = kappa - jnp.mean(kappa)
+    uxx, uxy, uyy = second_derivs_from_kappa(kappa, fov, ng=n)
+    gamma1 = 0.5 * (uxx - uyy)
+    gamma2 = uxy
+    # consistency of the Poisson round-trip itself
+    np.testing.assert_allclose(np.asarray(0.5 * (uxx + uyy)),
+                               np.asarray(kappa), atol=1e-4)
+
+    # stay below the axis Nyquist: those modes' angles are sign-
+    # ambiguous under the real FFT (see shear_eb_spectra docstring)
+    lmax = 0.95 * np.pi * n / fov
+    ell, cee, cbb, ceb, counts = shear_eb_spectra(
+        gamma1, gamma2, fov, num_bins=12, ell_max=lmax)
+    _, ckk, _ = angular_power_spectrum(kappa, fov, num_bins=12,
+                                       ell_max=lmax)
+    ok = np.asarray(counts) > 0
+    np.testing.assert_allclose(np.asarray(cee)[ok], np.asarray(ckk)[ok],
+                               rtol=1e-4)
+    assert np.all(np.asarray(cbb)[ok] < 1e-8 * np.asarray(cee)[ok])
+    assert np.all(np.abs(np.asarray(ceb)[ok])
+                  < 1e-4 * np.asarray(cee)[ok])
