@@ -20,6 +20,7 @@ source-distance monotonicity).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lambda_cdm_tpu.analysis.power_spectrum import angular_power_spectrum
 from lambda_cdm_tpu.physics.cosmology import (CosmologyParams,
@@ -43,6 +44,7 @@ def _gaussian_plane(key, ng, box, p2d_fn):
                           s=(ng, ng))
 
 
+@pytest.mark.slow      # 3 traced realizations, ~45 s on one core
 def test_traced_cl_matches_limber():
     ng, box = 256, 300.0           # Mpc/h plane patches
     n_planes = 8
