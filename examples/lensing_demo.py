@@ -65,6 +65,28 @@ def main():
           f"mu rms-1 = {float(jnp.std(bundle.mu)):.3e}, "
           f"omega rms = {float(jnp.std(bundle.omega)):.3e}")
 
+    # map-space spectra: measured flat-sky C_ell of the convergence map,
+    # E/B decomposition of its shear, and the Limber theory curve
+    from lambda_cdm_tpu.analysis.power_spectrum import (
+        angular_power_spectrum, shear_eb_spectra)
+    fov = box / chi_s                       # angular extent of the map
+    ell, cl, counts = angular_power_spectrum(kappa, fov, num_bins=8)
+    ell_e, cee, cbb, _, _ = shear_eb_spectra(gamma[0], gamma[1], fov,
+                                             num_bins=8)
+    cl_th = lz.limber_convergence_cl(params, ell, 1.0)
+    print("ell        C_ell(kappa)  C_EE          C_BB          "
+          "Limber(linear)")
+    for i in range(len(ell)):
+        if float(counts[i]) > 0:
+            print(f"{float(ell[i]):9.1f}  {float(cl[i]):.4e}  "
+                  f"{float(cee[i]):.4e}  {float(cbb[i]):.4e}  "
+                  f"{float(cl_th[i]):.4e}")
+    print("(C_EE == C_ell(kappa) and C_BB ~ 0: shear here derives from "
+          "that same kappa map.\n The Limber column assumes a fully "
+          "evolved z~0 lightcone -- this demo's 40-step\n 32^3 box is "
+          "deliberately tiny; tests/test_lensing_limber.py validates "
+          "the\n absolute normalization against theory.)")
+
 
 if __name__ == "__main__":
     main()
