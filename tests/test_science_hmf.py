@@ -1,5 +1,10 @@
-"""End-to-end science validation #2: evolve a box from z=19 to z=0 and
-compare the FoF halo mass function against Sheth-Tormen theory.
+"""End-to-end science validation #2: evolve a box from z=19 to z=0.5
+and compare the FoF halo mass function against Sheth-Tormen theory
+(ST is z-parameterized, so any epoch closes the loop; stopping at
+z=0.5 keeps the late-time clustering era -- where the global bucket
+capacity and the acceleration-limited adaptive dt make CPU steps
+expensive -- inside the slow-tier budget; a z=0 probe run of the same
+config took ~2 h on one core).
 
 Closes the ICs -> solver -> halo-analysis loop the same way
 test_science_pk.py closes the P(k) loop (the reference declares the
@@ -34,9 +39,16 @@ from lambda_cdm_tpu.physics.cosmology import CosmologyParams
 pytestmark = pytest.mark.slow  # full z=19 -> 0 evolution, minutes
 
 
+Z_FINAL = 0.5
+
+
 def test_evolved_fof_mass_function_matches_sheth_tormen():
     params = CosmologyParams()
-    n_side, ng_ic, box = 48, 48, 75.0
+    # 40^3 at the headline density: small enough for the CPU slow tier
+    # (the first cut, 48^3 with softening 0.1, ran >2 h on one core --
+    # the adaptive dt limiter is eta*sqrt(eps/|a|_max), so a tight
+    # softening stalls the late-time steps inside collapsed halos)
+    n_side, ng_ic, box = 40, 40, 62.5
     a_i = 0.05
     pos, vel = ics.lpt_displacements(
         jax.random.PRNGKey(7), params, ng=ng_ic, n_side=n_side,
@@ -49,15 +61,15 @@ def test_evolved_fof_mass_function_matches_sheth_tormen():
     cfg.particles.num_particles = n
     cfg.particles.box_size = box
     cfg.forces.type = "treepm_fast"
-    cfg.forces.softening_length = 0.1
+    cfg.forces.softening_length = 0.3
     cfg.forces.rebucket_every = 4
     cfg.time.initial_timestep = 1e-4
     cfg.time.final_time = 1e9
     cfg.cosmology.initial_redshift = 1.0 / a_i - 1.0
-    cfg.cosmology.final_redshift = 0.0
+    cfg.cosmology.final_redshift = Z_FINAL
     cfg.integration.kick_mode = "comoving"
     cfg.integration.adaptive_timestep = True
-    cfg.integration.max_dloga = 0.04
+    cfg.integration.max_dloga = 0.05
     cfg.simulation.output_frequency = 16
     cfg.simulation.checkpoint_frequency = 0
     cfg.profiling.output_file = ""
@@ -65,7 +77,8 @@ def test_evolved_fof_mass_function_matches_sheth_tormen():
     eng.initialize(state=make_state(pos, vel, mass, scale_factor=a_i))
     eng.run(num_steps=100_000)     # final_redshift stops it
     a_f = float(eng.state.scale_factor)
-    assert a_f >= 0.98, f"run stopped early at a={a_f}"
+    assert a_f >= 0.95 / (1.0 + Z_FINAL), f"run stopped early at a={a_f}"
+    z_f = 1.0 / a_f - 1.0
 
     live = eng.state.masses > 0
     assert int(jnp.sum(live)) == n
@@ -91,7 +104,7 @@ def test_evolved_fof_mass_function_matches_sheth_tormen():
     counts = np.asarray(counts)
 
     theory = np.asarray(st_mass_function(params, jnp.asarray(centers),
-                                         z=0.0)) * math.log(10.0)
+                                         z=z_f)) * math.log(10.0)
 
     # compare bins with enough halos for the Poisson error to be small
     ok = counts >= 8
