@@ -162,6 +162,50 @@ class ConservationObserver(Observer):
         self.history.append(rec)
 
 
+class ParticleStatisticsObserver(Observer):
+    """Per-chunk particle ensemble statistics (the io.diagnostics
+    .particle_statistics capability: the reference parses the flag,
+    basic_lambda_cdm.json:154, and computes nothing). Records live
+    count, rms/max speed and rms displacement from the box center of
+    mass -- one fused on-device reduction pass, pulled host-side at
+    observer cadence only."""
+
+    def __init__(self):
+        self.history: list[dict] = []
+
+    @staticmethod
+    def _stats(positions, velocities, masses, box):
+        live = masses > 0
+        n_live = jnp.sum(live.astype(jnp.int32))
+        w = jnp.where(live, masses, 0.0)
+        wsum = jnp.maximum(jnp.sum(w), 1e-30)
+        v2 = jnp.sum(velocities * velocities, axis=-1)
+        v_rms = jnp.sqrt(jnp.sum(w * v2) / wsum)
+        v_max = jnp.sqrt(jnp.max(jnp.where(live, v2, 0.0)))
+        # periodic-safe mass-weighted spread: phase-average per axis
+        theta = positions / box * (2.0 * jnp.pi)
+        cx = jnp.sum(w[:, None] * jnp.cos(theta), axis=0) / wsum
+        sx = jnp.sum(w[:, None] * jnp.sin(theta), axis=0) / wsum
+        # Rbar -> 1 means concentrated, -> 0 uniform (circular stats)
+        clustering = jnp.mean(jnp.sqrt(cx * cx + sx * sx))
+        return n_live, v_rms, v_max, clustering
+
+    def on_step_end(self, engine, step):
+        st = engine.state
+        with engine.profiler.timer("diagnostics.particle_statistics"):
+            n_live, v_rms, v_max, clustering = self._stats(
+                st.positions, st.velocities, st.masses,
+                engine.config.particles.box_size)
+        self.history.append({
+            "step": int(step),
+            "scale_factor": float(st.scale_factor),
+            "n_live": int(n_live),
+            "v_rms": float(v_rms),
+            "v_max": float(v_max),
+            "clustering_rbar": float(clustering),
+        })
+
+
 class LensingObserver(Observer):
     """Born convergence maps at cadence -- the raytracing capability as a
     first-class observer. With `render_dir` set, each map is ALSO
@@ -256,4 +300,6 @@ def build_observers_from_config(config) -> list[Observer]:
             angular_momentum=d.angular_momentum_conservation,
             tolerance=config.validation.tolerance
             if config.validation.check_energy_conservation else 0.0))
+    if d.particle_statistics:
+        obs.append(ParticleStatisticsObserver())
     return obs

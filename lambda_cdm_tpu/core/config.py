@@ -128,7 +128,9 @@ class IntegrationConfig:
 @dataclass
 class InitialConditionsConfig:
     type: str = "ZelDovichGenerator"     # zeldovich | 2lpt | uniform_random | glass | grid
-    power_spectrum: str = "eisenstein_hu"
+    # "" inherits cosmology.transfer_function; an explicit value here
+    # overrides it for the IC realization only
+    power_spectrum: str = ""
     random_seed: int = 12345
     grid_size: int = 64
     use_2lpt: bool = True
@@ -167,7 +169,10 @@ class MeshConfig:
     decomposition (parallel/fast_mesh2d) for treepm_fast."""
     enabled: bool = False
     axes: dict = field(default_factory=lambda: {"shard": -1})  # -1: all devices
-    ghost_capacity_factor: float = 1.5   # padded ghost-buffer headroom
+    # halo/ghost bucket headroom for the stateless sharded TreePM:
+    # cell capacity = factor x mean occupancy (the ghost-exchange
+    # buffers of cluster_comm.cpp:166-206, sized instead of dynamic)
+    ghost_capacity_factor: float = 3.0
     migrate_capacity_factor: float = 1.5  # padded migration-bucket headroom
     migrate_fraction: float = 0.125      # emigrant-bucket capacity / n_loc
     load_balancing: bool = True
@@ -246,6 +251,10 @@ class IOConfig:
 
 @dataclass
 class LoggingConfig:
+    """Configures the package logger ("lambda_cdm_tpu") via
+    `configure_logging` (called from SimulationEngine.__init__).
+    performance_logging additionally emits a per-chunk throughput INFO
+    line from the run loop."""
     level: str = "INFO"
     console_output: bool = True
     file_output: bool = False
@@ -432,6 +441,37 @@ class SimulationConfig:
             raise ValueError(f"unknown forces.type '{self.forces.type}'")
         if self.forces.softening_length < 0:
             raise ValueError("softening_length must be >= 0")
+        if self.particles.num_particles > self.compute.tpu.max_particles:
+            raise ValueError(
+                f"particles.num_particles={self.particles.num_particles} "
+                f"exceeds compute.tpu.max_particles="
+                f"{self.compute.tpu.max_particles} (the per-device "
+                f"capacity ceiling; raise it, or enable compute.mesh to "
+                f"shard the box)")
+        if self.time.time_units not in ("internal", "gyr"):
+            raise ValueError(
+                f"time.time_units '{self.time.time_units}' (choose "
+                f"'internal' = (Mpc/h)/(km/s), or 'gyr' for converted "
+                f"statistics/current-time reporting)")
+        # loud no-op warnings: a knob that silently does nothing is
+        # worse than no knob (the reference's central disease,
+        # configuration_manager.cpp:13-62)
+        import logging
+        logger = logging.getLogger("lambda_cdm_tpu")
+        if self.forces.opening_angle != 0.5:
+            logger.warning(
+                "forces.opening_angle=%g has no effect: the PM-split "
+                "solvers have no Barnes-Hut opening criterion -- "
+                "short-range accuracy is set by forces.split_factor "
+                "(rs) and forces.cut_factor (r_cut/rs)",
+                self.forces.opening_angle)
+        if self.integration.accuracy_tolerance != 1e-8:
+            logger.warning(
+                "integration.accuracy_tolerance=%g has no effect: the "
+                "KDK integrator is fixed-order -- timestep accuracy is "
+                "set by integration.adaptive_timestep (acceleration "
+                "limiter) and integration.max_dloga (expansion limiter)",
+                self.integration.accuracy_tolerance)
 
     def cosmology_params(self):
         from ..physics.cosmology import CosmologyParams
@@ -466,6 +506,39 @@ _DATACLASS_FIELDS.update({
     (AnalysisConfig, "power_spectrum"): PowerSpectrumAnalysisConfig,
     (AnalysisConfig, "halo_finder"): HaloFinderAnalysisConfig,
 })
+
+
+def configure_logging(cfg: "SimulationConfig") -> None:
+    """Apply the `logging` config block to the package logger (the
+    reference parses an identical block,
+    examples/configs/basic_lambda_cdm.json:160-166, and never reads it;
+    src/core/configuration_manager.cpp:13-62 installs hard-coded
+    defaults). Idempotent: handlers installed here are tagged and
+    replaced, never duplicated, so user-installed handlers survive."""
+    import logging
+    lc = cfg.logging
+    logger = logging.getLogger("lambda_cdm_tpu")
+    level = getattr(logging, str(lc.level).upper(), None)
+    if not isinstance(level, int):
+        raise ValueError(f"logging.level '{lc.level}' is not a python "
+                         f"logging level (DEBUG/INFO/WARNING/ERROR)")
+    logger.setLevel(level)
+    fmt = logging.Formatter(
+        "%(asctime)s %(levelname)s %(name)s: %(message)s")
+    for h in list(logger.handlers):
+        if getattr(h, "_lcdm_config_handler", False):
+            logger.removeHandler(h)
+            h.close()
+    if lc.console_output:
+        h = logging.StreamHandler()
+        h.setFormatter(fmt)
+        h._lcdm_config_handler = True
+        logger.addHandler(h)
+    if lc.file_output and lc.log_file:
+        h = logging.FileHandler(lc.log_file)
+        h.setFormatter(fmt)
+        h._lcdm_config_handler = True
+        logger.addHandler(h)
 
 
 def _parse_value(s: str) -> Any:

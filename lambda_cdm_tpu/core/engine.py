@@ -64,6 +64,10 @@ class SimulationStatistics:
     particle_updates_per_second: float = 0.0
     current_scale_factor: float = 0.0
     current_redshift: float = 0.0
+    # simulation time in units.time_units ("internal" = (Mpc/h)/(km/s);
+    # "gyr" converts by 977.79/h Gyr per internal unit)
+    current_time: float = 0.0
+    time_units: str = "internal"
     energy_error: float = 0.0
     # populated by validate_force_accuracy (validation.validate_forces):
     # SCALE-NORMALIZED errors |a_solver - a_direct| / rms(|a_direct|)
@@ -93,6 +97,8 @@ class SimulationEngine:
     def __init__(self, config: SimulationConfig | None = None,
                  observers=None):
         self.config = config or SimulationConfig()
+        from .config import configure_logging
+        configure_logging(self.config)
         self.lifecycle = LifecycleState.UNINITIALIZED
         self.observers = ObserverBus(observers)
         self.profiler = Profiler(enabled=self.config.profiling.enabled)
@@ -482,7 +488,9 @@ class SimulationEngine:
                     state.positions.shape[0], box, ng, dims,
                     split_factor=cfg.forces.split_factor,
                     cut_factor=cfg.forces.cut_factor,
-                    capacity=cfg.forces.bucket_capacity)
+                    capacity=cfg.forces.bucket_capacity,
+                    occupancy_headroom=cfg.compute.mesh
+                    .ghost_capacity_factor)
                 if plan is None:
                     raise ValueError(
                         "compute.mesh 3D axes: box too small for one "
@@ -493,7 +501,9 @@ class SimulationEngine:
                     state.positions.shape[0], box, ng, n_dev,
                     split_factor=cfg.forces.split_factor,
                     cut_factor=cfg.forces.cut_factor,
-                    capacity=cfg.forces.bucket_capacity)
+                    capacity=cfg.forces.bucket_capacity,
+                    occupancy_headroom=cfg.compute.mesh
+                    .ghost_capacity_factor)
                 if plan is None:
                     import logging
                     logging.getLogger("lambda_cdm_tpu").info(
@@ -507,8 +517,10 @@ class SimulationEngine:
                     softening=soft, g_const=g,
                     split_factor=cfg.forces.split_factor,
                     cut_factor=cfg.forces.cut_factor,
-                    capacity=cfg.forces.bucket_capacity, mesh=mesh,
-                    axis_name=ax)
+                    capacity=cfg.forces.bucket_capacity,
+                    occupancy_headroom=cfg.compute.mesh
+                    .ghost_capacity_factor,
+                    mesh=mesh, axis_name=ax)
         else:
             ng = auto_pm_grid(cfg)
 
@@ -1034,6 +1046,15 @@ class SimulationEngine:
                 # start of run() in detailed-timing mode)
                 dt_chunk = time.perf_counter() - t_chunk0
                 self.statistics.compute_time_s += dt_chunk
+                if cfg.logging.performance_logging:
+                    import logging
+                    logging.getLogger("lambda_cdm_tpu").info(
+                        "step %d: a=%.4f  %.1f ms/step  (%.3e "
+                        "particle-updates/s)", int(self._state.step),
+                        float(self._state.scale_factor),
+                        1e3 * dt_chunk / n,
+                        n * self._state.num_particles / max(dt_chunk,
+                                                            1e-9))
                 t_force = getattr(self, "_force_eval_s", None)
                 if t_force is not None:
                     f_share = min(dt_chunk, n * t_force)
@@ -1092,6 +1113,10 @@ class SimulationEngine:
                 st.steps_per_second * self._state.num_particles)
             st.current_scale_factor = float(self._state.scale_factor)
             st.current_redshift = float(self._state.redshift)
+            st.time_units = cfg.time.time_units
+            t_int = float(self._state.time)
+            st.current_time = (t_int * 977.79 / max(cfg.cosmology.h, 1e-9)
+                               if cfg.time.time_units == "gyr" else t_int)
             if self.last_energy_error is not None:
                 st.energy_error = self.last_energy_error
             self.observers.notify("on_simulation_end", self)

@@ -242,6 +242,7 @@ def sharded_treepm_accelerations(positions, masses, *, box_size,
                                  split_factor: float = 1.25,
                                  cut_factor: float = 4.5,
                                  capacity: int = 0, use_poly: bool = False,
+                                 occupancy_headroom: float = 3.0,
                                  mesh: Mesh, axis_name: str = SHARD_AXIS,
                                  return_diagnostics: bool = False):
     """Full multi-chip TreePM accelerations [N,3]: GSPMD-sharded PM long
@@ -256,7 +257,7 @@ def sharded_treepm_accelerations(positions, masses, *, box_size,
         plan = sharded_treepm_plan_3d(
             positions.shape[0], float(box_size), pm_grid, dims,
             split_factor=split_factor, cut_factor=cut_factor,
-            capacity=capacity)
+            capacity=capacity, occupancy_headroom=occupancy_headroom)
         if plan is None:
             # fail BEFORE the expensive PM solve
             raise ValueError(
@@ -266,7 +267,8 @@ def sharded_treepm_accelerations(positions, masses, *, box_size,
         plan = sharded_treepm_plan(
             positions.shape[0], float(box_size), pm_grid,
             mesh.shape[axis_name], split_factor=split_factor,
-            cut_factor=cut_factor, capacity=capacity)
+            cut_factor=cut_factor, capacity=capacity,
+            occupancy_headroom=occupancy_headroom)
     acc_long = sharded_pm_accelerations(positions, masses, pm_grid,
                                         box_size, g_const, split_scale=rs,
                                         mesh=mesh,

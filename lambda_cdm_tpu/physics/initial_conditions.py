@@ -150,6 +150,11 @@ def lattice_positions(n_side: int, box_size: float):
 def _sample_field_at_lattice(field, n_side: int, ng: int):
     """Sample a [3, ng, ng, ng] grid field at an n_side^3 lattice
     (requires ng % n_side == 0); -> [n^3, 3]."""
+    if ng % n_side:
+        raise ValueError(
+            f"LPT IC grid ng={ng} must be a multiple of n_side="
+            f"{n_side} (lattice sites must coincide with grid points; "
+            f"a fractional stride would silently mis-sample)")
     stride = ng // n_side
     sub = field[:, ::stride, ::stride, ::stride]
     return sub.reshape(3, -1).T
@@ -272,10 +277,13 @@ def generate_state(config) -> SimState:
         if ng % n_side != 0:
             ng = n_side * max(1, round(ng / n_side))
         use_2lpt = ic.use_2lpt or kind == "2lpt"
+        # per-generator power_spectrum wins; empty inherits the
+        # cosmology-level transfer_function choice
+        transfer = ic.power_spectrum or config.cosmology.transfer_function
         pos, vel = lpt_displacements(
             sub, params, ng=ng, n_side=n_side, box_size=box, a_init=a_init,
             use_2lpt=use_2lpt,
-            transfer=ic.power_spectrum,
+            transfer=transfer,
             h0_internal=config.units.H0_internal,
             kick_mode=config.integration.kick_mode)
         if not ic.velocity_perturbations:
@@ -295,7 +303,8 @@ def generate_state(config) -> SimState:
     else:
         raise ValueError(f"unknown IC generator {ic.type!r}")
 
-    return make_state(pos, vel, masses, scale_factor=a_init, rng_key=key)
+    return make_state(pos, vel, masses, scale_factor=a_init,
+                      time=config.time.initial_time, rng_key=key)
 
 
 # ---------------------------------------------------------------------------
