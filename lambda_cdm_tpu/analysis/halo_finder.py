@@ -755,9 +755,28 @@ def catalog_from_labels(positions, velocities, masses, labels, box_size,
         profile_dropped=jnp.asarray(prof_dropped, jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("min_particles",))
+def count_groups(labels, min_particles: int = 20):
+    """Number of FoF groups with >= min_particles members (one sorted
+    run-length pass; the exact catalog size, so auto-sized catalogs
+    never truncate)."""
+    n = labels.shape[0]
+    lab_s = jnp.sort(labels)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    brk = lab_s[1:] != lab_s[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), brk])
+    is_end = jnp.concatenate([brk, jnp.ones((1,), bool)])
+    first = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    last = (n - 1) - jnp.flip(jax.lax.cummax(
+        jnp.flip(jnp.where(is_end, (n - 1) - idx, 0))))
+    counts = last - first + 1
+    return jnp.sum((is_start & (counts >= min_particles)).astype(
+        jnp.int32))
+
+
 def find_halos(positions, velocities, masses, box_size, *,
                linking_length_factor: float = 0.2,
-               min_particles: int = 20, max_halos: int = 256,
+               min_particles: int = 20, max_halos: int | None = None,
                overdensity: float = 200.0,
                g_const: float = 43.0071057317063,
                n_slabs: int = 0) -> HaloCatalog:
@@ -768,6 +787,13 @@ def find_halos(positions, velocities, masses, box_size, *,
     standard, the reference's default). `n_slabs > 1` routes the
     labeling through fof_labels_slabwise (memory O(N/n_slabs) on the
     device per slab pass; identical labels).
+
+    `max_halos=None` (default) auto-sizes the catalog from the exact
+    qualifying-group count, rounded up to a power of two (>= 256) to
+    bucket recompiles -- a measured mass function is never silently
+    truncated at its low-mass end (the reference extracts EVERY group
+    >= min_particles, halo_finder.cpp:339-361). An explicit cap that
+    binds logs a warning with the true group count.
     """
     n = positions.shape[0]
     b = linking_length_factor * box_size / n ** (1.0 / 3.0)
@@ -782,6 +808,16 @@ def find_halos(positions, velocities, masses, box_size, *,
         labels, overflow = fof_labels(
             positions, box_size, b, ncell=plan["ncell"],
             capacity=plan["capacity"], live=masses > 0)
+    n_groups = int(count_groups(labels, min_particles=min_particles))
+    if max_halos is None:
+        max_halos = max(256, 1 << max(n_groups - 1, 0).bit_length())
+    elif n_groups > max_halos:
+        import logging
+        logging.getLogger("lambda_cdm_tpu").warning(
+            "halo catalog: %d groups have >= %d particles but "
+            "max_halos=%d -- the catalog keeps only the %d most massive "
+            "(pass max_halos=None to auto-size)",
+            n_groups, min_particles, max_halos, max_halos)
     window = (catalog_window_plan(positions, box_size, live=masses > 0)
               if n >= 200_000 else None)
     cat = catalog_from_labels(

@@ -129,7 +129,9 @@ def cmd_analyze(argv) -> int:
     p.add_argument("--ng", type=int, default=256,
                    help="P(k) mesh resolution")
     p.add_argument("--num-bins", type=int, default=64)
-    p.add_argument("--max-halos", type=int, default=256)
+    p.add_argument("--max-halos", type=int, default=None,
+                   help="catalog capacity (default: auto-size from the "
+                        "qualifying group count)")
     p.add_argument("--min-particles", type=int, default=20)
     p.add_argument("--linking-length", type=float, default=0.2,
                    help="FoF b in units of the mean separation")

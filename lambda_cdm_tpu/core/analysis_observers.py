@@ -93,7 +93,7 @@ class HaloFinderObserver(Observer):
     """FoF + SO halo catalogs at cadence (halo_finder-as-observer)."""
 
     def __init__(self, frequency: int = 10, linking_length: float = 0.2,
-                 min_particles: int = 20, max_halos: int = 256,
+                 min_particles: int = 20, max_halos: int | None = None,
                  overdensity: float = 200.0):
         self.frequency = max(1, frequency)
         self.linking_length = linking_length
