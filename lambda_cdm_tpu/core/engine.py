@@ -891,6 +891,10 @@ class SimulationEngine:
         self._fstate = self._fstate.replace(
             overflow=fstate.overflow, dropped=fstate.dropped)
         self._fast_kw["capacity"] = new_cap
+        if self._fast_kw.get("variant") == "vpu4b" and new_cap != 64:
+            # the paired-z-cell kernel packs two 64-slot cells per
+            # 128-lane row; any grown capacity needs the vpu3 layout
+            self._fast_kw["variant"] = "vpu3"
         accel_keys = ("box_size", "ng", "ncell", "capacity", "margin",
                       "rs", "softening", "g_const", "gradient", "pm_only")
         accel_kw = {k: self._fast_kw[k] for k in accel_keys

@@ -342,10 +342,17 @@ class TestBucketOverflowGrowth:
         eng = SimulationEngine(cfg)
         eng.initialize(state=make_state(pos, vel, mass, scale_factor=1.0))
         cap0 = eng._fast_kw["capacity"]
+        # this geometry auto-plans the paired-z-cell kernel, so the
+        # growth must ALSO fall back to the vpu3 layout (vpu4b packs
+        # two 64-slot cells per 128-lane row; round-4 fix — the 1M
+        # science run crashed here when clustering outgrew capacity 64)
+        assert eng._fast_kw["variant"] == "vpu4b"
         eng.run(num_steps=16)
 
         assert eng._fast_kw["capacity"] > cap0, \
             "capacity did not grow despite total collapse"
+        assert eng._fast_kw["variant"] == "vpu3", \
+            "grown capacity kept the capacity-64-only paired kernel"
         live = np.asarray(eng.state.masses) > 0
         assert int(live.sum()) == n, \
             f"lost {n - int(live.sum())} particles to bucket overflow"
