@@ -258,9 +258,189 @@ def section_treepm100k(n, box):
     return {"treepm100k_ms_per_step": round(dt100k * 1e3, 2)}
 
 
+def _cpu_ref(stage: str, payload: dict, timeout_s: int = 1200) -> dict:
+    """Compute a reference result in a FRESH CPU process (fresh so the
+    JAX_PLATFORMS env binds before backend init) and return its npz
+    contents. The CPU path is the independent implementation the north
+    star compares against (BASELINE.json: on-device P(k)/lensing maps
+    matching a CPU reference to 1e-3)."""
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "in.npz")
+        fout = os.path.join(td, "out.npz")
+        np.savez(fin, **payload)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-ref",
+             stage, fin, fout],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"cpu-ref {stage} rc={r.returncode}: {r.stderr[-800:]}")
+        with np.load(fout) as z:
+            return {k: z[k] for k in z.files}
+
+
+def cpu_ref_main(stage: str, fin: str, fout: str) -> None:
+    """Subprocess body for _cpu_ref (runs on the CPU backend)."""
+    with np.load(fin) as z:
+        d = {k: z[k] for k in z.files}
+    if stage == "force":
+        # float64 direct-summation oracle (periodic min-image), chunked
+        jax.config.update("jax_enable_x64", True)
+        pos = jnp.asarray(d["positions"], jnp.float64)
+        mass = jnp.asarray(d["masses"], jnp.float64)
+        tgt = jnp.asarray(d["targets"], jnp.int32)
+        box = float(d["box"])
+        soft2 = float(d["softening"]) ** 2
+        g = float(d["g_const"])
+
+        @jax.jit
+        def oracle(pos_t):
+            def one(pt):
+                dx = pos - pt[None, :]
+                dx = dx - box * jnp.round(dx / box)
+                r2 = jnp.sum(dx * dx, axis=-1) + soft2
+                inv_r3 = r2 ** -1.5
+                inv_r3 = jnp.where(r2 <= soft2 + 1e-300, 0.0, inv_r3)
+                return jnp.sum((mass * inv_r3)[:, None] * dx, axis=0)
+            return g * jax.lax.map(one, pos_t, batch_size=16)
+
+        np.savez(fout, acc_ref=np.asarray(oracle(pos[tgt])))
+    elif stage == "pk":
+        from lambda_cdm_tpu.analysis.power_spectrum import \
+            measure_power_spectrum
+        pk = measure_power_spectrum(
+            jnp.asarray(d["positions"]), float(d["box"]),
+            ng=int(d["ng"]), num_bins=int(d["num_bins"]))
+        np.savez(fout, k=np.asarray(pk.k), power=np.asarray(pk.power),
+                 counts=np.asarray(pk.counts))
+    elif stage == "lens":
+        from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+        from lambda_cdm_tpu.raytracing.lensing import trace_rays
+        bundle = trace_rays(
+            CosmologyParams(), jnp.asarray(d["planes"]),
+            jnp.asarray(d["chis"]), jnp.asarray(d["a_l"]), 100.0,
+            float(d["box"]), jnp.asarray(d["theta0"]), 2500.0,
+            ng=int(d["ng"]), jacobian=False, window=0)
+        np.savez(fout, kappa=np.asarray(bundle.kappa),
+                 theta=np.asarray(bundle.theta))
+    else:
+        raise ValueError(stage)
+
+
+def section_accuracy(n, box):
+    """Machine-checkable on-chip accuracy (VERDICT r3 item 2): the
+    production force path vs a float64 CPU oracle at the 1M geometry,
+    on-chip P(k) vs the CPU path, and a traced lensing map vs the CPU
+    path -- each emitted as an error field + pass/fail against its bar
+    (reference harness pattern:
+    /root/reference/examples/barnes_hut_test.cu:148-202).
+
+    Bars: P(k)/lensing 1e-3 (the BASELINE.json north star: on-device
+    analysis matching a CPU reference to 1e-3). Force: 5e-3
+    scale-normalized RMS vs f64 direct summation -- the PM-split
+    discretization error of the 192^3 TreePM geometry itself (the same
+    solver measures ~2e-3 on CPU too); kernel-level parity vs
+    interpret-HIGHEST is separately 8e-6 (benchmarks/tpu_queue3.sh)."""
+    from lambda_cdm_tpu.ops.fast_treepm import (flatten_fast_state,
+                                                initialize_fast)
+    from lambda_cdm_tpu.physics import initial_conditions as ics
+    from lambda_cdm_tpu.physics.cosmology import CosmologyParams
+    from lambda_cdm_tpu.raytracing.lensing import (auto_sample_window,
+                                                   lens_plane_fields,
+                                                   trace_rays)
+    params = CosmologyParams()
+    out = {}
+
+    # a CLUSTERED snapshot (2LPT at a=0.35): accuracy on structure, not
+    # on a uniform box
+    pos, _ = ics.lpt_displacements(
+        jax.random.PRNGKey(7), params, ng=200, n_side=100, box_size=box,
+        a_init=0.35, kick_mode="comoving")
+    mass = jnp.full((n,), 27.7536 * 0.31 * box ** 3 / n, jnp.float32)
+    sync(pos)
+
+    # -- 1) production force path vs f64 direct summation ----------------
+    fstate, kw = initialize_fast(pos, jnp.zeros_like(pos), mass, 0.35,
+                                 box_size=box, pm_grid=192,
+                                 softening=0.05)
+    fpos, _, fmass, fids = flatten_fast_state(fstate, with_ids=True)
+    facc = fstate.acc.reshape(-1, 3)
+    live = np.asarray(fmass) > 0
+    rng = np.random.default_rng(0)
+    rows = rng.choice(np.nonzero(live)[0], size=512, replace=False)
+    ref = _cpu_ref("force", {
+        "positions": np.asarray(fpos), "masses": np.asarray(fmass),
+        "targets": rows.astype(np.int32), "box": box,
+        "softening": 0.05, "g_const": kw["g_const"]})
+    a_sol = np.asarray(facc)[rows]
+    a_ref = ref["acc_ref"]
+    scale = np.sqrt(np.mean(np.sum(a_ref ** 2, axis=-1)))
+    err = np.linalg.norm(a_sol - a_ref, axis=-1)
+    force_rms = float(np.sqrt(np.mean(err ** 2)) / scale)
+    force_max = float(np.max(err) / scale)
+    out["acc_force_rms_err"] = round(force_rms, 6)
+    out["acc_force_max_err"] = round(force_max, 6)
+    out["acc_force_pass"] = bool(force_rms < 5e-3)
+    log(f"accuracy/force: rms {force_rms:.2e} max {force_max:.2e} "
+        f"vs f64 oracle (512 targets, 1M sources) "
+        f"[{'PASS' if out['acc_force_pass'] else 'FAIL'} < 5e-3]")
+
+    # -- 2) on-chip P(k) vs the CPU path ---------------------------------
+    from lambda_cdm_tpu.analysis.power_spectrum import \
+        measure_power_spectrum
+    pk_tpu = measure_power_spectrum(pos, box, ng=256, num_bins=64)
+    ref = _cpu_ref("pk", {"positions": np.asarray(pos), "box": box,
+                          "ng": 256, "num_bins": 64})
+    good = (ref["counts"] > 0) & (np.asarray(pk_tpu.counts) > 0) \
+        & (np.abs(ref["power"]) > 1e-12 * np.max(np.abs(ref["power"])))
+    rel = np.abs(np.asarray(pk_tpu.power)[good] - ref["power"][good]) \
+        / np.abs(ref["power"][good])
+    pk_err = float(np.max(rel))
+    out["acc_pk_max_rel_err"] = round(pk_err, 8)
+    out["acc_pk_pass"] = bool(pk_err < 1e-3)
+    log(f"accuracy/pk: max rel err {pk_err:.2e} over {int(good.sum())} "
+        f"bins [{'PASS' if out['acc_pk_pass'] else 'FAIL'} < 1e-3]")
+
+    # -- 3) traced lensing map (windowed TPU) vs the CPU path -------------
+    ngl, n_planes, n_side = 256, 8, 128
+    key = jax.random.PRNGKey(3)
+    planes = 0.2 * jax.random.normal(key, (n_planes, ngl, ngl))
+    chis = jnp.linspace(400.0, 1100.0, n_planes)
+    a_l = jnp.linspace(0.9, 0.7, n_planes)
+    ang = (jnp.arange(n_side) + 0.5) * (box / 2000.0) / n_side
+    theta0 = jnp.stack(jnp.meshgrid(ang, ang, indexing="ij"),
+                       -1).reshape(-1, 2)
+    fl = lens_plane_fields(params, planes, chis, a_l, 100.0, box, 2500.0,
+                           ng=ngl, jacobian=False)
+    w = auto_sample_window(fl, chis, theta0, box, ng=ngl)
+    bundle = trace_rays(params, planes, chis, a_l, 100.0, box, theta0,
+                        2500.0, ng=ngl, jacobian=False, window=w,
+                        fields_l=fl)
+    ref = _cpu_ref("lens", {"planes": np.asarray(planes),
+                            "chis": np.asarray(chis),
+                            "a_l": np.asarray(a_l), "box": box,
+                            "theta0": np.asarray(theta0), "ng": ngl})
+    kap = np.asarray(bundle.kappa)
+    scale = np.max(np.abs(ref["kappa"])) + 1e-30
+    lens_err = float(np.max(np.abs(kap - ref["kappa"])) / scale)
+    out["acc_lens_max_rel_err"] = round(lens_err, 8)
+    out["acc_lens_pass"] = bool(lens_err < 1e-3)
+    log(f"accuracy/lens: max rel err {lens_err:.2e} (window={w}) "
+        f"[{'PASS' if out['acc_lens_pass'] else 'FAIL'} < 1e-3]")
+
+    out["accuracy_pass"] = bool(out["acc_force_pass"]
+                                and out["acc_pk_pass"]
+                                and out["acc_lens_pass"])
+    return out
+
+
 SECTIONS = {"pm": section_pm, "direct": section_direct,
             "lensing": section_lensing, "tenm": section_tenm,
-            "treepm100k": section_treepm100k}
+            "treepm100k": section_treepm100k,
+            "accuracy": section_accuracy}
 # Only the PM section runs in a timeout-guarded subprocess: it is the
 # one that has wedged the device (unrecoverable in-process; see
 # ops/bucketed_pm.py NOTE), and each subprocess pays the axon backend
@@ -384,6 +564,10 @@ def _emit_unavailable():
 def main():
     n, box, pm_grid = 1_000_000, 100.0, 192
 
+    if len(sys.argv) >= 5 and sys.argv[1] == "--cpu-ref":
+        cpu_ref_main(sys.argv[2], sys.argv[3], sys.argv[4])
+        return
+
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         print(json.dumps(SECTIONS[sys.argv[2]](n, box)), flush=True)
         return
@@ -426,7 +610,8 @@ def main():
 
     # extra sections, cheapest first, merged into the ledger as they
     # land: a wedge in a later (bigger) section costs only that section
-    for name in ("direct", "lensing", "treepm100k", "pm", "tenm"):
+    for name in ("accuracy", "direct", "lensing", "treepm100k", "pm",
+                 "tenm"):
         if name in GUARDED:
             RESULT.update(run_section_guarded(
                 name, timeout_s=GUARDED[name]))
