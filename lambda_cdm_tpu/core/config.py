@@ -177,6 +177,11 @@ class MeshConfig:
     migrate_fraction: float = 0.125      # emigrant-bucket capacity / n_loc
     load_balancing: bool = True
     rebalance_threshold: float = 0.2     # cluster_comm.cpp:314-349 trigger
+    # what the adaptive partition equalizes: "count" = live particles;
+    # "pair_cost" = per-cell occupancy^2 (the pairwise kernel's true
+    # work -- the reference balances measured per-rank compute time,
+    # cluster_comm.cpp:314-349; occupancy^2 is its density proxy)
+    balance_weight: str = "count"
 
 
 @dataclass
@@ -448,6 +453,11 @@ class SimulationConfig:
                 f"{self.compute.tpu.max_particles} (the per-device "
                 f"capacity ceiling; raise it, or enable compute.mesh to "
                 f"shard the box)")
+        if self.compute.mesh.balance_weight not in ("count", "pair_cost"):
+            raise ValueError(
+                f"compute.mesh.balance_weight "
+                f"'{self.compute.mesh.balance_weight}' (choose 'count' "
+                f"or 'pair_cost')")
         if self.time.time_units not in ("internal", "gyr"):
             raise ValueError(
                 f"time.time_units '{self.time.time_units}' (choose "

@@ -545,6 +545,19 @@ class SimulationEngine:
         self._mesh_migrate()
         return self._state
 
+    def _balance_weights(self):
+        """None for count balancing, or per-particle pair-cost weights
+        (compute.mesh.balance_weight="pair_cost"): occupancy of each
+        particle's cell, so partitions equalize sum(occ^2) -- the
+        pairwise kernel's actual work on clustered data (the intent of
+        the reference's compute-time balancer, cluster_comm.cpp:314-349)."""
+        if self.config.compute.mesh.balance_weight != "pair_cost":
+            return None
+        from ..parallel.exchange import pair_cost_weights
+        st = self._state
+        return pair_cost_weights(st.positions, st.masses,
+                                 self.config.particles.box_size)
+
     def _adaptive_bounds(self):
         """Equal-load partition bounds for the current mesh topology."""
         from ..parallel.exchange import (adaptive_bounds_nd,
@@ -552,13 +565,16 @@ class SimulationEngine:
         ax = getattr(self, "_mesh_axis", "shard")
         st = self._state
         box = self.config.particles.box_size
+        w = self._balance_weights()
         if isinstance(ax, tuple):
             dims = tuple(int(self._mesh.shape[a]) for a in ax)
-            return adaptive_bounds_nd(st.positions, st.masses, dims, box)
+            return adaptive_bounds_nd(st.positions, st.masses, dims, box,
+                                      weights=w)
         n_dev = 1
         for v in self._mesh.shape.values():
             n_dev *= int(v)
-        return adaptive_slab_bounds(st.positions, st.masses, n_dev, box)
+        return adaptive_slab_bounds(st.positions, st.masses, n_dev, box,
+                                    weights=w)
 
     def _mesh_migrate(self) -> None:
         """Re-home particles to their owning slabs/blocks (run between
@@ -593,7 +609,8 @@ class SimulationEngine:
                 and self._mesh_solver in ("direct", "direct_reference",
                                           "pm")):
             imb = float(load_imbalance(st.masses, mesh=self._mesh,
-                                       axis_name=ax))
+                                       axis_name=ax,
+                                       weights=self._balance_weights()))
             if imb > cfg.compute.mesh.rebalance_threshold:
                 bounds = self._adaptive_bounds()
                 self._mesh_bounds = bounds

@@ -93,18 +93,45 @@ def find_owner_3d(positions, box_size, dims: tuple[int, int, int],
     return (ix * dims[1] + iy) * dims[2] + iz
 
 
+def pair_cost_weights(positions, masses, box_size, *, ncell: int = 0):
+    """Per-particle short-range COST weights: the occupancy of each
+    particle's cell on an ncell^3 counting grid, so a region's summed
+    weight ~ sum_cells occ^2 -- the pairwise-kernel work it will
+    actually do. Count-balanced partitions can be pair-overloaded on
+    clustered data (a rank holding one dense clump does O(occ^2) work);
+    this is the measured-compute-time balancing of the reference's
+    LoadBalancer (cluster_comm.cpp:314-349) expressed as its
+    density-squared proxy, computable in one histogram + one gather
+    instead of a timing feedback loop. ncell=0 auto-sizes to ~4
+    particles per cell (clamped to [8, 64]); pass the solver's actual
+    short-range ncell when known. Dead rows weigh zero."""
+    n = positions.shape[0]
+    if ncell <= 0:
+        ncell = int(min(64, max(8, round((n / 4.0) ** (1.0 / 3.0)))))
+    live = masses > 0
+    cell = jnp.clip((positions / box_size * ncell).astype(jnp.int32),
+                    0, ncell - 1)
+    cidx = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
+    occ = jax.ops.segment_sum(jnp.where(live, 1.0, 0.0), cidx,
+                              num_segments=ncell ** 3)
+    return jnp.where(live, occ[cidx], 0.0)
+
+
 def adaptive_slab_bounds(positions, masses, n_dev: int, box_size, *,
-                         resolution: int = 512):
+                         resolution: int = 512, weights=None):
     """Equal-load slab boundaries from the particle x-distribution
     (the reference's LoadBalancer::rebalance + adaptive decomposition,
     cluster_comm.cpp:330-349 / domain_decomposition.cpp:114-264, reduced
     to the 1D slab topology). Returns bounds [n_dev+1] with
-    bounds[0] = 0 and bounds[-1] = box_size."""
+    bounds[0] = 0 and bounds[-1] = box_size. `weights` switches the
+    balanced quantity from live counts to per-particle costs
+    (pair_cost_weights)."""
     live = masses > 0
+    w = jnp.where(live, 1.0, 0.0) if weights is None \
+        else jnp.where(live, weights, 0.0)
     xbin = jnp.clip((positions[:, 0] / box_size * resolution).astype(
         jnp.int32), 0, resolution - 1)
-    hist = jax.ops.segment_sum(jnp.where(live, 1.0, 0.0), xbin,
-                               num_segments=resolution)
+    hist = jax.ops.segment_sum(w, xbin, num_segments=resolution)
     cum = jnp.cumsum(hist)
     total = cum[-1]
     targets = total * jnp.arange(1, n_dev) / n_dev
@@ -117,7 +144,7 @@ def adaptive_slab_bounds(positions, masses, n_dev: int, box_size, *,
 
 @partial(jax.jit, static_argnames=("dims", "box_size", "resolution"))
 def adaptive_bounds_nd(positions, masses, dims: tuple[int, int, int],
-                       box_size, *, resolution: int = 256):
+                       box_size, *, resolution: int = 256, weights=None):
     """Hierarchical equal-load brick bounds for a (dx, dy, dz) block mesh.
 
     Recursive conditional splits -- x planes from the x marginal, then
@@ -126,10 +153,14 @@ def adaptive_bounds_nd(positions, masses, dims: tuple[int, int, int],
     capability as the reference's Morton-greedy cell-to-rank assignment
     (domain_decomposition.cpp:114-264). Returns (bx [dx+1],
     by [dx, dy+1], bz [dx, dy, dz+1]) consumed by find_owner_3d.
+    `weights` switches the balanced quantity from live counts to
+    per-particle costs (pair_cost_weights): count-equal bricks can be
+    pair-overloaded on clustered data.
     """
     dx, dy, dz = dims
     live = masses > 0
-    w = jnp.where(live, 1.0, 0.0)
+    w = jnp.where(live, 1.0, 0.0) if weights is None \
+        else jnp.where(live, weights, 0.0)
     R = resolution
     step = box_size / R
 
@@ -440,15 +471,21 @@ def exchange_ghosts(positions, masses, *, box_size, ghost_width: float,
         out_specs=(P(axis_name), P(axis_name), P()))(positions, masses)
 
 
-def load_imbalance(masses, *, mesh: Mesh, axis_name: str = SHARD_AXIS):
+def load_imbalance(masses, *, mesh: Mesh, axis_name: str = SHARD_AXIS,
+                   weights=None):
     """(max-min)/max of per-device live-particle counts -- the reference's
     rebalance trigger (LoadBalancer::needs_rebalancing > 0.2 spread,
-    cluster_comm.cpp:314-349)."""
-    def local(mass):
-        count = jnp.sum(mass > 0).astype(jnp.float32)
+    cluster_comm.cpp:314-349). With `weights` (pair_cost_weights) the
+    spread is measured in estimated pairwise-compute cost instead of
+    counts."""
+    def local(mass, w):
+        count = jnp.sum(jnp.where(mass > 0, w, 0.0))
         cmax = jax.lax.pmax(count, axis_name)
         cmin = jax.lax.pmin(count, axis_name)
         return (cmax - cmin) / jnp.maximum(cmax, 1.0)
 
-    return jax.shard_map(local, mesh=mesh, in_specs=(P(axis_name),),
-                         out_specs=P())(masses)
+    if weights is None:
+        weights = jnp.ones_like(masses)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(axis_name), P(axis_name)),
+                         out_specs=P())(masses, weights)

@@ -160,3 +160,106 @@ class TestEngineLoadBalance3D:
         dev = np.repeat(np.arange(8), nrows // 8)
         ok = np.asarray(eng.state.masses > 0)
         assert (owner[ok] == dev[ok]).mean() > 0.95
+
+
+class TestPairCostBalance:
+    """Pair-cost-weighted partitions (VERDICT r3 item 5): short-range
+    work scales with sum(occ^2), not live counts, so a clustered rank
+    can be count-balanced yet pair-overloaded. The cost-weighted bounds
+    must equalize estimated pair cost where count-weighted ones fail
+    (the intent of the reference's measured-compute-time balancer,
+    cluster_comm.cpp:314-349)."""
+
+    @staticmethod
+    def _half_blob(key, n, box):
+        """Half the particles in one dense blob, half uniform: count
+        and cost balancing maximally disagree."""
+        k1, k2 = jax.random.split(key)
+        blob = jnp.array([0.3, 0.6, 0.4]) * box + \
+            0.04 * box * jax.random.normal(k1, (n // 2, 3))
+        unif = jax.random.uniform(k2, (n // 2, 3), maxval=box)
+        return jnp.mod(jnp.concatenate([blob, unif]), box)
+
+    def _device_costs(self, pos, m, box, dims, bounds):
+        w = np.asarray(ex.pair_cost_weights(pos, m, box))
+        owner = np.asarray(ex.find_owner_3d(pos, box, dims,
+                                            bounds=bounds))
+        return np.bincount(owner, weights=w, minlength=8)
+
+    def test_cost_weighted_bounds_equalize_pair_cost(self):
+        n, box, dims = 16384, 100.0, (2, 2, 2)
+        pos = self._half_blob(jax.random.PRNGKey(7), n, box)
+        m = jnp.ones((n,))
+        w = ex.pair_cost_weights(pos, m, box)
+
+        b_cnt = ex.adaptive_bounds_nd(pos, m, dims, box)
+        b_cost = ex.adaptive_bounds_nd(pos, m, dims, box, weights=w)
+
+        c_cnt = self._device_costs(pos, m, box, dims, b_cnt)
+        c_cost = self._device_costs(pos, m, box, dims, b_cost)
+        spread_cnt = (c_cnt.max() - c_cnt.min()) / c_cnt.max()
+        spread_cost = (c_cost.max() - c_cost.min()) / c_cost.max()
+        # count-balanced bricks are pair-overloaded on the blob ranks
+        assert spread_cnt > 0.5, f"scenario too easy: {c_cnt}"
+        assert spread_cost < 0.2, \
+            f"cost spread {spread_cost:.3f} ({c_cost})"
+
+    def test_weights_zero_on_dead_rows(self):
+        n, box = 4096, 50.0
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (n, 3),
+                                 maxval=box)
+        m = jnp.ones((n,)).at[: n // 3].set(0.0)
+        w = np.asarray(ex.pair_cost_weights(pos, m, box))
+        assert np.all(w[: n // 3] == 0.0)
+        assert np.all(w[n // 3:] >= 1.0)
+
+    def test_engine_pair_cost_spread_bounded(self, cpu_devices):
+        """Engine on (2,2,2) with balance_weight=pair_cost on a
+        half-blob IC: the COST spread (not just counts) stays under
+        the 20% trigger across chunked migrations."""
+        from lambda_cdm_tpu.core.config import SimulationConfig
+        from lambda_cdm_tpu.core.engine import SimulationEngine
+        from lambda_cdm_tpu.core.state import make_state
+
+        n, box = 4096, 50.0
+        pos = self._half_blob(jax.random.PRNGKey(9), n, box)
+        vel = jnp.zeros_like(pos)
+        mass = jnp.ones((n,))
+
+        cfg = SimulationConfig()
+        cfg.particles.num_particles = n
+        cfg.particles.box_size = box
+        cfg.forces.type = "pm"
+        cfg.forces.softening_length = 0.5
+        cfg.time.initial_timestep = 1e-5
+        cfg.time.final_time = 1e9
+        cfg.cosmology.initial_redshift = 49.0
+        cfg.compute.mesh.enabled = True
+        cfg.compute.mesh.axes = {"shx": 2, "shy": 2, "shz": 2}
+        cfg.compute.mesh.load_balancing = True
+        cfg.compute.mesh.balance_weight = "pair_cost"
+        # cost-equal bricks are count-UNEQUAL by design (blob ranks get
+        # few particles, field ranks many): the row budget must cover
+        # the count spread that cost balancing trades away
+        cfg.compute.mesh.migrate_capacity_factor = 3.0
+        cfg.simulation.output_frequency = 2
+        cfg.simulation.checkpoint_frequency = 0
+        cfg.profiling.output_file = ""
+        cfg.validate()
+        eng = SimulationEngine(cfg)
+        eng.initialize(state=make_state(pos, vel, mass,
+                                        scale_factor=0.02))
+        eng.run(num_steps=4)
+        w = ex.pair_cost_weights(eng.state.positions, eng.state.masses,
+                                 box)
+        imb = float(ex.load_imbalance(eng.state.masses, mesh=eng._mesh,
+                                      axis_name=AX3, weights=w))
+        assert imb <= 0.2 + 1e-6, f"pair-cost spread {imb}"
+        assert int(jnp.sum(eng.state.masses > 0)) == n
+
+    def test_bad_balance_weight_rejected(self):
+        from lambda_cdm_tpu.core.config import SimulationConfig
+        cfg = SimulationConfig()
+        cfg.compute.mesh.balance_weight = "entropy"
+        with pytest.raises(ValueError, match="balance_weight"):
+            cfg.validate()
