@@ -157,6 +157,10 @@ def _fof_round(lab_p, bxyz, occupied, counts, pslot, *, box_size: float,
             counts, ncell=ncell, capacity=k, n_sentinel=n,
             box_size=box_size, linking_length=linking_length,
             interpret=(hook == "pallas_interpret"), reverse=reverse,
+            # in-rod bidirectional z (ops/pallas_fof): both z
+            # directions per rod visit at zero extra DMA -- measured
+            # to cut global rounds ~2x on clustered boxes
+            bidirectional=True,
             active=active)
         hooked = hooked2.reshape(ncells * k)
         lab1 = jnp.where(pslot >= 0,

@@ -44,7 +44,8 @@ _CH = 16   # i-chunk sublane rows (matches the short-range kernel)
 
 
 def _fof_hook_kernel(counts_ref, rodact_ref, act_ref, pts_hbm, labs_hbm,
-                     out_ref, *, nc, cap, box_size, b2, nbig, reverse):
+                     out_ref, *, nc, cap, box_size, b2, nbig, reverse,
+                     bidi):
     # Gauss-Seidel sweep order: ascending rod-major (cx, cy) with z
     # innermost, or fully reversed when `reverse`.  Updated labels are
     # written back (a) into the center rod's VMEM label plane after each
@@ -74,7 +75,7 @@ def _fof_hook_kernel(counts_ref, rodact_ref, act_ref, pts_hbm, labs_hbm,
                           out_ref, rods, rlab, jrow, jlab, icol, labc,
                           sem, lsem, i=i, cx=cx, cy=cy, nc=nc, cap=cap,
                           box_size=box_size, b2=b2, nbig=nbig,
-                          reverse=reverse)
+                          reverse=reverse, bidi=bidi)
 
     pl.run_scoped(
         body,
@@ -91,7 +92,7 @@ def _fof_hook_kernel(counts_ref, rodact_ref, act_ref, pts_hbm, labs_hbm,
 
 def _fof_rod_body(counts_ref, act_ref, pts_hbm, labs_hbm, out_ref, rods,
                   rlab, jrow, jlab, icol, labc, sem, lsem, *, i, cx, cy,
-                  nc, cap, box_size, b2, nbig, reverse):
+                  nc, cap, box_size, b2, nbig, reverse, bidi):
     dmas = []
     idx = 0
     for dx in (-1, 0, 1):
@@ -133,7 +134,15 @@ def _fof_rod_body(counts_ref, act_ref, pts_hbm, labs_hbm, out_ref, rods,
     def zplane(z):
         return nc if z == -1 else (nc + 1 if z == nc else z)
 
-    zorder = range(nc - 1, -1, -1) if reverse else range(nc)
+    zorder = list(range(nc - 1, -1, -1) if reverse else range(nc))
+    if bidi:
+        # in-rod bidirectional z: sweep back down the rod while its
+        # label planes are still in VMEM -- the return sweep costs pair
+        # work but ZERO extra DMA, and one rod visit then propagates
+        # labels along BOTH z directions (the forward-only sweep needed
+        # a whole extra round, with its full 9-rod DMA bill, for the
+        # backward reach). The turnaround plane is not repeated.
+        zorder = zorder + zorder[-2::-1]
     for zc in zorder:
         # cell-level wavefront skip: late-round activity is sparse but
         # spatially UNIFORM (background percolation chains), so rod
@@ -189,11 +198,13 @@ def _fof_rod_body(counts_ref, act_ref, pts_hbm, labs_hbm, out_ref, rods,
 @functools.partial(jax.jit, static_argnames=("ncell", "capacity",
                                              "n_sentinel", "box_size",
                                              "linking_length",
-                                             "interpret", "reverse"))
+                                             "interpret", "reverse",
+                                             "bidirectional"))
 def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
                     capacity: int, n_sentinel: int, box_size,
                     linking_length, interpret: bool = False,
-                    reverse: bool = False, active=None):
+                    reverse: bool = False, bidirectional: bool = False,
+                    active=None):
     """One FoF min-label GAUSS-SEIDEL sweep -> new slot labels [C, K] i32.
 
     bx/by/bz [C, K] bucketed coordinates, slot_lab [C, K] int32 labels
@@ -215,6 +226,12 @@ def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
     (and rods with no active cell skip their DMAs entirely), keeping
     their incoming labels (wavefront convergence -- pass the
     27-dilation of last round's changed cells).
+
+    `bidirectional` adds an in-rod RETURN z sweep per rod visit (the
+    label planes are already in VMEM, so the second sweep pays pair
+    work but no DMA): one round then propagates along both z
+    directions, ~halving the global round count on percolation-limited
+    clustered boxes. Same fixpoint, same monotonicity argument.
     """
     if capacity % 128:
         raise ValueError("pallas_fof_hook needs capacity % 128 == 0 "
@@ -233,7 +250,7 @@ def pallas_fof_hook(bx, by, bz, slot_lab, counts, *, ncell: int,
     kernel = functools.partial(
         _fof_hook_kernel, nc=ncell, cap=cap, box_size=float(box_size),
         b2=float(linking_length) ** 2, nbig=int(n_sentinel),
-        reverse=reverse)
+        reverse=reverse, bidi=bidirectional)
     out = pl.pallas_call(
         kernel,
         grid=(ncell * ncell,),
