@@ -60,7 +60,29 @@ def _dot_bf16x3(a, b):
                + jax.lax.dot(a_lo, b_hi, **kw)))
 
 
-def _lens_sample_kernel(xy_ref, fields_ref, out_ref, *, ng, n_fields):
+def _sample_t(wx, fields, ng, n_fields, fast_channels):
+    """wx @ fields with the LAST `fast_channels` field channels on one
+    bf16 pass instead of the f32-faithful three (the Jacobian Hessian
+    channels are ~1e-2 corrections to the distortion matrix: bf16's
+    ~2e-3 relative sampling error lands ~2e-5 ABSOLUTE on A, far below
+    the bilinear interpolation error; the deflection/overdensity
+    channels that set ray paths and kappa keep all three passes).
+    Cuts the Jacobian tracer's MXU work from 6x3 to 3x3+3x1
+    pass-channels (VERDICT r3 item 8)."""
+    fc = min(fast_channels, n_fields)
+    if fc <= 0:
+        return _dot_bf16x3(wx, fields)
+    split = (n_fields - fc) * ng
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    t_hi = _dot_bf16x3(wx, fields[:, :split])
+    t_fast = jax.lax.dot(wx.astype(jnp.bfloat16),
+                         fields[:, split:].astype(jnp.bfloat16), **kw)
+    return jnp.concatenate([t_hi, t_fast], axis=1)
+
+
+def _lens_sample_kernel(xy_ref, fields_ref, out_ref, *, ng, n_fields,
+                        fast_channels):
     """xy_ref [RT, 2] (positions pre-scaled to grid units = xy/extent*ng),
     fields_ref [ng, F*ng] f32 (field stack, channels along lanes),
     out_ref [RT, F]."""
@@ -83,14 +105,16 @@ def _lens_sample_kernel(xy_ref, fields_ref, out_ref, *, ng, n_fields):
     wy = (jnp.where(iota == ia_y, 1.0 - fy, 0.0)
           + jnp.where(iota == ib_y, fy, 0.0))
 
-    t = _dot_bf16x3(wx, fields_ref[...])              # [RT, F*ng]
+    t = _sample_t(wx, fields_ref[...], ng, n_fields,
+                  fast_channels)                      # [RT, F*ng]
     for f in range(n_fields):
         out_ref[:, f:f + 1] = jnp.sum(
             t[:, f * ng:(f + 1) * ng] * wy, axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fast_channels"))
 def pallas_bilinear_sample(fields, xy, extent, *,
+                           fast_channels: int = 0,
                            interpret: bool = False):
     """Periodic bilinear sampling of a [F, ng, ng] field stack at
     xy [R, 2] points in [0, extent)^2 -> [F, R].
@@ -116,7 +140,8 @@ def pallas_bilinear_sample(fields, xy, extent, *,
         [fields[f].astype(jnp.float32) for f in range(n_fields)], axis=1)
 
     kernel = functools.partial(
-        _lens_sample_kernel, ng=ng, n_fields=n_fields)
+        _lens_sample_kernel, ng=ng, n_fields=n_fields,
+        fast_channels=fast_channels)
     out = pl.pallas_call(
         kernel,
         grid=(r_pad // _RT,),
@@ -137,7 +162,8 @@ def pallas_bilinear_sample(fields, xy, extent, *,
 # x-windowed variant: grid-coherent ray tiles
 # ---------------------------------------------------------------------------
 
-def _lens_sample_kernel_win(xy_ref, win_ref, out_ref, *, ng, n_fields, w):
+def _lens_sample_kernel_win(xy_ref, win_ref, out_ref, *, ng, n_fields, w,
+                            fast_channels):
     """Same math as _lens_sample_kernel, but the x (GEMM contraction)
     axis is a per-tile window: xy_ref[:, 0] arrives RELATIVE to the
     tile's window origin (in [0, w-2]); win_ref [1, w, F*ng] holds the
@@ -162,14 +188,17 @@ def _lens_sample_kernel_win(xy_ref, win_ref, out_ref, *, ng, n_fields, w):
     wy = (jnp.where(iota == ia_y, 1.0 - fy, 0.0)
           + jnp.where(iota == ib_y, fy, 0.0))
 
-    t = _dot_bf16x3(wx, win_ref[0])                   # [RT, F*ng]
+    t = _sample_t(wx, win_ref[0], ng, n_fields,
+                  fast_channels)                      # [RT, F*ng]
     for f in range(n_fields):
         out_ref[:, f:f + 1] = jnp.sum(
             t[:, f * ng:(f + 1) * ng] * wy, axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "interpret",
+                                             "fast_channels"))
 def pallas_bilinear_sample_xwin(fields, xy, extent, *, window: int,
+                                fast_channels: int = 0,
                                 interpret: bool = False):
     """Periodic bilinear sampling of a [F, ng, ng] field stack at
     xy [R, 2] points -> [F, R], with a per-ray-tile x WINDOW.
@@ -221,7 +250,8 @@ def pallas_bilinear_sample_xwin(fields, xy, extent, *, window: int,
             fcat_pad, (s, 0), (w, n_fields * ng)))(phase)  # [T, w, F*ng]
 
     kernel = functools.partial(
-        _lens_sample_kernel_win, ng=ng, n_fields=n_fields, w=w)
+        _lens_sample_kernel_win, ng=ng, n_fields=n_fields, w=w,
+        fast_channels=fast_channels)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

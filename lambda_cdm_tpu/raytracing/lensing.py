@@ -344,17 +344,24 @@ def trace_rays(params: CosmologyParams, delta_planes, chi_planes, a_planes,
         # [F, R, ng] GEMM intermediate to HBM (~400 MB/plane at the
         # bench geometry — the tracer's dominant cost).
         on_tpu = jax.default_backend() == "tpu" and ng % 128 == 0
+        # the three Hessian channels (jacobian mode) sample on a single
+        # bf16 MXU pass instead of the f32-faithful three: U is a
+        # ~1e-2 correction to A, so bf16's ~2e-3 relative error lands
+        # ~2e-5 absolute on the distortion -- below interpolation error
+        fast_ch = 3 if jacobian else 0
         if on_tpu and window > 0:
             from ..ops.pallas_lens_sample import (
                 pallas_bilinear_sample_xwin)
             # UNWRAPPED comoving impact position: mod would split a
             # grid-coherent tile's x span across the box edge
             sampled = pallas_bilinear_sample_xwin(
-                fields_l[idx], theta * chi_l, box_size, window=window)
+                fields_l[idx], theta * chi_l, box_size, window=window,
+                fast_channels=fast_ch)
         elif on_tpu:
             from ..ops.pallas_lens_sample import pallas_bilinear_sample
             xy = jnp.mod(theta * chi_l, box_size)
-            sampled = pallas_bilinear_sample(fields_l[idx], xy, box_size)
+            sampled = pallas_bilinear_sample(fields_l[idx], xy, box_size,
+                                             fast_channels=fast_ch)
         else:
             xy = jnp.mod(theta * chi_l, box_size)
             sampled = bilinear_sample_matmul(fields_l[idx], xy, box_size)
