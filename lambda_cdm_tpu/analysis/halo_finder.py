@@ -313,9 +313,12 @@ def fof_labels(positions, box_size, linking_length, *, ncell: int,
         live = jnp.ones((n,), bool)
     if hook == "auto":
         # capacity must be a whole number of 128-lane tiles: the kernel
-        # slices jrow at lane offsets that are multiples of capacity
+        # slices jrow at lane offsets that are multiples of capacity.
+        # ncell <= 32: the hook fully unrolls its z planes -- at 64^3
+        # the Mosaic compile itself dies (z=0 clustered 64k exposed it);
+        # 32^3 x 1024 is the proven production shape (1M clustered)
         hook = ("pallas" if (jax.default_backend() == "tpu"
-                             and ncell >= 3
+                             and 3 <= ncell <= 32
                              and capacity % 128 == 0) else "jnp")
     bxyz, occupied, counts, pslot, slot_particle, overflow = _fof_setup(
         positions, live, box_size, ncell, capacity)
@@ -415,10 +418,12 @@ def fof_plan(num_particles: int, box_size: float, linking_length: float,
             if 16 * ncell ** 3 * cap > memory_budget_bytes:
                 continue                      # too fine for the budget
             ovf = 0 if cap >= max_occ else int(ovf_tab[caps.index(cap)])
-            if kernel_caps and cap % 128 == 0 and ncell >= 3:
+            if kernel_caps and cap % 128 == 0 and 3 <= ncell <= 32:
                 # occupancy-aware Pallas hook: only live i rows are
                 # visited, in 16-row chunks -> pair work ~
-                # 27*cap*(n + chunk padding), independent of ncell^3
+                # 27*cap*(n + chunk padding), independent of ncell^3.
+                # ncell <= 32: the hook's unrolled z planes fail to
+                # compile at 64^3 (fof_labels gates identically)
                 work = 27 * cap * (n + 16 * nonempty)
             else:
                 # jnp lattice hook grinds every padded slot pair

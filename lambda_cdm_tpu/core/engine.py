@@ -748,6 +748,27 @@ class SimulationEngine:
         # counted; the cadence recovers only via config)
         rebucket_every = getattr(self, "_fast_rebucket_every", None) \
             or cfg.forces.rebucket_every
+        # PROACTIVE drift guard: the reactive halving below only fires
+        # AFTER deposits were dropped -- a science run must never drop
+        # any. Bound the steps between rebuckets by the distance the
+        # fastest particle can drift into the deposit margin: one vmax
+        # readback per chunk (the chunk boundary syncs anyway).
+        kwg = self._fast_kw if getattr(self, "_fast_mesh_kw", None) \
+            is None else self._fast_mesh_kw
+        if kwg.get("ncell"):
+            from ..physics.integrators import drift_factor
+            a0 = float(self._fstate.scale_factor)
+            df = float(drift_factor(a0, kwg.get("kick_mode",
+                                                "reference")))
+            vmax = float(jnp.max(jnp.abs(self._fstate.bvel)))
+            step_drift = vmax * float(self._dt) * df
+            margin_dist = (float(kwg.get("margin", 1))
+                           * kwg["box_size"] / kwg["ncell"])
+            if step_drift > 0:
+                # 0.6 safety: kicks grow velocities within the chunk
+                safe = max(1, int(0.6 * margin_dist / step_drift))
+                if safe < rebucket_every:
+                    rebucket_every = safe
         # rebucket cadence carries ACROSS chunks: without this offset a
         # chunk size <= rebucket_every would never trigger a rebucket
         # between fast_run calls and the bucketing would go permanently
@@ -908,7 +929,12 @@ class SimulationEngine:
         self._fstate = self._fstate.replace(
             overflow=fstate.overflow, dropped=fstate.dropped)
         self._fast_kw["capacity"] = new_cap
-        if self._fast_kw.get("variant") == "vpu4b" and new_cap != 64:
+        if new_cap > 128:
+            # grown capacities: the occupancy-windowed kernel -- vpu3's
+            # DMA and j-row costs scale with the static cap (the 1M
+            # science run measured 2.0 -> 5.0 s/step across two rungs)
+            self._fast_kw["variant"] = "vpu5"
+        elif self._fast_kw.get("variant") == "vpu4b" and new_cap != 64:
             # the paired-z-cell kernel packs two 64-slot cells per
             # 128-lane row; any grown capacity needs the vpu3 layout
             self._fast_kw["variant"] = "vpu3"
@@ -1048,6 +1074,19 @@ class SimulationEngine:
                 if float(self._state.time) >= cfg.time.final_time:
                     break
                 n = min(cadence, max_steps - steps_done)
+                # exact-stop clamp: the chunk boundary is the only
+                # place stop conditions are checked, so a full chunk
+                # near a_final can overshoot far past it (a z=0 run
+                # measured a=1.42). Estimate steps-to-target from the
+                # previous chunk's per-step expansion and shrink the
+                # final chunks accordingly (estimate refreshes every
+                # chunk, so adaptive-dt drift self-corrects).
+                dloga_est = getattr(self, "_dloga_per_step", 0.0)
+                if dloga_est > 0 and a_final < float("inf") and a > 0:
+                    import math
+                    to_final = math.log(a_final / a) / dloga_est
+                    if to_final < n:
+                        n = max(1, int(math.ceil(to_final)))
                 self.observers.notify("on_step_start", self,
                                       int(self._state.step))
                 t_chunk0 = time.perf_counter()
@@ -1067,6 +1106,10 @@ class SimulationEngine:
                 # start of run() in detailed-timing mode)
                 dt_chunk = time.perf_counter() - t_chunk0
                 self.statistics.compute_time_s += dt_chunk
+                a_after = float(self._state.scale_factor)
+                if a_after > a > 0:
+                    import math
+                    self._dloga_per_step = math.log(a_after / a) / n
                 if cfg.logging.performance_logging:
                     import logging
                     logging.getLogger("lambda_cdm_tpu").info(

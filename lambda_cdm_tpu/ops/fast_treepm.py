@@ -105,6 +105,7 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
     # e.g. ppc=6 (192^3 at ncell=32, the paired short-range geometry)
     # is a first-class plan
     best = None
+    best5 = None
     geom_ok = False
     d = 2
     while d <= pm_grid:
@@ -112,15 +113,34 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
             geom_ok = True
             if not (align_ncell and d % 8):
                 cap = cap_for(d)
-                cost = d ** 3 * 27 * cap * cap
-                if best is None or cost < best[0]:
-                    best = (cost, d, cap, "vpu3")
-                if paired_ok(d):
-                    # paired cost: 64 i-rows against 18 128-lane j tiles
-                    pcost = d ** 3 * 64 * 18 * 128
-                    if pcost < best[0]:
-                        best = (pcost, d, 64, "vpu4b")
+                if cap <= 128:
+                    cost = d ** 3 * 27 * cap * cap
+                    if best is None or cost < best[0]:
+                        best = (cost, d, cap, "vpu3")
+                    if paired_ok(d):
+                        # paired: 64 i-rows against 18 128-lane j tiles
+                        pcost = d ** 3 * 64 * 18 * 128
+                        if pcost < best[0]:
+                            best = (pcost, d, 64, "vpu4b")
+                else:
+                    # cap > 128: the occupancy-windowed vpu5 kernel --
+                    # DMA, staging and j work all track OCCUPANCY, so
+                    # its cost is true pairs (i rows x 27 x the
+                    # 128-quantized mean occupancy) plus a per-cell
+                    # fixed term (NOT the padded-slot model, which
+                    # would wrongly favor coarse grids at explicit
+                    # capacities). vpu5 plans are a separate pool:
+                    # chosen only when no cap <= 128 geometry exists
+                    # (the models aren't calibrated against each other)
+                    occ = max(num_particles / d ** 3, 1.0)
+                    occ128 = 128 * math.ceil(occ / 128.0)
+                    cost = (num_particles * 27 * occ128
+                            + d ** 3 * 27 * 128)
+                    if best5 is None or cost < best5[0]:
+                        best5 = (cost, d, cap, "vpu5")
         d += 1
+    if best is None:
+        best = best5
     if best is None:
         if geom_ok:
             # geometry admits a decomposition but no divisor keeps

@@ -296,6 +296,195 @@ def _short_kernel_v3(counts_ref, pts_hbm, out_ref, *, nc, cap, box_size,
     )
 
 
+def _short_kernel_v5(counts_ref, rodchunks_ref, pts_hbm, out_ref, *, nc,
+                     cap, box_size, rs, softening2):
+    """Occupancy-WINDOWED variant for grown capacities (cap > 128).
+
+    vpu3's costs scale with the static capacity twice over: the 9-rod
+    DMA moves [4, nc, cap] per rod, and the assembled j row spans
+    27*cap lanes -- so a clustered box that grew cap 64 -> 1024 pays
+    16x the DMA and j work for ~the same live pairs (the 1M science
+    run measured 2.0 -> 5.0 s/step across two growth rungs). Here both
+    costs track OCCUPANCY:
+
+      * rod DMA runs in 128-lane chunks with a DYNAMIC trip count from
+        the rod's max cell occupancy (rodchunks, SMEM) -- lane offsets
+        are multiples of 128, which Mosaic accepts as aligned;
+      * the j side loops the 27 neighbor cells individually, each with
+        a DYNAMIC 128-lane-chunk trip count from that CELL's live
+        count, accumulating [CH, 128] partial sums that reduce once
+        per (i-chunk, neighbor);
+      * lanes beyond a rod's DMA window hold stale VMEM garbage and
+        are NEVER read: every j access is bounded by its cell count
+        <= the rod window (buckets are live-first).
+
+    Work model: DMA ~ 9 sum_rods nc*ceil(maxocc_rod/128)*128, pairs ~
+    sum_cells ceil(occ_i/CH)*CH * sum_nbr ceil(occ_j/128)*128 -- both
+    independent of the static cap, so the capacity ladder stops
+    costing anything beyond memory. At uniform low occupancy vpu3's
+    single wide j row has less loop overhead; the plan keeps vpu3/vpu4b
+    for cap <= 128 and selects vpu5 above."""
+    i = pl.program_id(0)
+    cx = i // nc
+    cy = i % nc
+    chq, v_scale, c1 = _poly_even_coeffs(rs)
+
+    def body(rods, icol, accc, sem):
+        src = pts_hbm
+        # windowed rod DMA: ceil(maxocc_rod/128) chunks of [4, nc, 128]
+        for idx, (dx, dy) in enumerate(
+                (a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)):
+            r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+
+            def dma_chunk(k, _, idx=idx, r_id=r_id):
+                cp = pltpu.make_async_copy(
+                    src.at[:, r_id, :, pl.ds(k * 128, 128)],
+                    rods.at[idx, :, pl.ds(0, nc), pl.ds(k * 128, 128)],
+                    sem.at[idx])
+                cp.start()
+                cp.wait()
+                return ()
+
+            jax.lax.fori_loop(0, rodchunks_ref[r_id], dma_chunk, ())
+
+        # halo planes + periodic unwrap (same scheme as vpu3), but
+        # WINDOWED: the copies and shift adds are O(cap) per rod plane,
+        # so at grown caps they cost more than the pair work -- bound
+        # them by the rod's occupancy window (lanes beyond it are never
+        # read by the bounded j loops below)
+        idx = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                shift_x = jnp.where(cx + dx < 0, -box_size,
+                                    jnp.where(cx + dx >= nc, box_size, 0.0))
+                shift_y = jnp.where(cy + dy < 0, -box_size,
+                                    jnp.where(cy + dy >= nc, box_size, 0.0))
+
+                def unwrap(k, _, idx=idx, shift_x=shift_x,
+                           shift_y=shift_y):
+                    sl = pl.ds(k * 128, 128)
+                    rods[idx, :, nc:nc + 1, sl] = \
+                        rods[idx, :, nc - 1:nc, sl]
+                    rods[idx, :, nc + 1:nc + 2, sl] = \
+                        rods[idx, :, 0:1, sl]
+                    rods[idx, 0, :, sl] = rods[idx, 0, :, sl] + shift_x
+                    rods[idx, 1, :, sl] = rods[idx, 1, :, sl] + shift_y
+                    rods[idx, 2, nc:nc + 1, sl] = \
+                        rods[idx, 2, nc:nc + 1, sl] - box_size
+                    rods[idx, 2, nc + 1:nc + 2, sl] = \
+                        rods[idx, 2, nc + 1:nc + 2, sl] + box_size
+                    return ()
+
+                jax.lax.fori_loop(0, rodchunks_ref[r_id], unwrap, ())
+                idx += 1
+
+        def zplane(z):
+            return nc if z == -1 else (nc + 1 if z == nc else z)
+
+        def zwrap(z):
+            """flat cell id z for the counts lookup (true periodic z)."""
+            return (z + nc) % nc
+
+        for zc in range(nc):
+            ch = min(_CH, cap)
+            cnt = counts_ref[i * nc + zc]
+            kiq = (cnt + ch - 1) // ch
+            # occupancy-windowed i-side staging: the [1, cap] <->
+            # [cap, 1] relayouts and the zero fill are themselves
+            # O(cap) per cell (measured ~level with the pair work at
+            # cap 512) -- do them in 128-row chunks bounded by the
+            # cell's live count (sublane offsets stay 8-aligned)
+            kcq = (cnt + 127) // 128
+
+            def stage(k, _):
+                sl = pl.ds(k * 128, 128)
+                icol[0, sl, :] = jnp.transpose(rods[4, 0, zc:1 + zc, sl])
+                icol[1, sl, :] = jnp.transpose(rods[4, 1, zc:1 + zc, sl])
+                icol[2, sl, :] = jnp.transpose(rods[4, 2, zc:1 + zc, sl])
+                accc[0, sl, :] = jnp.zeros((128, 1), jnp.float32)
+                accc[1, sl, :] = jnp.zeros((128, 1), jnp.float32)
+                accc[2, sl, :] = jnp.zeros((128, 1), jnp.float32)
+                return ()
+
+            jax.lax.fori_loop(0, kcq, stage, ())
+
+            def i_chunk(ci, _):
+                s8 = pl.ds(ci * ch, ch)
+                ax = jnp.zeros((ch, 128), jnp.float32)
+                ay = jnp.zeros((ch, 128), jnp.float32)
+                az = jnp.zeros((ch, 128), jnp.float32)
+                ix = icol[0, s8, :]
+                iy = icol[1, s8, :]
+                iz = icol[2, s8, :]
+                idx = 0
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                        for sc in range(3):
+                            zi = zplane(zc + sc - 1)
+                            jcnt = counts_ref[r_id * nc
+                                              + zwrap(zc + sc - 1)]
+                            jkq = (jcnt + 127) // 128
+
+                            def j_chunk(jc, acc3, idx=idx, zi=zi):
+                                jax_, jay, jaz = acc3
+                                sl = pl.ds(jc * 128, 128)
+                                jx = rods[idx, 0, zi:zi + 1, sl]
+                                jy = rods[idx, 1, zi:zi + 1, sl]
+                                jz = rods[idx, 2, zi:zi + 1, sl]
+                                jm = rods[idx, 3, zi:zi + 1, sl]
+                                dxt = jx - ix
+                                dyt = jy - iy
+                                dzt = jz - iz
+                                r2 = dxt * dxt + (dyt * dyt + (
+                                    dzt * dzt + softening2))
+                                inv_r = jax.lax.rsqrt(r2)
+                                v = jnp.minimum(r2 * v_scale - 1.0, 1.0)
+                                q = jnp.full_like(v, chq[0])
+                                for c in chq[1:]:
+                                    q = q * v + c
+                                f = jnp.maximum(
+                                    (inv_r * inv_r) * inv_r + q, 0.0)
+                                w = (jm * c1) * f
+                                return (jax_ + w * dxt, jay + w * dyt,
+                                        jaz + w * dzt)
+
+                            ax, ay, az = jax.lax.fori_loop(
+                                0, jkq, j_chunk, (ax, ay, az))
+                        idx += 1
+                accc[0, s8, :] = jnp.sum(ax, axis=1, keepdims=True)
+                accc[1, s8, :] = jnp.sum(ay, axis=1, keepdims=True)
+                accc[2, s8, :] = jnp.sum(az, axis=1, keepdims=True)
+                return ()
+
+            jax.lax.fori_loop(0, kiq, i_chunk, ())
+
+            # zero the full row once (plain wide store, no relayout),
+            # then write back only the occupied 128-row chunks
+            out_ref[0, zc:zc + 1, :] = jnp.zeros((1, cap), jnp.float32)
+            out_ref[1, zc:zc + 1, :] = jnp.zeros((1, cap), jnp.float32)
+            out_ref[2, zc:zc + 1, :] = jnp.zeros((1, cap), jnp.float32)
+
+            def unstage(k, _):
+                sl = pl.ds(k * 128, 128)
+                out_ref[0, zc:zc + 1, sl] = jnp.transpose(accc[0, sl, :])
+                out_ref[1, zc:zc + 1, sl] = jnp.transpose(accc[1, sl, :])
+                out_ref[2, zc:zc + 1, sl] = jnp.transpose(accc[2, sl, :])
+                return ()
+
+            jax.lax.fori_loop(0, kcq, unstage, ())
+        out_ref[3, :, :] = jnp.zeros((nc, cap), jnp.float32)
+
+    pl.run_scoped(
+        body,
+        rods=pltpu.VMEM((9, 4, nc + 2, cap), jnp.float32),
+        icol=pltpu.VMEM((3, cap, 1), jnp.float32),
+        accc=pltpu.VMEM((3, cap, 1), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((9,)),
+    )
+
+
 def _short_kernel_mxu(pts_hbm, out_ref, *, nc, cap, box_size, rs,
                       softening2):
     """MXU-accumulation variant: same rod DMA/unwrap as _short_kernel, but
@@ -867,7 +1056,7 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
          bmass.reshape(1, cc * cap).astype(jnp.float32)], axis=0)
 
     counts = None
-    if variant in ("vpu3", "vpu4", "vpu4b"):
+    if variant in ("vpu3", "vpu4", "vpu4b", "vpu5"):
         # live-first bucket counts (bucket_particles packs live slots at
         # rank 0..n_c): drives the dynamic per-cell i-chunk trip counts.
         # counts go to SMEM FLAT [C]: a 2D [ncell^2, ncell] SMEM array
@@ -920,7 +1109,8 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
 
     pts = pts.reshape(4, ncell * ncell, ncell, cap)
     kfn = {"vpu": _short_kernel, "mxu": _short_kernel_mxu,
-           "vpu2": _short_kernel_v2, "vpu3": _short_kernel_v3}[variant]
+           "vpu2": _short_kernel_v2, "vpu3": _short_kernel_v3,
+           "vpu5": _short_kernel_v5}[variant]
     kernel = functools.partial(
         kfn, nc=ncell, cap=cap, box_size=float(box_size),
         rs=float(rs), softening2=float(softening) ** 2)
@@ -930,6 +1120,18 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
     if variant == "vpu3":
         operands = [counts, pts]
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY)]
+    elif variant == "vpu5":
+        if capacity % 128:
+            raise ValueError("vpu5 requires capacity % 128 == 0 "
+                             "(128-lane DMA/j chunks)")
+        # per-rod DMA window: ceil(max cell occupancy in the rod / 128)
+        rodchunks = jnp.maximum(
+            (counts.reshape(ncell * ncell, ncell).max(axis=1) + 127)
+            // 128, 1).astype(jnp.int32)
+        operands = [counts, rodchunks, pts]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY)]
 
     out = pl.pallas_call(

@@ -438,3 +438,71 @@ class TestNextRebucketOffset:
                         continue
                     assert next_rebucket_offset(since, n, r) == \
                         simulate(since, n, r), (since, n, r)
+
+
+class TestPallasV5Windowed:
+    """The occupancy-WINDOWED variant for grown capacities (vpu5): rod
+    DMA chunks bounded by per-rod max occupancy, per-neighbor-cell j
+    chunks bounded by that cell's live count. Must agree with vpu3 on
+    live slots at any capacity, on clustered (very uneven occupancy)
+    buckets in particular (VERDICT r3: the 1M science run's capacity
+    ladder made vpu3 pay capacity-squared for ~constant live pairs)."""
+
+    @staticmethod
+    def _clustered_buckets(cap=256, ncell=4, box=20.0, seed=0):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        blob = jnp.array([2.5, 2.5, 2.5]) \
+            + 0.8 * jax.random.normal(k1, (200, 3))
+        unif = jax.random.uniform(k2, (500, 3), maxval=box)
+        pos = jnp.mod(jnp.concatenate([blob, unif]), box)
+        n = pos.shape[0]
+        mass = jnp.concatenate([jnp.ones((n - 7,)), jnp.zeros((7,))])
+        bpos, bmass, _, ovf = bucket_particles(pos, mass, box,
+                                               ncell=ncell, capacity=cap)
+        assert int(ovf) == 0
+        return bpos, bmass, box, ncell, cap
+
+    def test_matches_vpu3_clustered(self):
+        bpos, bmass, box, ncell, cap = self._clustered_buckets()
+        rs, soft = 1.0, 0.1
+        ref = pallas_short_range(bpos, bmass, ncell=ncell, capacity=cap,
+                                 box_size=box, rs=rs, softening=soft,
+                                 interpret=True, variant="vpu3")
+        out = pallas_short_range(bpos, bmass, ncell=ncell, capacity=cap,
+                                 box_size=box, rs=rs, softening=soft,
+                                 interpret=True, variant="vpu5")
+        scale = float(jnp.max(jnp.abs(ref)))
+        live = (bmass > 0)[..., None]
+        diff = jnp.where(live, jnp.abs(out - ref), 0.0)
+        assert float(jnp.max(diff)) / scale < 1e-5
+
+    def test_matches_exact_reference(self):
+        bpos, bmass, box, ncell, cap = self._clustered_buckets(seed=3)
+        rs, soft = 1.5, 0.1
+        ref = short_range_bucketed(bpos, bmass, box, rs, soft,
+                                   ncell=ncell, capacity=cap,
+                                   use_poly=False)
+        out = pallas_short_range(bpos, bmass, ncell=ncell, capacity=cap,
+                                 box_size=box, rs=rs, softening=soft,
+                                 interpret=True, variant="vpu5")
+        scale = float(jnp.max(jnp.abs(ref)))
+        live = (bmass > 0)[..., None]
+        diff = jnp.where(live, jnp.abs(out - ref), 0.0)
+        assert float(jnp.max(diff)) / scale < 1e-3
+
+    def test_rejects_unaligned_capacity(self):
+        bpos, bmass, box, ncell, _ = self._clustered_buckets(cap=256)
+        with pytest.raises(ValueError, match="vpu5"):
+            pallas_short_range(bpos[:, :64], bmass[:, :64], ncell=ncell,
+                               capacity=64, box_size=box, rs=1.0,
+                               softening=0.1, interpret=True,
+                               variant="vpu5")
+
+    def test_plan_selects_vpu5_above_128(self):
+        from lambda_cdm_tpu.ops.fast_treepm import fast_plan
+        plan = fast_plan(64_000, 62.5, 64, capacity=256,
+                         align_ncell=False)
+        assert plan["variant"] == "vpu5"
+        plan2 = fast_plan(64_000, 62.5, 64, capacity=128,
+                          align_ncell=False)
+        assert plan2["variant"] in ("vpu3", "vpu4b")
