@@ -1,0 +1,435 @@
+#!/usr/bin/env python
+"""Flagship on-chip science run: the headline 1M-particle Lambda-CDM box
+evolved z~24 -> 0 ON the TPU through the SimulationEngine with analysis
+observers on, then science-validated end to end.
+
+This is the composition the reference only gestures at (its de-facto
+integration test, /root/reference/examples/cuda_nbody_test.cpp:9-101,
+evolves 10k random particles for 10 steps and checks energy; README.md
+:177-185 sketches analyzers as observers that were never wired). Here the
+FULL production pipeline runs at the headline geometry on one chip:
+
+  2LPT ICs -> treepm_fast (persistent cell-list stepper, adaptive dt)
+  -> P(k) observer at cadence -> Layzer-Irvine energy ledger (pairwise
+  U, the force-consistency metric) -> final FoF/SO catalog (auto-sized)
+  + HMF vs Sheth-Tormen at z=0 -> Born convergence map,
+
+and every science check is asserted and recorded in ONE machine-readable
+certificate, SCIENCE.json:
+
+  * large-scale P(k) growth: evolved/initial per-bin power ratio vs the
+    ODE-exact (D(a_f)/D(a_i))^2 (per-mode ratio cancels the realization's
+    sample variance -- tests/test_science_pk.py at 32^3 scaled to 100^3),
+  * small-scale nonlinear excess (no PM over-damping, no blow-up),
+  * HMF vs Sheth-Tormen at z=0 over >= 32-particle halos (closes the
+    z=0.5 asterisk of tests/test_science_hmf.py where it costs minutes,
+    not CPU-hours),
+  * Layzer-Irvine invariant C = T + U + int H(2T+U) dt to a few % of |U|
+    (pairwise min-image U; the TreePM force is not the exact gradient of
+    that U -- the PM split + Ewald-vs-min-image images leave a small
+    systematic, so the bar here is looser than the exactly-consistent
+    direct-solver 1e-3 of tests/test_energy_longhorizon.py),
+  * zero bucket overflows / dropped deposits across the whole run,
+  * finite Born convergence map with nonzero structure.
+
+Run: python science_run.py            (full 1M run, TPU, minutes)
+     python science_run.py --small    (64^3 smoke, any backend)
+Writes SCIENCE.json (repo root) and exits nonzero on any failed check.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+if "--cpu" in sys.argv:
+    # env vars are too late here (the host pre-imports jax bound to the
+    # axon TPU); jax.config before first device use is the only switch
+    jax.config.update("jax_platforms", "cpu")
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # noqa: BLE001 -- cache is an optimization only
+    pass
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Layzer-Irvine ledger (observer with scale-factor-spaced sampling)
+# ---------------------------------------------------------------------------
+
+class LayzerIrvineLedger:
+    """Tracks C = T + U + int H (2T+U) dt across the run.
+
+    U is the pairwise min-image potential (forces/direct.potential_energy,
+    row-blocked; ~seconds per eval at 1M on a v5e), sampled every
+    `dlna_sample` e-folds of expansion -- NOT every chunk -- so the
+    energy audit costs O(20) evals per run. The per-interval integral
+    of H(2T+U)dt = (2T+U)/a da uses the analytic 1/a^2, 1/a forms with
+    trapezoid comoving coefficients (tests/test_energy_longhorizon.py's
+    scheme: a plain trapezoid cannot resolve 1/a^2 across large early
+    a-leaps)."""
+
+    def __init__(self, engine, dlna_sample: float = 0.15):
+        self.engine = engine
+        self.dlna = dlna_sample
+        self.samples: list[dict] = []
+        self._prev = None
+        self._li = 0.0
+        self._c0 = None
+        self.worst = 0.0
+
+    def sample(self, force: bool = False):
+        from lambda_cdm_tpu.forces.direct import (kinetic_energy,
+                                                  potential_energy)
+        a = float(self.engine.state.scale_factor)
+        if (not force and self._prev is not None
+                and math.log(a / self._prev[0]) < self.dlna):
+            return
+        st = self.engine.state
+        cfg = self.engine.config
+        ke = float(kinetic_energy(st.velocities, st.masses))
+        # chunk 128 bounds the row-block intermediates to ~0.5 GB at 1M
+        # (the engine's compute_energy default chunk of 2048 would peak
+        # ~8 GB next to the resident state + the 4096-capacity buckets
+        # on a 16 GB v5e)
+        pe = float(potential_energy(
+            st.positions, st.masses, cfg.particles.box_size,
+            cfg.forces.softening_length, cfg.units.G, chunk_size=128))
+        t_pec = ke / (a * a)                # comoving-kick u = a^2 dx/dt
+        u_phys = pe / a
+        if self._prev is not None:
+            a_p, t_p, u_p = self._prev
+            tc = 0.5 * (t_pec * a * a + t_p * a_p * a_p)
+            uc = 0.5 * (u_phys * a + u_p * a_p)
+            self._li += (2 * tc * 0.5 * (1 / a_p ** 2 - 1 / a ** 2)
+                         + uc * (1 / a_p - 1 / a))
+        if self._c0 is None:
+            self._c0 = t_pec + u_phys
+        resid = abs(t_pec + u_phys + self._li - self._c0) / abs(u_phys)
+        self.worst = max(self.worst, resid)
+        self.samples.append({"a": a, "T": t_pec, "U": u_phys,
+                             "residual": resid})
+        self._prev = (a, t_pec, u_phys)
+        log(f"  [LI] a={a:.4f}  T={t_pec:.4e}  U={u_phys:.4e}  "
+            f"resid={resid:.3e}")
+
+
+# ---------------------------------------------------------------------------
+# The run
+# ---------------------------------------------------------------------------
+
+def run_science(small: bool = False) -> dict:
+    from lambda_cdm_tpu.analysis import halo_finder
+    from lambda_cdm_tpu.analysis.power_spectrum import \
+        measure_power_spectrum
+    from lambda_cdm_tpu.analysis.theory import \
+        mass_function as st_mass_function
+    from lambda_cdm_tpu.core.analysis_observers import PowerSpectrumObserver
+    from lambda_cdm_tpu.core.config import SimulationConfig
+    from lambda_cdm_tpu.core.engine import SimulationEngine
+    from lambda_cdm_tpu.core.state import make_state
+    from lambda_cdm_tpu.physics import initial_conditions as ics
+    from lambda_cdm_tpu.physics.cosmology import (CosmologyParams,
+                                                  growth_factor_exact)
+    from lambda_cdm_tpu.raytracing.lensing import convergence_map_from_state
+
+    if small:
+        # the tests/test_science_hmf.py geometry (40^3, 62.5 Mpc/h) --
+        # CPU-runnable plumbing + physics smoke; the 1M branch is the
+        # certificate
+        n_side, ng_ic, box, pm_grid, pk_grid = 40, 80, 62.5, 0, 64
+        softening, chunk = 0.3, 50
+        # pre-size the bucket capacity for z=0 clustering: the grow
+        # ladder otherwise recompiles every rung (~1-4 min each on the
+        # axon tunnel -- the ladder dominated the first z=0 attempt's
+        # wall clock); vpu5's occupancy-windowed costs make the big
+        # static cap nearly free
+        bucket_capacity = 2048
+    else:
+        # the headline geometry: 100^3 = 1M particles, 100 Mpc/h box,
+        # 192^3 PM (BASELINE.md); softening = spacing/10 keeps the
+        # acceleration-limited adaptive dt inside a minutes budget while
+        # resolving >= 20-particle halos
+        n_side, ng_ic, box, pm_grid, pk_grid = 100, 200, 100.0, 192, 256
+        softening, chunk = 0.1, 50
+        # max z=0 cell occupancy ~ biggest halo (2-3e14 Msun/h = 2.5-3.5k
+        # particles at m_p=8.6e10) inside one 4.2 Mpc cell -> 4096 covers
+        # it; memory [24^3, 4096] x 44 B = 2.5 GB
+        bucket_capacity = 4096
+    z_init = 24.0
+    # plumbing knob: stop early so the full script path can be exercised
+    # in minutes; z=0-dependent checks are then recorded but NOT
+    # asserted (check_z0 below)
+    z_final = float(os.environ.get("LCDM_SCIENCE_ZFINAL", "0.0"))
+    a_i = 1.0 / (1.0 + z_init)
+    params = CosmologyParams()
+
+    t_wall0 = time.perf_counter()
+    log(f"[1/5] 2LPT ICs: {n_side}^3 particles, box={box}, z={z_init}")
+    pos, vel = ics.lpt_displacements(
+        jax.random.PRNGKey(2026), params, ng=ng_ic, n_side=n_side,
+        box_size=box, a_init=a_i, kick_mode="comoving")
+    n = pos.shape[0]
+    m_p = 27.7536 * params.omega_m * box ** 3 / n    # [1e10 Msun/h]
+    mass = jnp.full((n,), m_p, jnp.float32)
+    # no shot-noise subtraction on the IC spectrum: a displaced lattice
+    # has suppressed (non-Poisson) discreteness noise below the particle
+    # Nyquist, and subtracting 1/nbar there can zero/negate the small-
+    # scale bins the nonlinear-excess ratio divides by
+    pk_i = measure_power_spectrum(pos, box, ng=pk_grid, num_bins=32,
+                                  subtract_shot_noise=False)
+    t_ic = time.perf_counter() - t_wall0
+
+    cfg = SimulationConfig()
+    cfg.particles.num_particles = n
+    cfg.particles.box_size = box
+    cfg.forces.type = "treepm_fast"
+    cfg.forces.softening_length = softening
+    cfg.forces.pm_grid_size = pm_grid
+    cfg.forces.bucket_capacity = bucket_capacity
+    cfg.forces.rebucket_every = 8
+    cfg.time.initial_timestep = 1e-4
+    cfg.time.final_time = 1e9
+    cfg.cosmology.initial_redshift = z_init
+    cfg.cosmology.final_redshift = z_final
+    cfg.integration.kick_mode = "comoving"
+    cfg.integration.adaptive_timestep = True
+    cfg.integration.max_dloga = 0.03
+    cfg.integration.min_timestep = 1e-9
+    cfg.integration.max_timestep = 1e-3
+    cfg.simulation.output_frequency = chunk
+    cfg.simulation.checkpoint_frequency = 0
+    cfg.io.snapshots.enabled = False
+    cfg.profiling.output_file = ""
+    cfg.compute.tpu.compilation_cache_dir = os.path.join(ROOT,
+                                                         ".jax_cache")
+
+    pk_obs = PowerSpectrumObserver(frequency=4 * chunk, grid_size=pk_grid,
+                                   num_bins=32)
+    eng = SimulationEngine(cfg, observers=[pk_obs])
+    eng.initialize(state=make_state(pos, vel, mass, scale_factor=a_i))
+    li = LayzerIrvineLedger(eng, dlna_sample=0.15)
+
+    from lambda_cdm_tpu.core.observers import Observer
+
+    class LIObserver(Observer):
+        def on_step_end(self, engine, step):
+            li.sample()
+
+    eng.add_observer(LIObserver())
+    li.sample(force=True)
+
+    log(f"[2/5] evolving z={z_init} -> 0 (treepm_fast, {pm_grid}^3 PM, "
+        f"adaptive dt)")
+    t0 = time.perf_counter()
+    eng.run(num_steps=1_000_000)
+    li.sample(force=True)
+    t_evolve = time.perf_counter() - t0
+    a_f = float(eng.state.scale_factor)
+    steps = int(eng.statistics.total_steps)
+    log(f"  evolved to a={a_f:.4f} in {steps} steps, "
+        f"{t_evolve:.1f} s wall ({1e3 * t_evolve / max(steps, 1):.1f} "
+        f"ms/step incl. analysis)")
+
+    overflow = int(eng._fstate.overflow) if eng._fstate is not None else 0
+    dropped = int(eng._fstate.dropped) if eng._fstate is not None else 0
+
+    checks: dict[str, dict] = {}
+
+    def check(name, value, ok, bar):
+        checks[name] = {"value": value, "pass": bool(ok), "bar": bar}
+        log(f"  check {name}: {value} ({'PASS' if ok else 'FAIL'}; "
+            f"bar {bar})")
+
+    z_target_hit = (a_f >= 0.98 or
+                    (z_final > 0 and a_f >= 0.97 / (1.0 + z_final)))
+    check("completed_to_target", a_f, z_target_hit,
+          f"a_final >= {0.98 if z_final == 0 else 0.97/(1+z_final):.3f}"
+          f" (z_final={z_final})")
+    check("bucket_overflow", overflow, overflow == 0, "== 0")
+    check("dropped_deposits", dropped, dropped == 0, "== 0")
+
+    live = eng.state.masses > 0
+    n_live = int(jnp.sum(live))
+    check("particles_conserved", n_live, n_live == n, f"== {n}")
+
+    # completion gate: with LCDM_SCIENCE_ZFINAL the run stops early for
+    # plumbing smokes -- z=0-dependent science (nonlinear excess, halos,
+    # HMF) is then recorded informationally but NOT asserted (a z=10
+    # box has no >= 20-particle halos BY PHYSICS, not by bug)
+    at_z0 = a_f >= 0.98
+
+    def check_z0(name, value, ok, bar):
+        if at_z0:
+            check(name, value, ok, bar)
+        else:
+            checks[name] = {"value": value, "pass": None,
+                            "bar": bar + " [not asserted: early stop]"}
+            log(f"  check {name}: {value} (SKIPPED, early stop; "
+                f"bar {bar})")
+
+    # -- P(k) growth ---------------------------------------------------------
+    log("[3/5] P(k) science checks")
+    pos_f = eng.state.positions
+    # same estimator settings as pk_i (no shot-noise subtraction): the
+    # per-bin RATIO is the observable; subtracting 1/nbar from only the
+    # evolved spectrum biased the linear-growth ratio low by ~14% at
+    # the smoke geometry
+    pk_f = measure_power_spectrum(pos_f, box, ng=pk_grid, num_bins=32,
+                                  subtract_shot_noise=False)
+    k = np.asarray(pk_i.k)
+    ratio = np.asarray(pk_f.power) / np.maximum(np.asarray(pk_i.power),
+                                                1e-30)
+    growth = (float(growth_factor_exact(params, a_f))
+              / float(growth_factor_exact(params, a_i))) ** 2
+    # linear window: k < 0.15 h/Mpc at the 1M box; the small box's
+    # fundamental mode is already 0.1, so its window widens to 0.25
+    # (mildly nonlinear at z=0 -- covered by the per-bin slack)
+    k_lin = 0.15 if not small else 0.25
+    lin = (k > 0) & (k < k_lin) & np.isfinite(ratio)
+    rel = ratio[lin] / growth - 1.0
+    check("pk_linear_bins", int(lin.sum()), lin.sum() >= 2, ">= 2")
+    check("pk_linear_growth_max_dev",
+          float(np.max(np.abs(rel))) if lin.any() else float("nan"),
+          lin.any() and np.all(np.abs(rel) < 0.25), "< 0.25 per bin")
+    check("pk_linear_growth_mean_dev",
+          float(np.mean(rel)) if lin.any() else float("nan"),
+          lin.any() and abs(float(np.mean(rel))) < 0.10, "|mean| < 0.10")
+    nl = (k > 0.3) & (k < 0.7) & np.isfinite(ratio)
+    nl_ratio = float(np.mean(ratio[nl])) / growth if nl.any() else 0.0
+    check_z0("pk_nonlinear_excess", nl_ratio, 1.0 < nl_ratio < 20.0,
+             "in (1, 20) x linear")
+
+    # -- HMF vs Sheth-Tormen at z=0 -------------------------------------------
+    log("[4/5] FoF/SO catalog + HMF vs Sheth-Tormen at z=0")
+    t0 = time.perf_counter()
+    cat = halo_finder.find_halos(
+        eng.state.positions, eng.state.velocities, eng.state.masses,
+        box, min_particles=20)          # max_halos auto-sizes
+    n_h = int(cat.num_halos)
+    t_fof = time.perf_counter() - t0
+    log(f"  {n_h} halos >= 20 particles in {t_fof:.1f} s "
+        f"(catalog capacity {int(cat.mass.shape[0])})")
+    check_z0("num_halos", n_h, n_h >= (10 if small else 500),
+             ">= 500 at 1M (>= 10 small)")
+    check("catalog_not_truncated", int(cat.mass.shape[0]),
+          n_h < int(cat.mass.shape[0]), "num_halos < capacity")
+    biggest = int(jnp.max(cat.n_particles)) if n_h else 0
+    check_z0("no_percolation", biggest, 0 < biggest < 0.2 * n,
+             "largest halo < 20% of box")
+
+    z_f = max(1.0 / a_f - 1.0, 0.0)
+    m_lo = 32.0 * m_p
+    m_hi = float(jnp.max(cat.mass)) * (1 + 1e-5) if n_h else m_lo * 10
+    centers, dn_dlog10, counts = halo_finder.mass_function(
+        cat, box, num_bins=8, m_min=m_lo, m_max=m_hi)
+    centers = np.asarray(centers)
+    measured = np.asarray(dn_dlog10)
+    counts = np.asarray(counts)
+    theory = np.asarray(st_mass_function(
+        params, jnp.asarray(centers), z=z_f)) * math.log(10.0)
+    ok_bins = counts >= 8
+    hmf = {}
+    if ok_bins.sum() >= 2:
+        r = measured[ok_bins] / theory[ok_bins]
+        sigma = 1.0 / np.sqrt(counts[ok_bins])
+        lo_b = 1.0 / 2.5 / (1.0 + 3.0 * sigma)
+        hi_b = 2.5 * (1.0 + 3.0 * sigma)
+        per_bin_ok = bool(np.all((r > lo_b) & (r < hi_b)))
+        gmean = float(np.exp(np.mean(np.log(r))))
+        hmf = {"bins": centers[ok_bins].tolist(),
+               "counts": counts[ok_bins].tolist(),
+               "ratio_vs_st": r.tolist()}
+        check_z0("hmf_per_bin_vs_st", [round(x, 3) for x in r.tolist()],
+                 per_bin_ok, "factor 2.5 + 3 sigma Poisson per bin")
+        check_z0("hmf_band_gmean_vs_st", gmean, 1 / 1.7 < gmean < 1.7,
+                 "geometric mean in (1/1.7, 1.7)")
+    else:
+        check_z0("hmf_per_bin_vs_st", counts.tolist(), False,
+                 ">= 2 bins with >= 8 halos")
+
+    # -- Layzer-Irvine --------------------------------------------------------
+    li_bar = 0.05
+    check("layzer_irvine_worst_residual", li.worst, li.worst < li_bar,
+          f"< {li_bar} of |U| (pairwise U vs TreePM force: PM split + "
+          f"min-image-vs-Ewald systematics; the exactly-consistent "
+          f"direct-solver bound is 1e-3, tests/test_energy_longhorizon)")
+
+    # -- lensing --------------------------------------------------------------
+    log("[5/5] Born convergence map from the final state")
+    kap = convergence_map_from_state(
+        eng.state, params, box, ng=256 if not small else 96,
+        n_planes=16 if not small else 8, z_source=1.0)
+    kap = np.asarray(kap)
+    krms = float(np.std(kap))
+    check("lensing_map_finite", krms,
+          np.all(np.isfinite(kap)) and 1e-4 < krms < 1.0,
+          "finite, rms in (1e-4, 1)")
+
+    wall = time.perf_counter() - t_wall0
+    passed = all(c["pass"] for c in checks.values()
+                 if c["pass"] is not None)
+    cert = {
+        "kind": "lambda_cdm_tpu science certificate",
+        "passed": passed,
+        "config": {"n_particles": n, "box_Mpc_h": box,
+                   "pm_grid": pm_grid, "softening": softening,
+                   "z_init": z_init, "solver": "treepm_fast",
+                   "kick_mode": "comoving", "small": small,
+                   "z_final_override": z_final if z_final > 0 else None},
+        "platform": jax.devices()[0].platform,
+        "steps": steps,
+        "wall_clock_s": round(wall, 1),
+        "evolve_s": round(t_evolve, 1),
+        "ic_s": round(t_ic, 1),
+        "fof_s": round(t_fof, 1),
+        "ms_per_step_incl_analysis": round(1e3 * t_evolve
+                                           / max(steps, 1), 2),
+        "a_final": a_f,
+        "growth_factor_sq": growth,
+        "pk_snapshots": len(pk_obs.results),
+        "hmf": hmf,
+        "layzer_irvine_samples": li.samples,
+        "checks": checks,
+        "measured_at": __import__("datetime").datetime.now(
+            __import__("datetime").timezone.utc).isoformat(
+                timespec="seconds"),
+    }
+    return cert
+
+
+def main():
+    small = "--small" in sys.argv
+    out_path = os.path.join(ROOT, "SCIENCE.json")
+    cert = run_science(small=small)
+    with open(out_path, "w") as f:
+        json.dump(cert, f, indent=1)
+    log(f"wrote {out_path}")
+    print(json.dumps({"passed": cert["passed"],
+                      "steps": cert["steps"],
+                      "wall_clock_s": cert["wall_clock_s"],
+                      "checks_failed": [k for k, v in cert["checks"].items()
+                                        if v["pass"] is False],
+                      "checks_skipped": [k for k, v in
+                                         cert["checks"].items()
+                                         if v["pass"] is None]}))
+    sys.exit(0 if cert["passed"] else 1)
+
+
+if __name__ == "__main__":
+    main()
