@@ -367,7 +367,7 @@ def section_accuracy(n, box):
                                  box_size=box, pm_grid=192,
                                  softening=0.05)
     fpos, _, fmass, fids = flatten_fast_state(fstate, with_ids=True)
-    facc = fstate.acc.reshape(-1, 3)
+    facc = fstate.acc.reshape(3, -1).T          # SoA [3, C, K] state
     live = np.asarray(fmass) > 0
     rng = np.random.default_rng(0)
     rows = rng.choice(np.nonzero(live)[0], size=512, replace=False)

@@ -1199,8 +1199,16 @@ class SimulationEngine:
         if self._fstate is not None:
             # padding rows (mass==0) still receive field values at their
             # parked positions — mask them out of the limiter
-            live = (self._fstate.bmass > 0)[..., None]
-            acc = jnp.where(live, self._fstate.acc, 0.0).reshape(-1, 3)
+            if (self._fstate.bpos.ndim == 3
+                    and self._fstate.bpos.shape[0] == 3
+                    and self._fstate.bpos.shape[-1] != 3):
+                live = (self._fstate.bmass > 0)[None]
+                acc = jnp.where(live, self._fstate.acc,
+                                0.0).reshape(3, -1).T
+            else:
+                live = (self._fstate.bmass > 0)[..., None]
+                acc = jnp.where(live, self._fstate.acc,
+                                0.0).reshape(-1, 3)
         elif self._acc is not None:
             acc = self._acc
         else:

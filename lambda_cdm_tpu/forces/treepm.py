@@ -105,11 +105,19 @@ def bucket_src_map(positions, masses, box_size, *, ncell: int,
     Returns (src [C*capacity] int32, slot [n] int32 in sorted order,
     order [n], ok [n] bool, overflow).
     """
-    n = positions.shape[0]
+    # SoA [3, N] accepted alongside [N, 3]: the single-chip fast
+    # stepper keeps vectors SoA (AoS [.., 3]-minor arrays risk 42x
+    # lane-padded relayout copies; ops/pallas_short_range docstring).
+    # Each form is indexed natively -- no cross-layout transposes.
+    soa = positions.ndim == 2 and positions.shape[0] == 3
+    n = positions.shape[1] if soa else positions.shape[0]
     ncells = ncell ** 3
-    cell = jnp.floor(positions / box_size * ncell).astype(jnp.int32)
-    cell = jnp.clip(cell, 0, ncell - 1)
-    cid = (cell[:, 0] * ncell + cell[:, 1]) * ncell + cell[:, 2]
+    comps = ((positions[0], positions[1], positions[2]) if soa else
+             (positions[:, 0], positions[:, 1], positions[:, 2]))
+    cx, cy, cz = (jnp.clip(jnp.floor(c / box_size * ncell)
+                           .astype(jnp.int32), 0, ncell - 1)
+                  for c in comps)
+    cid = (cx * ncell + cy) * ncell + cz
     # dead (zero-mass padding) rows go to a virtual overflow cell so
     # they never consume real-cell capacity
     live = masses > 0

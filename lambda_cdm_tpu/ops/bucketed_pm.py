@@ -315,7 +315,8 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
                               box_size, g_const=1.0, split_scale=0.0,
                               margin: int = 1, gradient: str = "spectral",
                               use_pallas: bool | None = None):
-    """Long-range PM accelerations for bucketed particles -> [C, K, 3].
+    """Long-range PM accelerations for bucketed particles: [C, K, 3]
+    for AoS bpos, [3, C, K] for SoA bpos (the production layout).
 
     gradient="fd4": solve for the potential with ONE inverse FFT and take
     4th-order central differences -- halves the transform count vs the
@@ -328,6 +329,14 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
 
     if use_pallas is None:
         use_pallas = _use_pallas()
+    cc = ncell ** 3
+    # SoA [3, C, K] is the production layout (AoS [C, K, 3] can make
+    # XLA materialize 42x lane-padded tiled copies; see
+    # pallas_short_range). The rod kernels take SoA natively; the jnp
+    # fallback paths (CPU) convert at this boundary and convert back,
+    # so callers always get accelerations in the layout they passed.
+    soa = bpos.ndim == 3 and bpos.shape[0] == 3 and bpos.shape[1] == cc
+    bpos_aos = jnp.moveaxis(bpos, 0, -1) if soa else bpos
     cell_volume = (box_size / ng) ** 3
     counts = None
     if use_pallas:
@@ -345,7 +354,7 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
         grid = assemble_rods(blocks, ncell=ncell, ng=ng, margin=margin)
     else:
         grid, dropped = deposit_from_buckets(
-            bpos, bmass, ncell=ncell, ng=ng, box_size=box_size,
+            bpos_aos, bmass, ncell=ncell, ng=ng, box_size=box_size,
             margin=margin)
     # MXU DFT-by-matmul on TPU (ops/matmul_fft): measured ~1-2 ms faster
     # per forward+inverse pair than XLA's FFT at 192^3-256^3 on v5e
@@ -368,8 +377,10 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
         # block extraction, two shared GEMMs (see gather_gradient_to_buckets)
         phi = irfftn(phi_k, s=(ng, ng, ng))
         acc = gather_gradient_to_buckets(
-            phi, bpos, bmass, ncell=ncell, ng=ng, box_size=box_size,
+            phi, bpos_aos, bmass, ncell=ncell, ng=ng, box_size=box_size,
             margin=margin)
+        if soa:
+            acc = jnp.moveaxis(acc, -1, 0)
         return g_const * acc, dropped
     if gradient == "spectral":
         kx, ky, kz, _ = fourier_grid(ng, box_size)
@@ -392,6 +403,8 @@ def pm_accelerations_bucketed(bpos, bmass, *, ncell: int, ng: int,
     # v5e; the fd4 rod gather and this XLA path both run fine). The
     # spectral / fd4-fields gather therefore stays on the XLA einsum
     # path; the production TreePM/fd4 route above never touches it.
-    acc = gather_to_buckets(fields, bpos, bmass, ncell=ncell, ng=ng,
+    acc = gather_to_buckets(fields, bpos_aos, bmass, ncell=ncell, ng=ng,
                             box_size=box_size, margin=margin)
+    if soa:
+        acc = jnp.moveaxis(acc, -1, 0)
     return g_const * acc, dropped

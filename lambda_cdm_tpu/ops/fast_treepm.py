@@ -38,12 +38,20 @@ from ..physics.integrators import (drift_factor, kick_factor,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FastState:
-    """Cell-bucketed simulation state ([C, K, ...], zero-mass padding)."""
-    bpos: jax.Array           # [C, K, 3]
-    bvel: jax.Array           # [C, K, 3]
+    """Cell-bucketed simulation state (zero-mass padding).
+
+    The single-chip stepper stores vectors SoA ([3, C, K]): AoS
+    [C, K, 3] arrays can make XLA materialize (8,128)-tiled relayout
+    copies whose minor dim of 3 pads to 128 lanes -- a 42x blowup that
+    OOMed the 1M/cap-4096 science geometry at 29 GB. The sharded mesh
+    steppers (parallel/fast_mesh*) still fill this container with
+    their legacy [C, K, 3] blocks at small capacities; shape-dependent
+    consumers (flatten_fast_state, the engine) detect the layout."""
+    bpos: jax.Array           # [3, C, K] (mesh steppers: [C, K, 3])
+    bvel: jax.Array           # [3, C, K] (")
     bmass: jax.Array          # [C, K]
     ids: jax.Array            # [C, K] int32 persistent particle ids (-1 pad)
-    acc: jax.Array            # [C, K, 3] accelerations at bpos
+    acc: jax.Array            # [3, C, K] accelerations at bpos (")
     scale_factor: jax.Array   # []
     time: jax.Array           # []
     step: jax.Array           # [] int32
@@ -177,9 +185,12 @@ def build_fast_state(positions, velocities, masses, scale_factor, *,
     C = ncell ** 3
     src, _, _, _, ovf = bucket_src_map(
         positions, masses, box_size, ncell=ncell, capacity=cap)
-    bpos = bucket_gather(positions, src).reshape(C, cap, 3)
+    # SoA: gather each component separately (see FastState docstring)
+    bpos = jnp.stack([bucket_gather(positions[:, k], src)
+                      .reshape(C, cap) for k in range(3)])
     bmass = bucket_gather(masses, src).reshape(C, cap)
-    bvel = bucket_gather(velocities, src).reshape(C, cap, 3)
+    bvel = jnp.stack([bucket_gather(velocities[:, k], src)
+                      .reshape(C, cap) for k in range(3)])
     if ids is None:
         ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
     bids = bucket_gather(ids.astype(jnp.int32), src, -1).reshape(C, cap)
@@ -195,9 +206,15 @@ def build_fast_state(positions, velocities, masses, scale_factor, *,
 
 def flatten_fast_state(fstate: FastState, with_ids: bool = False):
     """Back to flat (positions, velocities, masses[, ids]) with zero-mass
-    padding rows (ids -1 there)."""
-    out = (fstate.bpos.reshape(-1, 3), fstate.bvel.reshape(-1, 3),
-           fstate.bmass.reshape(-1))
+    padding rows (ids -1 there). Handles both the SoA [3, C, K] layout
+    (single-chip stepper) and the legacy [C, K, 3] (mesh steppers)."""
+    if fstate.bpos.ndim == 3 and fstate.bpos.shape[0] == 3             and fstate.bpos.shape[-1] != 3:
+        pos = fstate.bpos.reshape(3, -1).T
+        vel = fstate.bvel.reshape(3, -1).T
+    else:
+        pos = fstate.bpos.reshape(-1, 3)
+        vel = fstate.bvel.reshape(-1, 3)
+    out = (pos, vel, fstate.bmass.reshape(-1))
     return out + (fstate.ids.reshape(-1),) if with_ids else out
 
 
@@ -227,7 +244,7 @@ def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
         # persistent-bucket PM solver — same physics as forces/pm.py,
         # none of its per-step scatter/sort cost)
         return acc_long.reshape(fstate.bpos.shape), dropped
-    bpos = fstate.bpos.reshape(ncell ** 3, capacity, 3)
+    bpos = fstate.bpos.reshape(3, ncell ** 3, capacity)
     bmass = fstate.bmass.reshape(ncell ** 3, capacity)
     if ncell >= 3 and _use_pallas():
         from .pallas_short_range import pallas_short_range
@@ -236,9 +253,11 @@ def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
             box_size=float(box_size), rs=float(rs),
             softening=float(softening), variant=variant)
     else:
-        acc_short = short_range_bucketed(
-            bpos, bmass, box_size, rs, softening, ncell=ncell,
-            capacity=capacity, use_poly=True)
+        # jnp reference path (CPU): AoS interface; the conversion
+        # transposes are harmless off-TPU
+        acc_short = jnp.moveaxis(short_range_bucketed(
+            jnp.moveaxis(bpos, 0, -1), bmass, box_size, rs, softening,
+            ncell=ncell, capacity=capacity, use_poly=True), -1, 0)
     return acc_long.reshape(fstate.bpos.shape) \
         + g_const * acc_short.reshape(fstate.bpos.shape), dropped
 
@@ -256,18 +275,19 @@ def _rebucket(fstate: FastState, *, box_size, ncell, capacity) -> FastState:
     S = bshape[0] * bshape[1]
     # positions drift UNWRAPPED between rebuckets (see _fast_segment);
     # wrap here, where cells are re-derived from positions
-    pos = jnp.where((fstate.bmass > 0)[..., None],
-                    wrap_positions(fstate.bpos, box_size),
-                    0.0).reshape(S, 3)
+    pos3 = jnp.where((fstate.bmass > 0)[None],
+                     wrap_positions(fstate.bpos, box_size),
+                     0.0).reshape(3, S)
     mass = fstate.bmass.reshape(S)
     src, _, _, _, overflow = bucket_src_map(
-        pos, mass, box_size, ncell=ncell, capacity=capacity)
+        pos3, mass, box_size, ncell=ncell, capacity=capacity)
 
-    nbp = bucket_gather(pos, src).reshape(fstate.bpos.shape)
-    nbv = bucket_gather(fstate.bvel.reshape(S, 3), src).reshape(
-        fstate.bpos.shape)
-    nba = bucket_gather(fstate.acc.reshape(S, 3), src).reshape(
-        fstate.bpos.shape)
+    nbp = jnp.stack([bucket_gather(pos3[k], src) for k in range(3)]) \
+        .reshape(fstate.bpos.shape)
+    nbv = jnp.stack([bucket_gather(fstate.bvel.reshape(3, S)[k], src)
+                     for k in range(3)]).reshape(fstate.bpos.shape)
+    nba = jnp.stack([bucket_gather(fstate.acc.reshape(3, S)[k], src)
+                     for k in range(3)]).reshape(fstate.bpos.shape)
     nbm = bucket_gather(mass, src).reshape(bshape)
     nbi = bucket_gather(fstate.ids.reshape(S), src, -1).reshape(bshape)
     return fstate.replace(
@@ -394,7 +414,7 @@ def _fast_segment(fstate: FastState, params: CosmologyParams, dt, *,
         # short-range rod shifts come from CELL indices, not positions.
         # Positions wrap at rebucket time (where cells are re-derived)
         # and on export to SimState.
-        pos = jnp.where((fs.bmass > 0)[..., None], pos, 0.0)
+        pos = jnp.where((fs.bmass > 0)[None], pos, 0.0)
         fs = fs.replace(bpos=pos, bvel=vel, scale_factor=a1,
                         time=fs.time + dt, step=fs.step + 1)
 
@@ -433,7 +453,16 @@ def initialize_fast(positions, velocities, masses, scale_factor, *,
     kw = dict(accel_kw, h0_internal=float(h0_internal),
               kick_mode=str(kick_mode), sf_method=str(sf_method),
               cosmological=bool(cosmological))
-    acc, dropped = _accel(fstate, **accel_kw)
+    # prime accelerations under ONE jit: called eagerly, the nested
+    # kernel jits become top-level programs whose [C, K, 3] entry
+    # parameters XLA may relayout into a lane-padded tiling (minor dim
+    # 3 -> 128 lanes, 42x) -- a 29 GB copy at the 1M/cap-4096 science
+    # geometry. Inside one jit the kernels inline and no entry copies
+    # exist (the hot loop, _fast_segment, is safe the same way).
+    # Import the kernel module OUTSIDE the trace: its module-level
+    # polynomial fit must evaluate concrete, not as tracers.
+    from . import pallas_short_range as _psr  # noqa: F401
+    acc, dropped = jax.jit(lambda fs: _accel(fs, **accel_kw))(fstate)
     fstate = fstate.replace(acc=acc,
                             dropped=fstate.dropped
                             + dropped.astype(jnp.int32))

@@ -249,7 +249,8 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
     states). Dead slots get exactly zero output either way.
     """
     cc = ncell ** 3
-    cap = bpos.shape[1]
+    soa = bpos.ndim == 3 and bpos.shape[0] == 3 and bpos.shape[1] == cc
+    cap = bpos.shape[-1] if soa else bpos.shape[1]
     ppc, ell, la, halo = rod_geometry(ng, ncell, margin)
     h = float(box_size) / ng
 
@@ -294,8 +295,17 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
         nchunks = s_rod // s
         rod_counts = (counts.reshape(rr, ncell).max(axis=1)
                       .astype(jnp.int32))
-        pos_t = (bpos.reshape(rr, ncell, cap, 3).transpose(0, 2, 1, 3)
-                 .reshape(rr, nchunks, s, 3).transpose(0, 1, 3, 2))
+        if soa:
+            # SoA [3, C, K]: rank-major slots without ever materializing
+            # a [.., .., 3]-minor intermediate (XLA can relayout those
+            # into 42x lane-padded tilings; 29 GB at 1M/cap 4096)
+            pos_t = (bpos.reshape(3, rr, ncell, cap)
+                     .transpose(1, 0, 3, 2)           # [rr, 3, cap, nc]
+                     .reshape(rr, 3, nchunks, s).transpose(0, 2, 1, 3))
+        else:
+            pos_t = (bpos.reshape(rr, ncell, cap, 3)
+                     .transpose(0, 2, 1, 3)
+                     .reshape(rr, nchunks, s, 3).transpose(0, 1, 3, 2))
         kernel = functools.partial(
             _gather_kernel_occ, nc=ncell, ng=ng, ng_p=ng_p, ppc=ppc,
             la=la, ly=ly, g8=g8, halo=halo, box_size=float(box_size),
@@ -327,6 +337,10 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
             ),
             interpret=interpret,
         )(rod_counts, phi_pad, pos_t)
+        if soa:
+            return (out.transpose(2, 0, 1, 3)      # [3, rr, nchunks, s]
+                    .reshape(3, rr, cap, ncell).transpose(0, 1, 3, 2)
+                    .reshape(3, cc, cap))
         return (out.transpose(0, 1, 3, 2).reshape(rr, cap, ncell, 3)
                 .transpose(0, 2, 1, 3).reshape(cc, cap, 3))
 
@@ -336,7 +350,8 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
     while s_rod % s:
         s -= 128
     nchunks = s_rod // s
-    pos_t = (bpos.reshape(rr, s_rod, 3).transpose(2, 0, 1)
+    pos_t = (bpos.reshape(3, rr * s_rod) if soa else
+             bpos.reshape(rr, s_rod, 3).transpose(2, 0, 1)
              .reshape(3, rr * s_rod))
 
     kernel = functools.partial(
@@ -362,7 +377,8 @@ def pallas_gather_fd4(phi, bpos, *, ncell: int, ng: int, box_size,
         ),
         interpret=interpret,
     )(phi_pad, pos_t)
-    return out.reshape(3, cc, cap).transpose(1, 2, 0)
+    out = out.reshape(3, cc, cap)
+    return out if soa else out.transpose(1, 2, 0)
 
 
 def _gather_kernel_occ(counts_ref, phi_hbm, pos_ref, out_ref, win, sem, *,
@@ -600,7 +616,9 @@ def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
     With `counts` (int32 [C] live counts, live-first buckets) the
     occupancy-aware variant skips dead capacity padding (see
     pallas_gather_fd4)."""
-    cap = bpos.shape[1]
+    cc3 = ncell ** 3
+    soa = bpos.ndim == 3 and bpos.shape[0] == 3 and bpos.shape[1] == cc3
+    cap = bpos.shape[-1] if soa else bpos.shape[1]
     ppc, ell, _, _ = rod_geometry(ng, ncell, margin)
     rr = ncell * ncell
     s_rod = ncell * cap
@@ -613,11 +631,20 @@ def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
         nchunks = s_rod // s
         rod_counts = (counts.reshape(rr, ncell).max(axis=1)
                       .astype(jnp.int32))
-        pts = jnp.concatenate(
-            [bpos.reshape(rr, ncell, cap, 3),
-             bmass.reshape(rr, ncell, cap, 1)], axis=-1)
-        pts = (pts.transpose(0, 2, 1, 3)
-               .reshape(rr, nchunks, s, 4).transpose(0, 1, 3, 2))
+        if soa:
+            # SoA: build the [rr, nchunks, 4, s] rank-major chunks from
+            # component planes -- no [.., .., 3/4]-minor intermediates
+            pts = jnp.concatenate(
+                [bpos.reshape(3, rr, ncell, cap),
+                 bmass.reshape(1, rr, ncell, cap)], axis=0)
+            pts = (pts.transpose(1, 0, 3, 2)        # [rr, 4, cap, nc]
+                   .reshape(rr, 4, nchunks, s).transpose(0, 2, 1, 3))
+        else:
+            pts = jnp.concatenate(
+                [bpos.reshape(rr, ncell, cap, 3),
+                 bmass.reshape(rr, ncell, cap, 1)], axis=-1)
+            pts = (pts.transpose(0, 2, 1, 3)
+                   .reshape(rr, nchunks, s, 4).transpose(0, 1, 3, 2))
         kernel = functools.partial(
             _deposit_kernel_occ, nc=ncell, ng=ng, ppc=ppc, ell=ell,
             box_size=float(box_size), margin=margin, s=s, gemm=gemm)
@@ -637,7 +664,8 @@ def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
             interpret=interpret,
         )(rod_counts, pts)
     else:
-        pos_t = (bpos.reshape(rr, s_rod, 3).transpose(2, 0, 1)
+        pos_t = (bpos.reshape(3, rr * s_rod) if soa else
+                 bpos.reshape(rr, s_rod, 3).transpose(2, 0, 1)
                  .reshape(3, rr * s_rod))
         mass_r = bmass.reshape(rr * s_rod)
 
@@ -667,8 +695,13 @@ def pallas_deposit_rods(bpos, bmass, *, ncell: int, ng: int, box_size,
     from .bucketed_pm import _block_origins
     origins = _block_origins(ncell, ppc, margin)
     u = bpos * (ng / box_size)
-    il = jnp.floor(u - 0.5) - origins[:, None, :]
-    okd = jnp.all((il >= 0) & (il <= ell - 2), axis=-1)
+    if soa:
+        # [3, C, K] against origins [C, 3]: broadcast per component
+        il = jnp.floor(u - 0.5) - origins.T[:, :, None]
+        okd = jnp.all((il >= 0) & (il <= ell - 2), axis=0)
+    else:
+        il = jnp.floor(u - 0.5) - origins[:, None, :]
+        okd = jnp.all((il >= 0) & (il <= ell - 2), axis=-1)
     dropped = jnp.sum((bmass > 0) & ~okd)
     return blocks.reshape(rr, ell, ell, ng), dropped
 

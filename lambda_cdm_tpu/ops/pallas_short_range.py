@@ -329,7 +329,7 @@ def _short_kernel_v5(counts_ref, rodchunks_ref, pts_hbm, out_ref, *, nc,
     cy = i % nc
     chq, v_scale, c1 = _poly_even_coeffs(rs)
 
-    def body(rods, icol, accc, sem):
+    def body(rods, jrow, icol, accc, sem):
         src = pts_hbm
         # windowed rod DMA: ceil(maxocc_rod/128) chunks of [4, nc, 128]
         for idx, (dx, dy) in enumerate(
@@ -347,36 +347,29 @@ def _short_kernel_v5(counts_ref, rodchunks_ref, pts_hbm, out_ref, *, nc,
 
             jax.lax.fori_loop(0, rodchunks_ref[r_id], dma_chunk, ())
 
-        # halo planes + periodic unwrap (same scheme as vpu3), but
-        # WINDOWED: the copies and shift adds are O(cap) per rod plane,
-        # so at grown caps they cost more than the pair work -- bound
-        # them by the rod's occupancy window (lanes beyond it are never
-        # read by the bounded j loops below)
+        # halo planes + periodic unwrap (same scheme as vpu3); the ops
+        # touch full-cap rows, but lanes beyond each rod's window are
+        # never read by the bounded j loops below. NOTE: windowing
+        # these (and the staging below) behind dynamic 128-chunk
+        # fori_loops HANGS the Mosaic compile (>12 min at cap 512 vs
+        # 35 s for this form) -- the static full-cap ops cost O(cap)
+        # VPU time but compile reliably; revisit only with a measured
+        # profile and a compile-time budget.
         idx = 0
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                rods[idx, :, nc:nc + 1, :] = rods[idx, :, nc - 1:nc, :]
+                rods[idx, :, nc + 1:nc + 2, :] = rods[idx, :, 0:1, :]
                 shift_x = jnp.where(cx + dx < 0, -box_size,
                                     jnp.where(cx + dx >= nc, box_size, 0.0))
                 shift_y = jnp.where(cy + dy < 0, -box_size,
                                     jnp.where(cy + dy >= nc, box_size, 0.0))
-
-                def unwrap(k, _, idx=idx, shift_x=shift_x,
-                           shift_y=shift_y):
-                    sl = pl.ds(k * 128, 128)
-                    rods[idx, :, nc:nc + 1, sl] = \
-                        rods[idx, :, nc - 1:nc, sl]
-                    rods[idx, :, nc + 1:nc + 2, sl] = \
-                        rods[idx, :, 0:1, sl]
-                    rods[idx, 0, :, sl] = rods[idx, 0, :, sl] + shift_x
-                    rods[idx, 1, :, sl] = rods[idx, 1, :, sl] + shift_y
-                    rods[idx, 2, nc:nc + 1, sl] = \
-                        rods[idx, 2, nc:nc + 1, sl] - box_size
-                    rods[idx, 2, nc + 1:nc + 2, sl] = \
-                        rods[idx, 2, nc + 1:nc + 2, sl] + box_size
-                    return ()
-
-                jax.lax.fori_loop(0, rodchunks_ref[r_id], unwrap, ())
+                rods[idx, 0] = rods[idx, 0] + shift_x
+                rods[idx, 1] = rods[idx, 1] + shift_y
+                rods[idx, 2, nc:nc + 1, :] = \
+                    rods[idx, 2, nc:nc + 1, :] - box_size
+                rods[idx, 2, nc + 1:nc + 2, :] = \
+                    rods[idx, 2, nc + 1:nc + 2, :] + box_size
                 idx += 1
 
         def zplane(z):
@@ -390,95 +383,114 @@ def _short_kernel_v5(counts_ref, rodchunks_ref, pts_hbm, out_ref, *, nc,
             ch = min(_CH, cap)
             cnt = counts_ref[i * nc + zc]
             kiq = (cnt + ch - 1) // ch
-            # occupancy-windowed i-side staging: the [1, cap] <->
-            # [cap, 1] relayouts and the zero fill are themselves
-            # O(cap) per cell (measured ~level with the pair work at
-            # cap 512) -- do them in 128-row chunks bounded by the
-            # cell's live count (sublane offsets stay 8-aligned)
-            kcq = (cnt + 127) // 128
+            icol[0, :, :] = jnp.transpose(rods[4, 0, zc:1 + zc, :])
+            icol[1, :, :] = jnp.transpose(rods[4, 1, zc:1 + zc, :])
+            icol[2, :, :] = jnp.transpose(rods[4, 2, zc:1 + zc, :])
+            accc[...] = jnp.zeros_like(accc)
 
-            def stage(k, _):
-                sl = pl.ds(k * 128, 128)
-                icol[0, sl, :] = jnp.transpose(rods[4, 0, zc:1 + zc, sl])
-                icol[1, sl, :] = jnp.transpose(rods[4, 1, zc:1 + zc, sl])
-                icol[2, sl, :] = jnp.transpose(rods[4, 2, zc:1 + zc, sl])
-                accc[0, sl, :] = jnp.zeros((128, 1), jnp.float32)
-                accc[1, sl, :] = jnp.zeros((128, 1), jnp.float32)
-                accc[2, sl, :] = jnp.zeros((128, 1), jnp.float32)
+            # neighbor chunk depth: how many 128-lane chunks the
+            # DEEPEST of the 27 neighbor cells occupies (scalar SMEM
+            # reads; 1 for ~all cells except halo cores)
+            jmax = jnp.int32(0)
+            nbr = []
+            idx = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
+                    for sc in range(3):
+                        jcnt = counts_ref[r_id * nc + zwrap(zc + sc - 1)]
+                        nbr.append((idx, zplane(zc + sc - 1), jcnt))
+                        jmax = jnp.maximum(jmax, jcnt)
+                    idx += 1
+            jkq = (jmax + 127) // 128
+
+            def assemble(k):
+                """jrow chunk k: lane segment [k*128, (k+1)*128) of all
+                27 neighbors, zeroed where the neighbor has no live
+                slots that deep (its rod window may not reach chunk k:
+                those VMEM lanes are stale garbage, never DMA'd)."""
+                base = k * 128
+                for seg, (r, zi, jcnt) in enumerate(nbr):
+                    off = seg * 128
+                    sl = pl.ds(base, 128)
+
+                    @pl.when(jcnt > base)
+                    def _copy(r=r, zi=zi, off=off, sl=sl):
+                        for comp in range(3):
+                            jrow[comp:comp + 1, off:off + 128] = \
+                                rods[r, comp, zi:zi + 1, sl]
+                        jrow[3:4, off:off + 128] = \
+                            rods[r, 3, zi:zi + 1, sl] * c1
+
+                    @pl.when(jcnt <= base)
+                    def _zero(off=off):
+                        jrow[:, off:off + 128] = \
+                            jnp.zeros((4, 128), jnp.float32)
+
+            def pair_pass(acc_add):
+                """one wide [ch, 27*128] pass of the assembled jrow
+                against the cell's live i chunks, accumulated into
+                accc (+= across overflow chunks via acc_add)."""
+                def i_chunk(ci, _):
+                    s8 = pl.ds(ci * ch, ch)
+                    jx = jrow[0:1, :]
+                    jy = jrow[1:2, :]
+                    jz = jrow[2:3, :]
+                    jm = jrow[3:4, :]
+                    dxt = jx - icol[0, s8, :]       # [ch, 27*128]
+                    dyt = jy - icol[1, s8, :]
+                    dzt = jz - icol[2, s8, :]
+                    r2 = dxt * dxt + (dyt * dyt + (dzt * dzt
+                                                   + softening2))
+                    inv_r = jax.lax.rsqrt(r2)
+                    v = jnp.minimum(r2 * v_scale - 1.0, 1.0)
+                    q = jnp.full_like(v, chq[0])
+                    for c in chq[1:]:
+                        q = q * v + c
+                    f = jnp.maximum((inv_r * inv_r) * inv_r + q, 0.0)
+                    w = jm * f
+                    ax = jnp.sum(w * dxt, axis=1, keepdims=True)
+                    ay = jnp.sum(w * dyt, axis=1, keepdims=True)
+                    az = jnp.sum(w * dzt, axis=1, keepdims=True)
+                    if acc_add:
+                        accc[0, s8, :] = accc[0, s8, :] + ax
+                        accc[1, s8, :] = accc[1, s8, :] + ay
+                        accc[2, s8, :] = accc[2, s8, :] + az
+                    else:
+                        accc[0, s8, :] = ax
+                        accc[1, s8, :] = ay
+                        accc[2, s8, :] = az
+                    return ()
+
+                jax.lax.fori_loop(0, kiq, i_chunk, ())
+
+            # prefix pass: chunk 0 of every neighbor -- identical cost
+            # shape to vpu3 at cap 128, which is the point: ~all cells
+            # end here (one wide row, no per-neighbor loops; the
+            # per-(i-chunk, neighbor) fori structure this replaces
+            # measured 5.5 s/step at 1M/cap-4096 from ~2M loop bodies)
+            assemble(0)
+            pair_pass(acc_add=False)
+
+            # overflow sweep: deeper 128-chunks, only as deep as the
+            # DEEPEST neighbor actually goes (dynamic trip count;
+            # zero iterations everywhere but halo cores)
+            def deep(k, _):
+                assemble(k)
+                pair_pass(acc_add=True)
                 return ()
 
-            jax.lax.fori_loop(0, kcq, stage, ())
+            jax.lax.fori_loop(1, jkq, deep, ())
 
-            def i_chunk(ci, _):
-                s8 = pl.ds(ci * ch, ch)
-                ax = jnp.zeros((ch, 128), jnp.float32)
-                ay = jnp.zeros((ch, 128), jnp.float32)
-                az = jnp.zeros((ch, 128), jnp.float32)
-                ix = icol[0, s8, :]
-                iy = icol[1, s8, :]
-                iz = icol[2, s8, :]
-                idx = 0
-                for dx in (-1, 0, 1):
-                    for dy in (-1, 0, 1):
-                        r_id = ((cx + dx) % nc) * nc + ((cy + dy) % nc)
-                        for sc in range(3):
-                            zi = zplane(zc + sc - 1)
-                            jcnt = counts_ref[r_id * nc
-                                              + zwrap(zc + sc - 1)]
-                            jkq = (jcnt + 127) // 128
-
-                            def j_chunk(jc, acc3, idx=idx, zi=zi):
-                                jax_, jay, jaz = acc3
-                                sl = pl.ds(jc * 128, 128)
-                                jx = rods[idx, 0, zi:zi + 1, sl]
-                                jy = rods[idx, 1, zi:zi + 1, sl]
-                                jz = rods[idx, 2, zi:zi + 1, sl]
-                                jm = rods[idx, 3, zi:zi + 1, sl]
-                                dxt = jx - ix
-                                dyt = jy - iy
-                                dzt = jz - iz
-                                r2 = dxt * dxt + (dyt * dyt + (
-                                    dzt * dzt + softening2))
-                                inv_r = jax.lax.rsqrt(r2)
-                                v = jnp.minimum(r2 * v_scale - 1.0, 1.0)
-                                q = jnp.full_like(v, chq[0])
-                                for c in chq[1:]:
-                                    q = q * v + c
-                                f = jnp.maximum(
-                                    (inv_r * inv_r) * inv_r + q, 0.0)
-                                w = (jm * c1) * f
-                                return (jax_ + w * dxt, jay + w * dyt,
-                                        jaz + w * dzt)
-
-                            ax, ay, az = jax.lax.fori_loop(
-                                0, jkq, j_chunk, (ax, ay, az))
-                        idx += 1
-                accc[0, s8, :] = jnp.sum(ax, axis=1, keepdims=True)
-                accc[1, s8, :] = jnp.sum(ay, axis=1, keepdims=True)
-                accc[2, s8, :] = jnp.sum(az, axis=1, keepdims=True)
-                return ()
-
-            jax.lax.fori_loop(0, kiq, i_chunk, ())
-
-            # zero the full row once (plain wide store, no relayout),
-            # then write back only the occupied 128-row chunks
-            out_ref[0, zc:zc + 1, :] = jnp.zeros((1, cap), jnp.float32)
-            out_ref[1, zc:zc + 1, :] = jnp.zeros((1, cap), jnp.float32)
-            out_ref[2, zc:zc + 1, :] = jnp.zeros((1, cap), jnp.float32)
-
-            def unstage(k, _):
-                sl = pl.ds(k * 128, 128)
-                out_ref[0, zc:zc + 1, sl] = jnp.transpose(accc[0, sl, :])
-                out_ref[1, zc:zc + 1, sl] = jnp.transpose(accc[1, sl, :])
-                out_ref[2, zc:zc + 1, sl] = jnp.transpose(accc[2, sl, :])
-                return ()
-
-            jax.lax.fori_loop(0, kcq, unstage, ())
+            out_ref[0, zc:zc + 1, :] = jnp.transpose(accc[0, :, :])
+            out_ref[1, zc:zc + 1, :] = jnp.transpose(accc[1, :, :])
+            out_ref[2, zc:zc + 1, :] = jnp.transpose(accc[2, :, :])
         out_ref[3, :, :] = jnp.zeros((nc, cap), jnp.float32)
 
     pl.run_scoped(
         body,
         rods=pltpu.VMEM((9, 4, nc + 2, cap), jnp.float32),
+        jrow=pltpu.VMEM((4, 27 * 128), jnp.float32),
         icol=pltpu.VMEM((3, cap, 1), jnp.float32),
         accc=pltpu.VMEM((3, cap, 1), jnp.float32),
         sem=pltpu.SemaphoreType.DMA((9,)),
@@ -1025,11 +1037,15 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
                        box_size: float, rs: float, softening: float,
                        interpret: bool = False, variant: str = "vpu3",
                        i_chunk: int = 16):
-    """Short-range accelerations for every bucket slot -> [C, K, 3].
+    """Short-range accelerations for every bucket slot.
 
-    bpos [C, K, 3], bmass [C, K] in the treepm bucket layout
-    (C = ncell^3, z-major cell ids). Requires ncell >= 3 (the 27-stencil),
-    capacity a multiple of 8, and softening > 0.
+    bpos is SoA [3, C, K] (native; returns [3, C, K]) or legacy AoS
+    [C, K, 3] (returns [C, K, 3]); bmass [C, K] in the treepm bucket
+    layout (C = ncell^3, z-major cell ids). SoA is the production form:
+    [.., .., 3]-minor arrays can make XLA materialize (8,128)-tiled
+    copies whose minor dim pads 42x (29 GB at the 1M/cap-4096 science
+    geometry). Requires ncell >= 3 (the 27-stencil), capacity a
+    multiple of 8, and softening > 0.
 
     The default (vpu3) variant additionally requires LIVE-FIRST buckets
     (live slots at rank 0..n_c-1, as produced by bucket_particles): its
@@ -1051,9 +1067,22 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
         raise ValueError("capacity must be a multiple of 8")
     cc = ncell ** 3
     cap = capacity
-    pts = jnp.concatenate(
-        [bpos.reshape(cc * cap, 3).T.astype(jnp.float32),
-         bmass.reshape(1, cc * cap).astype(jnp.float32)], axis=0)
+    # SoA input [3, C, K] is the native form: ANY [.., .., 3]-minor
+    # array can make XLA materialize an (8,128)-tiled copy whose minor
+    # dim of 3 pads to 128 lanes -- a 42x blowup (measured: 29 GB OOM
+    # at [13824, 4096, 3], the 1M/cap-4096 science geometry; the
+    # choice is consumer-driven and opaque, so the fast path never
+    # crosses this function with AoS). Legacy [C, K, 3] is detected by
+    # the trailing dim and converted (CPU tests / small mesh states).
+    legacy_aos = (bpos.ndim == 3 and bpos.shape[-1] == 3
+                  and bpos.shape[0] != 3)
+    if legacy_aos:
+        comps = [bpos[..., k].reshape(cc * cap) for k in range(3)]
+    else:
+        comps = [bpos.reshape(3, cc * cap)[k] for k in range(3)]
+    pts = jnp.stack(
+        [c.astype(jnp.float32) for c in comps]
+        + [bmass.reshape(cc * cap).astype(jnp.float32)], axis=0)
 
     counts = None
     if variant in ("vpu3", "vpu4", "vpu4b", "vpu5"):
@@ -1100,12 +1129,14 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
             ),
             interpret=interpret,
         )(counts, pts)
-        out = out.reshape(4, cc, cap)[0:3].transpose(1, 2, 0)
+        out = out.reshape(4, cc, cap)[0:3]
         if variant == "vpu4b":
             # c1 (the truncated-split normalization) is a global pair
             # scale: applied once here instead of per assembly copy
             out = out * _poly_even_coeffs(float(rs))[2]
-        return out
+        # SoA callers get [3, C, K]: the AoS transpose is exactly the
+        # padded-relayout trap the SoA interface exists to avoid
+        return out.transpose(1, 2, 0) if legacy_aos else out
 
     pts = pts.reshape(4, ncell * ncell, ncell, cap)
     kfn = {"vpu": _short_kernel, "mxu": _short_kernel_mxu,
@@ -1151,4 +1182,4 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
         ),
         interpret=interpret,
     )(*operands)
-    return out[0:3].transpose(1, 2, 0)
+    return out[0:3].transpose(1, 2, 0) if legacy_aos else out[0:3]

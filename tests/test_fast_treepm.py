@@ -506,3 +506,79 @@ class TestPallasV5Windowed:
         plan2 = fast_plan(64_000, 62.5, 64, capacity=128,
                           align_ncell=False)
         assert plan2["variant"] in ("vpu3", "vpu4b")
+
+
+class TestSoALayout:
+    """SoA [3, C, K] bucket layout (round 4): AoS [.., .., 3]-minor
+    arrays can make XLA materialize (8,128)-tiled relayout copies whose
+    minor dim pads 42x (29 GB OOM at the 1M/cap-4096 science geometry).
+    The kernels accept both layouts and must agree bitwise."""
+
+    def _buckets(self, cap=256, ncell=4, box=25.0, n=3000):
+        pos = jax.random.uniform(jax.random.PRNGKey(0), (n, 3),
+                                 maxval=box)
+        mass = jnp.ones((n,))
+        bpos, bmass, _, ovf = bucket_particles(pos, mass, box,
+                                               ncell=ncell, capacity=cap)
+        assert int(ovf) == 0
+        soa = jnp.stack([bpos[..., k] for k in range(3)])
+        return bpos, soa, bmass, box, ncell, cap
+
+    def test_short_range_soa_matches_aos(self):
+        bpos, soa, bmass, box, ncell, cap = self._buckets()
+        kw = dict(ncell=ncell, capacity=cap, box_size=box, rs=1.0,
+                  softening=0.1, interpret=True, variant="vpu5")
+        a = pallas_short_range(bpos, bmass, **kw)
+        s = pallas_short_range(soa, bmass, **kw)
+        assert s.shape == (3,) + bpos.shape[:2]
+        np.testing.assert_array_equal(np.asarray(jnp.moveaxis(s, 0, -1)),
+                                      np.asarray(a))
+
+    def test_pm_rods_soa_matches_aos(self):
+        from lambda_cdm_tpu.ops.pallas_pm_rods import (assemble_rods,
+                                                       pallas_deposit_rods,
+                                                       pallas_gather_fd4)
+        bpos, soa, bmass, box, ncell, cap = self._buckets()
+        ng = 16
+        counts = (bmass > 0).sum(1).astype(jnp.int32)
+        for cnts in (counts, None):
+            bl_a, dr_a = pallas_deposit_rods(
+                bpos, bmass, ncell=ncell, ng=ng, box_size=box,
+                counts=cnts, interpret=True)
+            bl_s, dr_s = pallas_deposit_rods(
+                soa, bmass, ncell=ncell, ng=ng, box_size=box,
+                counts=cnts, interpret=True)
+            np.testing.assert_array_equal(np.asarray(bl_a),
+                                          np.asarray(bl_s))
+            assert int(dr_a) == int(dr_s)
+            phi = jax.random.normal(jax.random.PRNGKey(1), (ng, ng, ng))
+            g_a = pallas_gather_fd4(phi, bpos, ncell=ncell, ng=ng,
+                                    box_size=box, counts=cnts,
+                                    interpret=True)
+            g_s = pallas_gather_fd4(phi, soa, ncell=ncell, ng=ng,
+                                    box_size=box, counts=cnts,
+                                    interpret=True)
+            np.testing.assert_array_equal(
+                np.asarray(jnp.moveaxis(g_s, 0, -1)), np.asarray(g_a))
+
+    def test_fast_state_roundtrip(self):
+        """build -> flatten round-trips every live particle (SoA)."""
+        from lambda_cdm_tpu.ops.fast_treepm import (build_fast_state,
+                                                    flatten_fast_state)
+        n, box = 2000, 25.0
+        pos = jax.random.uniform(jax.random.PRNGKey(2), (n, 3),
+                                 maxval=box)
+        vel = jax.random.normal(jax.random.PRNGKey(3), (n, 3))
+        mass = jnp.ones((n,))
+        plan = {"ncell": 4, "capacity": 128, "margin": 1}
+        fs = build_fast_state(pos, vel, mass, 0.5, box_size=box,
+                              plan=plan)
+        assert fs.bpos.shape == (3, 64, 128)
+        p2, v2, m2, ids = flatten_fast_state(fs, with_ids=True)
+        live = np.asarray(m2) > 0
+        assert live.sum() == n
+        order = np.argsort(np.asarray(ids)[live])
+        np.testing.assert_allclose(np.asarray(p2)[live][order],
+                                   np.asarray(pos), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(v2)[live][order],
+                                   np.asarray(vel), rtol=0, atol=0)
