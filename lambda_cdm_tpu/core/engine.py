@@ -762,8 +762,14 @@ class SimulationEngine:
                                                 "reference")))
             vmax = float(jnp.max(jnp.abs(self._fstate.bvel)))
             step_drift = vmax * float(self._dt) * df
+            # the binding bound is the PM DEPOSIT margin, measured in
+            # PM grid cells (box/ng), NOT short-range cells (box/ncell
+            # is 8x looser at the small science geometry -- using it
+            # let 1336 deposits drop before the reactive halving fired)
             margin_dist = (float(kwg.get("margin", 1))
-                           * kwg["box_size"] / kwg["ncell"])
+                           * kwg["box_size"]
+                           / max(kwg.get("ng", kwg["ncell"]),
+                                 kwg["ncell"]))
             if step_drift > 0:
                 # 0.6 safety: kicks grow velocities within the chunk
                 safe = max(1, int(0.6 * margin_dist / step_drift))

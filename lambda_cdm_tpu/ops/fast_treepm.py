@@ -262,7 +262,8 @@ def _accel(fstate: FastState, *, box_size, ng, ncell, capacity, margin,
         + g_const * acc_short.reshape(fstate.bpos.shape), dropped
 
 
-def _rebucket(fstate: FastState, *, box_size, ncell, capacity) -> FastState:
+def _rebucket(fstate: FastState, *, box_size, ncell, capacity,
+              n_rows: int = 0) -> FastState:
     """Scatter-free re-bucketing: one argsort + ONE int32 scatter builds
     the inverse slot map src[dest_slot] -> source row; every state array
     then re-buckets as a row GATHER with a sentinel pad row.
@@ -279,6 +280,47 @@ def _rebucket(fstate: FastState, *, box_size, ncell, capacity) -> FastState:
                      wrap_positions(fstate.bpos, box_size),
                      0.0).reshape(3, S)
     mass = fstate.bmass.reshape(S)
+
+    if n_rows and S > 4 * n_rows:
+        # COMPACT-THEN-SCATTER rebucket for sparse layouts: the gather
+        # form below sorts + row-gathers every one of the C*K slots
+        # (98% dead at the pre-sized 1M/cap-4096 science geometry:
+        # measured 20 s/rebucket). Here every O(S) op is a cheap
+        # elementwise/memset pass; the sort, gathers and scatters run
+        # over the <= n_rows live particles only.
+        vel3 = fstate.bvel.reshape(3, S)
+        acc3 = fstate.acc.reshape(3, S)
+        ids = fstate.ids.reshape(S)
+        live_idx = jnp.nonzero(mass > 0, size=n_rows,
+                               fill_value=S)[0].astype(jnp.int32)
+        cpos3 = jnp.stack([bucket_gather(pos3[k], live_idx)
+                           for k in range(3)])
+        cmass = bucket_gather(mass, live_idx)
+        src, slot, order, ok, overflow = bucket_src_map(
+            cpos3, cmass, box_size, ncell=ncell, capacity=capacity)
+        # destination slot per SORTED live particle (overflow -> the
+        # trash row S, sliced off); values gathered through
+        # live_idx[order] in one fused index hop
+        dest = jnp.where(ok, slot, S)
+        take = bucket_gather(live_idx, order, S)
+
+        def scat(vals, fill=0.0):
+            v = bucket_gather(vals, take, fill)
+            out = jnp.full((S + 1,), fill, vals.dtype)
+            return out.at[dest].set(v)[:S]
+
+        nbp = jnp.stack([scat(pos3[k]) for k in range(3)]) \
+            .reshape(fstate.bpos.shape)
+        nbv = jnp.stack([scat(vel3[k]) for k in range(3)]) \
+            .reshape(fstate.bpos.shape)
+        nba = jnp.stack([scat(acc3[k]) for k in range(3)]) \
+            .reshape(fstate.bpos.shape)
+        nbm = scat(mass).reshape(bshape)
+        nbi = scat(ids, -1).reshape(bshape)
+        return fstate.replace(
+            bpos=nbp, bmass=nbm, bvel=nbv, acc=nba, ids=nbi,
+            overflow=fstate.overflow + overflow.astype(jnp.int32))
+
     src, _, _, _, overflow = bucket_src_map(
         pos3, mass, box_size, ncell=ncell, capacity=capacity)
 
@@ -353,11 +395,13 @@ def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
     BucketOverflowError carrying the intact pre-rebucket state."""
     remaining = n_steps
     since = max(0, int(steps_since_rebucket))
+    kw = dict(kw)                    # callers reuse their kw dict
+    n_rows = kw.pop("n_rows", 0)     # rebucket-only knob (compact path)
     while remaining > 0:
         if since >= rebucket_every:
             rb = _rebucket_jit(fstate, box_size=kw["box_size"],
                                ncell=kw["ncell"],
-                               capacity=kw["capacity"])
+                               capacity=kw["capacity"], n_rows=n_rows)
             if (on_overflow == "raise"
                     and int(rb.overflow) > int(fstate.overflow)):
                 raise BucketOverflowError(fstate, n_steps - remaining)
@@ -370,10 +414,11 @@ def fast_run(fstate: FastState, params: CosmologyParams, dt, *,
     return fstate
 
 
-@partial(jax.jit, static_argnames=("box_size", "ncell", "capacity"))
-def _rebucket_jit(fstate, *, box_size, ncell, capacity):
+@partial(jax.jit, static_argnames=("box_size", "ncell", "capacity",
+                                   "n_rows"))
+def _rebucket_jit(fstate, *, box_size, ncell, capacity, n_rows=0):
     return _rebucket(fstate, box_size=box_size, ncell=ncell,
-                     capacity=capacity)
+                     capacity=capacity, n_rows=n_rows)
 
 
 @partial(jax.jit, static_argnames=(
@@ -452,7 +497,8 @@ def initialize_fast(positions, velocities, masses, scale_factor, *,
                     variant=plan.get("variant", "vpu3"))
     kw = dict(accel_kw, h0_internal=float(h0_internal),
               kick_mode=str(kick_mode), sf_method=str(sf_method),
-              cosmological=bool(cosmological))
+              cosmological=bool(cosmological),
+              n_rows=int(positions.shape[0]))
     # prime accelerations under ONE jit: called eagerly, the nested
     # kernel jits become top-level programs whose [C, K, 3] entry
     # parameters XLA may relayout into a lane-padded tiling (minor dim

@@ -202,7 +202,11 @@ def run_science(small: bool = False) -> dict:
     cfg.forces.softening_length = softening
     cfg.forces.pm_grid_size = pm_grid
     cfg.forces.bucket_capacity = bucket_capacity
-    cfg.forces.rebucket_every = 8
+    # big pre-sized capacities make the rebucket pass expensive (it
+    # sorts/gathers ALL C*K slots: 20 s at 1M/cap-4096); the engine's
+    # vmax drift guard SHRINKS the cadence whenever safety requires,
+    # so the config value is just the amortization ceiling
+    cfg.forces.rebucket_every = 16 if small else 64
     cfg.time.initial_timestep = 1e-4
     cfg.time.final_time = 1e9
     cfg.cosmology.initial_redshift = z_init
