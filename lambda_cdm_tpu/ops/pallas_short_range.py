@@ -1174,7 +1174,11 @@ def pallas_short_range(bpos, bmass, *, ncell: int, capacity: int,
         out_shape=jax.ShapeDtypeStruct((4, cc, cap), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # 127M: vpu5 at grown caps needs the headroom (cap 8192 at
+            # ncell 24 measured 113.8M scoped; v5e VMEM is 128M). The
+            # ceiling caps vpu5 at ~8192 for nc<=26 -- growth beyond
+            # that OOMs at compile, by design loudly
+            vmem_limit_bytes=127 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=cc * cap * 27 * cap * 40,
             bytes_accessed=cc * cap * 16 * 10,
