@@ -139,13 +139,21 @@ def fast_plan(num_particles: int, box_size: float, pm_grid: int, *,
                     # would wrongly favor coarse grids at explicit
                     # capacities). vpu5 plans are a separate pool:
                     # chosen only when no cap <= 128 geometry exists
-                    # (the models aren't calibrated against each other)
+                    # (the models aren't calibrated against each other).
+                    # MEMORY GATE: the [C, cap] state costs 44 B/slot
+                    # x 11 planes; nc=24 at cap 8192 is a 5 GB state
+                    # whose step transients OOMed the 16 GB v5e at the
+                    # 1M science geometry -- plans past ~3.5 GB only
+                    # qualify when nothing smaller exists
                     occ = max(num_particles / d ** 3, 1.0)
                     occ128 = 128 * math.ceil(occ / 128.0)
                     cost = (num_particles * 27 * occ128
                             + d ** 3 * 27 * 128)
-                    if best5 is None or cost < best5[0]:
-                        best5 = (cost, d, cap, "vpu5")
+                    state_b = d ** 3 * cap * 44
+                    over = state_b > 3.5 * 2 ** 30
+                    key5 = (over, cost)
+                    if best5 is None or key5 < best5[0]:
+                        best5 = (key5, d, cap, "vpu5")
         d += 1
     if best is None:
         best = best5
