@@ -395,13 +395,16 @@ class SimulationEngine:
             segs = {min(chunk, rebucket_every)}
             if chunk > rebucket_every and chunk % rebucket_every:
                 segs.add(chunk % rebucket_every)
+            seg_kw = {k: v for k, v in self._fast_kw.items()
+                      if k != "n_rows"}     # rebucket-only knob
             for s in sorted(segs):
                 _fast_segment.lower(abs_state, params, float(self._dt),
                                     n_steps=int(s),
-                                    **self._fast_kw).compile()
+                                    **seg_kw).compile()
                 n_prog += 1
             _rebucket_jit.lower(
-                abs_state, box_size=self._fast_kw["box_size"],
+                abs_state, n_rows=self._fast_kw.get("n_rows", 0),
+                box_size=self._fast_kw["box_size"],
                 ncell=self._fast_kw["ncell"],
                 capacity=self._fast_kw["capacity"]).compile()
             n_prog += 1
