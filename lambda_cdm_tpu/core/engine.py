@@ -778,6 +778,16 @@ class SimulationEngine:
                 safe = max(1, int(0.6 * margin_dist / step_drift))
                 if safe < rebucket_every:
                     rebucket_every = safe
+            # snap the cadence to a DIVISOR of the chunk length:
+            # segment length is a static jit arg, so a free-running
+            # guard cadence mints a fresh ~minutes-long compile per
+            # new length (measured: chunk wall went 165 s -> 13+ min
+            # when the guard started drifting through cadences); with
+            # cadence | n every chunk compiles segments of one length
+            d = max(1, min(rebucket_every, n))
+            while n % d:
+                d -= 1
+            rebucket_every = d
         # rebucket cadence carries ACROSS chunks: without this offset a
         # chunk size <= rebucket_every would never trigger a rebucket
         # between fast_run calls and the bucketing would go permanently
