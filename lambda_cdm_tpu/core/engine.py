@@ -1004,6 +1004,21 @@ class SimulationEngine:
         if self._acc is None and getattr(self, "_fstate", None) is None:
             self._acc = self._accel_fn(self._state)
 
+    def release_force_state(self) -> None:
+        """Drop the persistent fast-stepper bucket state to free HBM.
+
+        The pre-sized SoA buckets dominate device memory at clustered
+        capacities (cap 8192 at 1M: ~3.4 GB across bpos/bvel/bmass/acc)
+        and post-run analysis needs only the public `state` — the 1M
+        z=0 FoF compile (peak ~10 GB of lattice temps) OOM'd a 16 GB
+        v5e with the buckets still resident. `state` is already synced
+        at run() exit; the next run()/step() call rebuilds the fast
+        state from it transparently. Overflow/dropped counters must be
+        read before calling (statistics keep the totals)."""
+        self._fstate = None
+        self._acc = None
+        self._fast_since_rebucket = 0
+
     def step(self, num_steps: int = 1) -> SimState:
         """Advance `num_steps` in one jitted chunk (reference:
         SimulationEngine::step, simulation_engine.cpp:118-154)."""

@@ -255,6 +255,11 @@ def run_science(small: bool = False) -> dict:
 
     overflow = int(eng._fstate.overflow) if eng._fstate is not None else 0
     dropped = int(eng._fstate.dropped) if eng._fstate is not None else 0
+    # the pre-sized buckets (cap 8192 at 1M: ~3.4 GB) are dead weight
+    # from here on, and the z=0 FoF compile peaks ~10 GB of lattice
+    # temps — with the buckets resident the 16 GB v5e OOM'd at exactly
+    # this point in the first full flagship run
+    eng.release_force_state()
 
     checks: dict[str, dict] = {}
 
@@ -330,54 +335,75 @@ def run_science(small: bool = False) -> dict:
     nl_ratio = float(np.mean(ratio[nl])) / growth if nl.any() else 0.0
     check_z0("pk_nonlinear_excess", nl_ratio, 1.0 < nl_ratio < 20.0,
              "in (1, 20) x linear")
+    # full per-bin diagnostic table (k, evolved/initial ratio vs the
+    # ODE growth^2): the pass/fail numbers above compress it away, and
+    # the flagship's linear-window deviation needs the bin-resolved
+    # shape to attribute (solver vs quasi-linear vs sample variance)
+    fin = np.isfinite(ratio)
+    pk_table = {
+        "k": [round(float(x), 5) for x in k[fin]],
+        "ratio_over_growth": [round(float(x), 5)
+                              for x in (ratio[fin] / growth)],
+    }
 
     # -- HMF vs Sheth-Tormen at z=0 -------------------------------------------
+    # a crash in a late analysis stage must not lose the certificate:
+    # the first full flagship run OOM'd inside the FoF compile and the
+    # whole evolve record (1119 s, all checks to that point) vanished
     log("[4/5] FoF/SO catalog + HMF vs Sheth-Tormen at z=0")
     t0 = time.perf_counter()
-    cat = halo_finder.find_halos(
-        eng.state.positions, eng.state.velocities, eng.state.masses,
-        box, min_particles=20)          # max_halos auto-sizes
-    n_h = int(cat.num_halos)
-    t_fof = time.perf_counter() - t0
-    log(f"  {n_h} halos >= 20 particles in {t_fof:.1f} s "
-        f"(catalog capacity {int(cat.mass.shape[0])})")
-    check_z0("num_halos", n_h, n_h >= (10 if small else 500),
-             ">= 500 at 1M (>= 10 small)")
-    check("catalog_not_truncated", int(cat.mass.shape[0]),
-          n_h < int(cat.mass.shape[0]), "num_halos < capacity")
-    biggest = int(jnp.max(cat.n_particles)) if n_h else 0
-    check_z0("no_percolation", biggest, 0 < biggest < 0.2 * n,
-             "largest halo < 20% of box")
-
-    z_f = max(1.0 / a_f - 1.0, 0.0)
-    m_lo = 32.0 * m_p
-    m_hi = float(jnp.max(cat.mass)) * (1 + 1e-5) if n_h else m_lo * 10
-    centers, dn_dlog10, counts = halo_finder.mass_function(
-        cat, box, num_bins=8, m_min=m_lo, m_max=m_hi)
-    centers = np.asarray(centers)
-    measured = np.asarray(dn_dlog10)
-    counts = np.asarray(counts)
-    theory = np.asarray(st_mass_function(
-        params, jnp.asarray(centers), z=z_f)) * math.log(10.0)
-    ok_bins = counts >= 8
+    t_fof = 0.0
     hmf = {}
-    if ok_bins.sum() >= 2:
-        r = measured[ok_bins] / theory[ok_bins]
-        sigma = 1.0 / np.sqrt(counts[ok_bins])
-        lo_b = 1.0 / 2.5 / (1.0 + 3.0 * sigma)
-        hi_b = 2.5 * (1.0 + 3.0 * sigma)
-        per_bin_ok = bool(np.all((r > lo_b) & (r < hi_b)))
-        gmean = float(np.exp(np.mean(np.log(r))))
-        hmf = {"bins": centers[ok_bins].tolist(),
-               "counts": counts[ok_bins].tolist(),
-               "ratio_vs_st": r.tolist()}
-        check_z0("hmf_per_bin_vs_st", [round(x, 3) for x in r.tolist()],
-                 per_bin_ok, "factor 2.5 + 3 sigma Poisson per bin")
-        check_z0("hmf_band_gmean_vs_st", gmean, 1 / 1.7 < gmean < 1.7,
-                 "geometric mean in (1/1.7, 1.7)")
-    else:
-        check_z0("hmf_per_bin_vs_st", counts.tolist(), False,
-                 ">= 2 bins with >= 8 halos")
+    try:
+        cat = halo_finder.find_halos(
+            eng.state.positions, eng.state.velocities, eng.state.masses,
+            box, min_particles=20)          # max_halos auto-sizes
+        n_h = int(cat.num_halos)
+        t_fof = time.perf_counter() - t0
+        log(f"  {n_h} halos >= 20 particles in {t_fof:.1f} s "
+            f"(catalog capacity {int(cat.mass.shape[0])})")
+        check_z0("num_halos", n_h, n_h >= (10 if small else 500),
+                 ">= 500 at 1M (>= 10 small)")
+        check("catalog_not_truncated", int(cat.mass.shape[0]),
+              n_h < int(cat.mass.shape[0]), "num_halos < capacity")
+        biggest = int(jnp.max(cat.n_particles)) if n_h else 0
+        check_z0("no_percolation", biggest, 0 < biggest < 0.2 * n,
+                 "largest halo < 20% of box")
+
+        z_f = max(1.0 / a_f - 1.0, 0.0)
+        m_lo = 32.0 * m_p
+        m_hi = float(jnp.max(cat.mass)) * (1 + 1e-5) if n_h \
+            else m_lo * 10
+        centers, dn_dlog10, counts = halo_finder.mass_function(
+            cat, box, num_bins=8, m_min=m_lo, m_max=m_hi)
+        centers = np.asarray(centers)
+        measured = np.asarray(dn_dlog10)
+        counts = np.asarray(counts)
+        theory = np.asarray(st_mass_function(
+            params, jnp.asarray(centers), z=z_f)) * math.log(10.0)
+        ok_bins = counts >= 8
+        if ok_bins.sum() >= 2:
+            r = measured[ok_bins] / theory[ok_bins]
+            sigma = 1.0 / np.sqrt(counts[ok_bins])
+            lo_b = 1.0 / 2.5 / (1.0 + 3.0 * sigma)
+            hi_b = 2.5 * (1.0 + 3.0 * sigma)
+            per_bin_ok = bool(np.all((r > lo_b) & (r < hi_b)))
+            gmean = float(np.exp(np.mean(np.log(r))))
+            hmf = {"bins": centers[ok_bins].tolist(),
+                   "counts": counts[ok_bins].tolist(),
+                   "ratio_vs_st": r.tolist()}
+            check_z0("hmf_per_bin_vs_st",
+                     [round(x, 3) for x in r.tolist()],
+                     per_bin_ok, "factor 2.5 + 3 sigma Poisson per bin")
+            check_z0("hmf_band_gmean_vs_st", gmean,
+                     1 / 1.7 < gmean < 1.7,
+                     "geometric mean in (1/1.7, 1.7)")
+        else:
+            check_z0("hmf_per_bin_vs_st", counts.tolist(), False,
+                     ">= 2 bins with >= 8 halos")
+    except Exception as exc:  # noqa: BLE001 -- record, don't lose cert
+        log(f"  FoF/HMF stage failed: {exc!r}")
+        check("fof_stage_ok", repr(exc)[:300], False, "no exception")
 
     # -- Layzer-Irvine --------------------------------------------------------
     li_bar = 0.05
@@ -388,14 +414,18 @@ def run_science(small: bool = False) -> dict:
 
     # -- lensing --------------------------------------------------------------
     log("[5/5] Born convergence map from the final state")
-    kap = convergence_map_from_state(
-        eng.state, params, box, ng=256 if not small else 96,
-        n_planes=16 if not small else 8, z_source=1.0)
-    kap = np.asarray(kap)
-    krms = float(np.std(kap))
-    check("lensing_map_finite", krms,
-          np.all(np.isfinite(kap)) and 1e-4 < krms < 1.0,
-          "finite, rms in (1e-4, 1)")
+    try:
+        kap = convergence_map_from_state(
+            eng.state, params, box, ng=256 if not small else 96,
+            n_planes=16 if not small else 8, z_source=1.0)
+        kap = np.asarray(kap)
+        krms = float(np.std(kap))
+        check("lensing_map_finite", krms,
+              np.all(np.isfinite(kap)) and 1e-4 < krms < 1.0,
+              "finite, rms in (1e-4, 1)")
+    except Exception as exc:  # noqa: BLE001 -- record, don't lose cert
+        log(f"  lensing stage failed: {exc!r}")
+        check("lensing_stage_ok", repr(exc)[:300], False, "no exception")
 
     wall = time.perf_counter() - t_wall0
     passed = all(c["pass"] for c in checks.values()
@@ -419,6 +449,7 @@ def run_science(small: bool = False) -> dict:
         "a_final": a_f,
         "growth_factor_sq": growth,
         "pk_snapshots": len(pk_obs.results),
+        "pk_table": pk_table,
         "hmf": hmf,
         "layzer_irvine_samples": li.samples,
         "checks": checks,
