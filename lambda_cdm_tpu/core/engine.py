@@ -1012,18 +1012,40 @@ class SimulationEngine:
         and post-run analysis needs only the public `state` — the 1M
         z=0 FoF compile (peak ~10 GB of lattice temps) OOM'd a 16 GB
         v5e with the buckets still resident. `state` is already synced
-        at run() exit; the next run()/step() call rebuilds the fast
-        state from it transparently. Overflow/dropped counters must be
-        read before calling (statistics keep the totals)."""
+        at every chunk boundary; the next run()/step() call rebuilds
+        the fast state from it (_maybe_rebuild_fast). Overflow/dropped
+        counters must be read before calling (statistics keep the
+        totals)."""
+        if getattr(self, "_fstate", None) is None:
+            return
+        was_mesh = getattr(self, "_fast_mesh_kw", None) is not None
         self._fstate = None
         self._acc = None
         self._fast_since_rebucket = 0
+        if was_mesh:
+            self._fast_mesh_kw = None
+        self._fast_rebuild = "mesh" if was_mesh else "single"
+
+    def _maybe_rebuild_fast(self) -> None:
+        """Re-bucket `state` into the fast layout after a
+        release_force_state(), lazily at the next run()/step()."""
+        mode = getattr(self, "_fast_rebuild", None)
+        if mode is None or self._fstate is not None:
+            return
+        self._fast_rebuild = None
+        if mode == "mesh":
+            if not self._try_init_mesh_fast_path(self._state):
+                from ..forces import create_force_computer
+                self._accel_fn = create_force_computer(self.config)
+        else:
+            self._init_fast_path()
 
     def step(self, num_steps: int = 1) -> SimState:
         """Advance `num_steps` in one jitted chunk (reference:
         SimulationEngine::step, simulation_engine.cpp:118-154)."""
         if self.lifecycle == LifecycleState.UNINITIALIZED:
             raise RuntimeError("initialize() first")
+        self._maybe_rebuild_fast()
         if getattr(self, "_fstate", None) is not None:
             self._fast_chunk(num_steps)
         else:
@@ -1072,6 +1094,7 @@ class SimulationEngine:
         firing observers between chunks, until the stop condition."""
         if self.lifecycle == LifecycleState.UNINITIALIZED:
             self.initialize()
+        self._maybe_rebuild_fast()
         cfg = self.config
         a_final = 1.0 / (1.0 + cfg.cosmology.final_redshift)
         max_steps = (num_steps if num_steps is not None

@@ -117,6 +117,29 @@ class TestRunLoop:
         assert calls[0] == "start" and calls[-1] == "end"
         assert any(c.startswith("step") for c in calls)
 
+    def test_release_force_state_then_resume(self):
+        """release_force_state() frees the fast buckets for analysis
+        (the 1M z=0 FoF OOM'd with them resident) and a later run()/
+        step() must rebuild the fast path transparently — the first
+        implementation left _accel_fn as the fast-path sentinel raiser
+        and resume died with 'treepm_fast drives the loop directly'."""
+        cfg = small_config(n=512, solver="treepm_fast")
+        cfg.forces.softening_length = 1.0
+        eng = SimulationEngine(cfg)
+        eng.initialize()
+        eng.run(num_steps=10)
+        assert eng._fstate is not None
+        a_mid = float(eng.state.scale_factor)
+        eng.release_force_state()
+        assert eng._fstate is None
+        eng.run(num_steps=5)          # must re-bucket, not raise
+        assert eng._fstate is not None
+        assert float(eng.state.scale_factor) > a_mid
+        eng.release_force_state()
+        eng.release_force_state()     # double release is a no-op
+        eng.step(2)                   # step() rebuilds too
+        assert int(eng.statistics.total_steps) == 17
+
     def test_stops_at_final_redshift(self):
         cfg = small_config()
         cfg.cosmology.initial_redshift = 1.0
