@@ -226,8 +226,14 @@ def run_science(small: bool = False) -> dict:
     cfg.compute.tpu.compilation_cache_dir = os.path.join(ROOT,
                                                          ".jax_cache")
 
-    pk_obs = PowerSpectrumObserver(frequency=4 * chunk, grid_size=pk_grid,
-                                   num_bins=32)
+    # estimator-consistent with pk_i (no shot-noise subtraction, same
+    # grid/bins) so mid-run snapshot/IC per-bin ratios are clean;
+    # cadence = every chunk so a snapshot lands near a ~ 0.4 for the
+    # strict mid-z growth check (4*chunk gave one snapshot at a=0.74
+    # in the 261-step flagship run)
+    pk_obs = PowerSpectrumObserver(frequency=chunk, grid_size=pk_grid,
+                                   num_bins=32,
+                                   subtract_shot_noise=False)
     eng = SimulationEngine(cfg, observers=[pk_obs])
     eng.initialize(state=make_state(pos, vel, mass, scale_factor=a_i))
     li = LayzerIrvineLedger(eng, dlna_sample=0.15)
@@ -305,21 +311,24 @@ def run_science(small: bool = False) -> dict:
     pk_f = measure_power_spectrum(pos_f, box, ng=pk_grid, num_bins=32,
                                   subtract_shot_noise=False)
     k = np.asarray(pk_i.k)
-    ratio = np.asarray(pk_f.power) / np.maximum(np.asarray(pk_i.power),
-                                                1e-30)
+    p_i_arr = np.asarray(pk_i.power)
+    ratio = np.asarray(pk_f.power) / np.maximum(p_i_arr, 1e-30)
     growth = (float(growth_factor_exact(params, a_f))
               / float(growth_factor_exact(params, a_i))) ** 2
-    # linear window: k < 0.15 h/Mpc at the 1M box (k_f = 0.063 --
-    # genuinely linear at z=0, strict bars). The small box's
-    # fundamental mode is already 0.1, so its window must widen to
-    # 0.25 where z=0 is QUASI-linear: the measured deviation there is
-    # -17% mean / -39% max (reproduced across two clean zero-drop
-    # runs; the same machinery at box=128 with a k<0.15 window passes
-    # the strict bars, tests/test_science_pk.py), i.e. finite-box +
-    # quasi-linear transfer, not solver error -- so the small bars
-    # carry that measured envelope.
+    # linear window at z=0: even k < 0.15 at a 100 Mpc/h box is only
+    # QUASI-linear by z=0 -- the first full flagship run measured
+    # -12.6% mean / -32% worst-bin there, and the solver-attribution
+    # probe (benchmarks/probe_pk_direct.py) shows (i) the fundamental
+    # mode's growth is correct under treepm_fast (0.97x linear; the
+    # min-image direct solver is the one that is wrong at box scales,
+    # 2.4x, as min-image is not periodic gravity), and (ii) per-bin
+    # quasi-linear scatter at z=0 is O(30-80%) under EITHER solver at
+    # few-modes-per-bin box sizes. So the z=0 bars carry that measured
+    # finite-box quasi-linear envelope; the STRICT linear-growth
+    # assertion lives at the mid-run z ~ 1.3 snapshot below, where the
+    # window is genuinely linear.
     k_lin = 0.15 if not small else 0.25
-    bar_max, bar_mean = (0.25, 0.10) if not small else (0.50, 0.30)
+    bar_max, bar_mean = (0.45, 0.20) if not small else (0.50, 0.30)
     lin = (k > 0) & (k < k_lin) & np.isfinite(ratio)
     rel = ratio[lin] / growth - 1.0
     check("pk_linear_bins", int(lin.sum()), lin.sum() >= 2, ">= 2")
@@ -335,6 +344,40 @@ def run_science(small: bool = False) -> dict:
     nl_ratio = float(np.mean(ratio[nl])) / growth if nl.any() else 0.0
     check_z0("pk_nonlinear_excess", nl_ratio, 1.0 < nl_ratio < 20.0,
              "in (1, 20) x linear")
+
+    # STRICT linear growth at a mid-run snapshot (a ~ 0.3-0.55, z ~
+    # 0.8-2.3): there the k < k_lin window is genuinely linear (the
+    # velocity-dispersion scale sigma_d is ~D(a) x 6 Mpc/h, so the
+    # quasi-linear k^2 sigma_d^2 corrections that widen the z=0 bars
+    # are still percent-level) and the per-bin snapshot/IC ratio must
+    # match the ODE growth^2 tightly. Flagship-only: the small box's
+    # window is never clean enough.
+    if not small:
+        mids = [r for r in pk_obs.results
+                if 0.28 <= r["scale_factor"] <= 0.58]
+        if mids:
+            r_mid = min(mids, key=lambda r: abs(r["scale_factor"] - 0.4))
+            a_m = r_mid["scale_factor"]
+            g_m = (float(growth_factor_exact(params, a_m))
+                   / float(growth_factor_exact(params, a_i))) ** 2
+            ratio_m = (np.asarray(r_mid["power"])
+                       / np.maximum(p_i_arr, 1e-30))
+            lin_m = (k > 0) & (k < k_lin) & np.isfinite(ratio_m)
+            rel_m = ratio_m[lin_m] / g_m - 1.0
+            check("pk_linear_growth_midz_a", a_m, lin_m.sum() >= 2,
+                  "snapshot with >= 2 linear bins")
+            check("pk_linear_growth_midz_max_dev",
+                  float(np.max(np.abs(rel_m))) if lin_m.any()
+                  else float("nan"),
+                  lin_m.any() and np.all(np.abs(rel_m) < 0.25),
+                  "< 0.25 per bin (strict, linear regime)")
+            check("pk_linear_growth_midz_mean_dev",
+                  float(np.mean(rel_m)) if lin_m.any() else float("nan"),
+                  lin_m.any() and abs(float(np.mean(rel_m))) < 0.10,
+                  "|mean| < 0.10 (strict, linear regime)")
+        else:
+            check("pk_linear_growth_midz_a", None, False,
+                  "no snapshot in a in [0.28, 0.58]")
     # full per-bin diagnostic table (k, evolved/initial ratio vs the
     # ODE growth^2): the pass/fail numbers above compress it away, and
     # the flagship's linear-window deviation needs the bin-resolved
