@@ -287,27 +287,25 @@ def cpu_ref_main(stage: str, fin: str, fout: str) -> None:
     with np.load(fin) as z:
         d = {k: z[k] for k in z.files}
     if stage == "force":
-        # float64 direct-summation oracle (periodic min-image), chunked
+        # float64 periodic oracles: Ewald (TRUE periodic gravity) plus
+        # the historic min-image sum, so the min-image-vs-Ewald
+        # systematic is itself a reported number (VERDICT r4 item 1;
+        # the reference never had a periodic oracle — its own is
+        # min-image, /root/reference/src/physics/lambda_cdm_kernels.cu
+        # :14-56)
         jax.config.update("jax_enable_x64", True)
+        from lambda_cdm_tpu.forces.ewald import (ewald_accelerations,
+                                                 min_image_accelerations)
         pos = jnp.asarray(d["positions"], jnp.float64)
         mass = jnp.asarray(d["masses"], jnp.float64)
         tgt = jnp.asarray(d["targets"], jnp.int32)
         box = float(d["box"])
-        soft2 = float(d["softening"]) ** 2
+        soft = float(d["softening"])
         g = float(d["g_const"])
-
-        @jax.jit
-        def oracle(pos_t):
-            def one(pt):
-                dx = pos - pt[None, :]
-                dx = dx - box * jnp.round(dx / box)
-                r2 = jnp.sum(dx * dx, axis=-1) + soft2
-                inv_r3 = r2 ** -1.5
-                inv_r3 = jnp.where(r2 <= soft2 + 1e-300, 0.0, inv_r3)
-                return jnp.sum((mass * inv_r3)[:, None] * dx, axis=0)
-            return g * jax.lax.map(one, pos_t, batch_size=16)
-
-        np.savez(fout, acc_ref=np.asarray(oracle(pos[tgt])))
+        acc_mi = min_image_accelerations(pos, mass, tgt, box, soft, g)
+        acc_ew = ewald_accelerations(pos, mass, tgt, box, soft, g)
+        np.savez(fout, acc_ref=np.asarray(acc_ew),
+                 acc_minimage=np.asarray(acc_mi))
     elif stage == "pk":
         from lambda_cdm_tpu.analysis.power_spectrum import \
             measure_power_spectrum
@@ -362,31 +360,102 @@ def section_accuracy(n, box):
     mass = jnp.full((n,), 27.7536 * 0.31 * box ** 3 / n, jnp.float32)
     sync(pos)
 
-    # -- 1) production force path vs f64 direct summation ----------------
+    # -- 1) production force path vs f64 periodic oracles -----------------
+    # Round-4 post-mortem (VERDICT r4 item 1): the 8.84e-02 FAIL was the
+    # auto plan's cap-64 paired kernel OVERFLOWING on this clustered
+    # snapshot — 86,660 particles (8.7%) dropped at build time (max cell
+    # occupancy 419 at ncell=32), so the certified state was missing 9%
+    # of its mass. Fix: pre-size capacity to the snapshot's measured max
+    # occupancy (the engine's grow-and-retry settles at the same plan)
+    # and ASSERT zero overflow/drops before certifying anything. The
+    # remaining error then attributes 3 ways, each its own field:
+    #   Pallas-vs-jnp   (kernel bug leg, on-chip)
+    #   jnp-vs-Ewald    (TreePM split discretization, the physics bar)
+    #   min-image-vs-Ewald (the old oracle's own systematic, reported)
+    from lambda_cdm_tpu.ops.fast_treepm import fast_plan
+    pos_np = np.asarray(pos)
+    cap_req = 0
+    for _ in range(6):
+        plan = fast_plan(n, box, 192, capacity=cap_req)
+        nc = plan["ncell"]
+        cid = np.clip((pos_np / box * nc).astype(np.int64), 0, nc - 1)
+        occ = np.bincount((cid[:, 0] * nc + cid[:, 1]) * nc + cid[:, 2],
+                          minlength=nc ** 3)
+        need = int(occ.max())
+        if need <= plan["capacity"]:
+            break
+        cap_req = 128 * ((need + 127) // 128)
+    log(f"accuracy/force: plan ncell={plan['ncell']} "
+        f"cap={plan['capacity']} variant={plan['variant']} "
+        f"(snapshot max occupancy {need})")
     fstate, kw = initialize_fast(pos, jnp.zeros_like(pos), mass, 0.35,
                                  box_size=box, pm_grid=192,
-                                 softening=0.05)
+                                 softening=0.05, capacity=cap_req)
+    out["acc_force_overflow"] = int(fstate.overflow)
+    out["acc_force_dropped"] = int(fstate.dropped)
+    out["acc_force_capacity"] = int(kw["capacity"])
+    out["acc_force_variant"] = str(kw["variant"])
+    assert int(fstate.overflow) == 0, \
+        f"accuracy snapshot overflowed {int(fstate.overflow)} rows " \
+        f"despite pre-sizing"
     fpos, _, fmass, fids = flatten_fast_state(fstate, with_ids=True)
     facc = fstate.acc.reshape(3, -1).T          # SoA [3, C, K] state
     live = np.asarray(fmass) > 0
     rng = np.random.default_rng(0)
     rows = rng.choice(np.nonzero(live)[0], size=512, replace=False)
+
+    # jnp leg ON-CHIP: identical PM + the targets-only jnp short-range
+    # (same pair set/math as short_range_bucketed; forces/treepm.py)
+    from lambda_cdm_tpu.forces.treepm import short_range_targets
+    from lambda_cdm_tpu.ops.bucketed_pm import pm_accelerations_bucketed
+
+    @jax.jit
+    def jnp_leg(fs, rows_dev):
+        acc_long, _ = pm_accelerations_bucketed(
+            fs.bpos, fs.bmass, ncell=kw["ncell"], ng=kw["ng"],
+            box_size=kw["box_size"], g_const=kw["g_const"],
+            split_scale=kw["rs"], margin=kw["margin"],
+            gradient=kw["gradient"])
+        al = acc_long.reshape(3, -1)[:, rows_dev].T
+        ash = short_range_targets(
+            fs.bpos.reshape(3, kw["ncell"] ** 3, kw["capacity"]),
+            fs.bmass.reshape(kw["ncell"] ** 3, kw["capacity"]),
+            rows_dev, kw["box_size"], kw["rs"], kw["softening"],
+            ncell=kw["ncell"], capacity=kw["capacity"])
+        return al + kw["g_const"] * ash
+
+    a_jnp = np.asarray(jnp_leg(fstate, jnp.asarray(rows, jnp.int32)))
+    a_sol = np.asarray(facc)[rows]
+
     ref = _cpu_ref("force", {
         "positions": np.asarray(fpos), "masses": np.asarray(fmass),
         "targets": rows.astype(np.int32), "box": box,
-        "softening": 0.05, "g_const": kw["g_const"]})
-    a_sol = np.asarray(facc)[rows]
-    a_ref = ref["acc_ref"]
+        "softening": 0.05, "g_const": kw["g_const"]}, timeout_s=2400)
+    a_ref = ref["acc_ref"]                       # Ewald periodic truth
+    a_mi = ref["acc_minimage"]
     scale = np.sqrt(np.mean(np.sum(a_ref ** 2, axis=-1)))
-    err = np.linalg.norm(a_sol - a_ref, axis=-1)
-    force_rms = float(np.sqrt(np.mean(err ** 2)) / scale)
-    force_max = float(np.max(err) / scale)
+
+    def rms(x, y):
+        return float(np.sqrt(np.mean(
+            np.sum((x - y) ** 2, axis=-1))) / scale)
+
+    force_rms = rms(a_sol, a_ref)
+    force_max = float(np.max(np.linalg.norm(a_sol - a_ref, axis=-1))
+                      / scale)
     out["acc_force_rms_err"] = round(force_rms, 6)
     out["acc_force_max_err"] = round(force_max, 6)
+    out["acc_force_pallas_vs_jnp_rms"] = round(rms(a_sol, a_jnp), 8)
+    out["acc_force_jnp_vs_ewald_rms"] = round(rms(a_jnp, a_ref), 6)
+    out["acc_force_minimage_vs_ewald_rms"] = round(rms(a_mi, a_ref), 6)
     out["acc_force_pass"] = bool(force_rms < 5e-3)
-    log(f"accuracy/force: rms {force_rms:.2e} max {force_max:.2e} "
-        f"vs f64 oracle (512 targets, 1M sources) "
-        f"[{'PASS' if out['acc_force_pass'] else 'FAIL'} < 5e-3]")
+    log(f"accuracy/force: rms {force_rms:.2e} max {force_max:.2e} vs "
+        f"f64 EWALD periodic oracle (512 targets, 1M sources) "
+        f"[{'PASS' if out['acc_force_pass'] else 'FAIL'} < 5e-3]; "
+        f"attribution: pallas-vs-jnp "
+        f"{out['acc_force_pallas_vs_jnp_rms']:.2e}, jnp-vs-ewald "
+        f"{out['acc_force_jnp_vs_ewald_rms']:.2e}, minimage-vs-ewald "
+        f"{out['acc_force_minimage_vs_ewald_rms']:.2e}, overflow "
+        f"{out['acc_force_overflow']}")
 
     # -- 2) on-chip P(k) vs the CPU path ---------------------------------
     from lambda_cdm_tpu.analysis.power_spectrum import \
@@ -511,6 +580,17 @@ def _probe_with_retry(window_s: float) -> bool:
 RESULT: dict = {}
 
 
+def _emit_partial():
+    """Stream the ledger as a parseable JSON line NOW (VERDICT r4 item
+    2): the driver parses the LAST JSON line on stdout, so emitting
+    after the headline and after every merged section makes an rc=124
+    timeout harmless — whatever was measured is already on stdout.
+    `incomplete: true` marks every emission but the final one."""
+    out = dict(RESULT)
+    out["incomplete"] = True
+    print(json.dumps(out), flush=True)
+
+
 def _arm_watchdog(budget_s: float):
     """Emit a fallback JSON line and hard-exit if the in-process bench
     wedges mid-run (device hangs are unkillable in-process). Emits the
@@ -607,6 +687,7 @@ def main():
         "vs_baseline": round(value / BASELINE_PARTICLE_STEPS_PER_CHIP, 3),
         "treepm_ms_per_step": round(dt_treepm * 1e3, 2),
     })
+    _emit_partial()
 
     # extra sections, cheapest first, merged into the ledger as they
     # land: a wedge in a later (bigger) section costs only that section
@@ -620,6 +701,9 @@ def main():
                 RESULT.update(SECTIONS[name](n, box))
             except Exception as e:  # noqa: BLE001
                 log(f"section {name} failed: {e}")
+                RESULT.setdefault("section_errors", {})[name] = \
+                    repr(e)[:200]
+        _emit_partial()
 
     if value > 0:
         try:

@@ -1030,13 +1030,22 @@ class SimulationEngine:
         """Re-bucket `state` into the fast layout after a
         release_force_state(), lazily at the next run()/step()."""
         mode = getattr(self, "_fast_rebuild", None)
-        if mode is None or self._fstate is not None:
+        if mode is None:
             return
+        # a fresh initialize() (or any other path that repopulated
+        # _fstate) supersedes the pending rebuild — clear the flag so a
+        # later _fstate drop can't trigger a spurious stale re-bucket
         self._fast_rebuild = None
+        if self._fstate is not None:
+            return
         if mode == "mesh":
             if not self._try_init_mesh_fast_path(self._state):
-                from ..forces import create_force_computer
-                self._accel_fn = create_force_computer(self.config)
+                # mirror initialize()'s fallback exactly: the generic
+                # mesh path re-shards state and keeps _mesh/_mesh_solver
+                # consistent (an unsharded create_force_computer fn here
+                # would leave the mesh branch — sharded_energy,
+                # migration — running against un-resharded state)
+                self._state = self._init_mesh_path(self._state)
         else:
             self._init_fast_path()
 

@@ -219,6 +219,52 @@ def short_range_bucketed(bucket_pos, bucket_mass, box_size, rs, softening,
     return acc.reshape(nc ** 3, k, 3)
 
 
+@partial(jax.jit, static_argnames=("ncell", "capacity", "use_poly"))
+def short_range_targets(bpos_soa, bmass, rows, box_size, rs, softening,
+                        *, ncell: int, capacity: int,
+                        use_poly: bool = True):
+    """Short-range accelerations for SELECTED flat bucket rows only
+    -> [T, 3], bitwise the same pair set/math as `short_range_bucketed`
+    (27 neighbor cells, min-image, poly split) but O(T * 27 * capacity)
+    instead of O(C * K * 27 * K). This makes kernel-parity attribution
+    affordable at production capacities (cap 512+: the full jnp lattice
+    pass is 2e11 pair-slots; 512 targets are 7e6) — the 3-way accuracy
+    split in bench.py (Pallas-vs-jnp / jnp-vs-oracle / oracle-vs-Ewald)
+    runs this as its jnp leg.
+
+    bpos_soa: [3, C, K] (the fast stepper's SoA layout), bmass [C, K],
+    rows: [T] int32 flat indices into C*K.
+    """
+    nc, k = ncell, capacity
+    c_cnt = nc ** 3
+    soft2 = softening * softening
+    s_fn = short_range_factor_poly if use_poly else short_range_factor
+
+    rows = rows.astype(jnp.int32)
+    cell = rows // k
+    cx, cy, cz = cell // (nc * nc), (cell // nc) % nc, cell % nc
+    pt = bpos_soa.reshape(3, c_cnt * k)[:, rows]            # [3, T]
+
+    offs = jnp.asarray([(ox, oy, oz)
+                        for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+                        for oz in (-1, 0, 1)], dtype=jnp.int32)
+    nx = (cx[:, None] + offs[None, :, 0]) % nc
+    ny = (cy[:, None] + offs[None, :, 1]) % nc
+    nz = (cz[:, None] + offs[None, :, 2]) % nc
+    ncid = (nx * nc + ny) * nc + nz                         # [T, 27]
+
+    bp = bpos_soa.reshape(3, c_cnt, k)
+    nb_pos = bp[:, ncid]                                    # [3, T, 27, K]
+    nb_mass = bmass.reshape(c_cnt, k)[ncid]                 # [T, 27, K]
+
+    dx = min_image(nb_pos - pt[:, :, None, None], box_size)
+    r2 = jnp.sum(dx * dx, axis=0) + soft2                   # [T, 27, K]
+    inv_r = jax.lax.rsqrt(r2)
+    w = nb_mass * s_fn(r2 * inv_r, rs) * (inv_r * inv_r * inv_r)
+    # self-pair: dx == 0 -> zero contribution, same as the lattice pass
+    return jnp.sum(w[None] * dx, axis=(2, 3)).T             # [T, 3]
+
+
 def treepm_accelerations(positions, masses, box_size, *, pm_grid: int,
                          softening=0.01, g_const=1.0,
                          split_factor: float = 1.25,
