@@ -430,7 +430,7 @@ def section_accuracy(n, box):
     ref = _cpu_ref("force", {
         "positions": np.asarray(fpos), "masses": np.asarray(fmass),
         "targets": rows.astype(np.int32), "box": box,
-        "softening": 0.05, "g_const": kw["g_const"]}, timeout_s=2400)
+        "softening": 0.05, "g_const": kw["g_const"]}, timeout_s=4200)
     a_ref = ref["acc_ref"]                       # Ewald periodic truth
     a_mi = ref["acc_minimage"]
     scale = np.sqrt(np.mean(np.sum(a_ref ** 2, axis=-1)))
@@ -645,6 +645,12 @@ def main():
     n, box, pm_grid = 1_000_000, 100.0, 192
 
     if len(sys.argv) >= 5 and sys.argv[1] == "--cpu-ref":
+        # the sandbox pre-imports jax bound to the axon TPU, so the
+        # JAX_PLATFORMS env the parent sets is TOO LATE (CLAUDE.md);
+        # the config route works until first device use. Without this
+        # the "CPU" oracle silently ran on the TPU — and the Ewald
+        # oracle's complex128 structure factor is UNIMPLEMENTED there.
+        jax.config.update("jax_platforms", "cpu")
         cpu_ref_main(sys.argv[2], sys.argv[3], sys.argv[4])
         return
 
