@@ -194,13 +194,26 @@ def _fof_round(lab_p, bxyz, occupied, counts, pslot, *, box_size: float,
     iota = jnp.arange(ncell, dtype=jnp.int32)
 
     dtype = bxyz[0].dtype
-    new = lab3
     shifts = _NEIGHBOR_SHIFTS[::-1] if reverse else _NEIGHBOR_SHIFTS
-    for (ox, oy, oz) in shifts:
-        shift3 = (ox, oy, oz)
+    shifts_arr = jnp.asarray(shifts, jnp.int32)           # [27, 3]
+
+    # The 27 neighbor shifts run as a lax.scan with TRACED roll
+    # amounts, not an unrolled Python loop: unrolled, the shifts'
+    # independent rolled copies (which do not data-depend on the
+    # Gauss-Seidel carry) get hoisted together by XLA's scheduler —
+    # ~25 lattice-sized 512 MB temps live at once, a 29.75 GB HLO-temp
+    # OOM at the 64^3 x 512 z=0 flagship plan (round 5) — and the
+    # 27x-unrolled body is itself a multi-minute remote compile. The
+    # scan compiles ONE body and bounds live temps to one shift's
+    # working set (~5 GB at the same plan). jnp.roll with traced
+    # shifts lowers to the same concat+slice data movement as the
+    # static form. Gauss-Seidel semantics preserved: the carry is the
+    # partially-updated lattice.
+    def one_shift(new, sh):
+        ox, oy, oz = sh[0], sh[1], sh[2]
         off = [jnp.asarray(box_size, dtype)
                * ((iota + s) // ncell).astype(dtype)
-               for s in shift3]
+               for s in (ox, oy, oz)]
         # per-axis wrap offsets live on the matching lattice axes
         osh = [(ncell, 1, 1, 1), (1, ncell, 1, 1), (1, 1, ncell, 1)]
         nb_p = [
@@ -236,7 +249,9 @@ def _fof_round(lab_p, bxyz, occupied, counts, pslot, *, box_size: float,
         _, upd = jax.lax.scan(
             row, None, (bp_r[0], bp_r[1], bp_r[2], occ_r, cur,
                         nb_p[0], nb_p[1], nb_p[2], nb_lab, nb_occ))
-        new = upd.reshape(ncell, ncell, ncell, k)
+        return upd.reshape(ncell, ncell, ncell, k), None
+
+    new, _ = jax.lax.scan(one_shift, lab3, shifts_arr)
 
     # back to particle space; capacity-overflow particles (pslot < 0)
     # keep their current label here (they adopt the cell anchor at
