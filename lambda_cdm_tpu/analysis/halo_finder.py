@@ -339,17 +339,25 @@ def fof_labels(positions, box_size, linking_length, *, ncell: int,
         positions, live, box_size, ncell, capacity)
     lab = jnp.arange(n, dtype=jnp.int32)
     active = jnp.ones((ncell ** 3,), jnp.int32)
+    import logging as _logging
+    import time as _time
+    _log = _logging.getLogger("lambda_cdm_tpu")
     for r in range(max_rounds):
         # alternate the Gauss-Seidel sweep direction per round so labels
         # propagate both ways along the sweep order (a forward-only
         # sweep moves -direction links only one cell per round)
+        _t0 = _time.perf_counter()
         lab, changed, active = _fof_round(
             lab, bxyz, occupied, counts, pslot,
             box_size=float(box_size),
             linking_length=float(linking_length),
             ncell=ncell, capacity=capacity, hook=hook,
             reverse=bool(r % 2), active=active)
-        if not bool(changed):
+        ch = bool(changed)   # scalar readback = per-round sync point
+        _log.info("fof round %d (%s): %.2f s%s", r, hook,
+                  _time.perf_counter() - _t0,
+                  "" if ch else " (converged)")
+        if not ch:
             break
     lab = _fof_adopt_overflow(lab, pslot, slot_particle, live, positions,
                               box_size, ncell=ncell, capacity=capacity)
@@ -803,7 +811,8 @@ def find_halos(positions, velocities, masses, box_size, *,
                min_particles: int = 20, max_halos: int | None = None,
                overdensity: float = 200.0,
                g_const: float = 43.0071057317063,
-               n_slabs: int = 0) -> HaloCatalog:
+               n_slabs: int = 0, plan: dict | None = None,
+               hook: str = "auto") -> HaloCatalog:
     """One-call FoF + SO catalog (reference:
     FriendsOfFriends::find_halos, halo_finder.cpp:15-45).
 
@@ -821,18 +830,33 @@ def find_halos(positions, velocities, masses, box_size, *,
     """
     n = positions.shape[0]
     b = linking_length_factor * box_size / n ** (1.0 / 3.0)
-    plan = fof_plan(n, float(box_size), float(b), positions=positions,
-                    live=masses > 0)
+    if plan is None:
+        plan = fof_plan(n, float(box_size), float(b),
+                        positions=positions, live=masses > 0)
+    # explicit `plan` = {"ncell", "capacity"} overrides the auto plan:
+    # deliberately capping a clustered state below its densest core
+    # routes the over-cap residents through the merged-cell adoption
+    # (_fof_adopt_overflow — cells that overflow a sane capacity are far
+    # above the linking density, so plain FoF links their contents
+    # anyway) and keeps the labeling on the Pallas hook's geometry
+    # envelope (ncell <= 32) when the exact plan's jnp-lattice compile
+    # is too big for the remote compiler.
     if n_slabs > 1:
         labels, overflow = fof_labels_slabwise(
             positions, box_size, b, n_slabs=n_slabs,
             ncell=plan["ncell"], capacity=plan["capacity"],
-            live=masses > 0)
+            live=masses > 0, hook=hook)
     else:
         labels, overflow = fof_labels(
             positions, box_size, b, ncell=plan["ncell"],
-            capacity=plan["capacity"], live=masses > 0)
+            capacity=plan["capacity"], live=masses > 0, hook=hook)
+    import logging as _logging
+    _log = _logging.getLogger("lambda_cdm_tpu")
+    _log.info("find_halos: labels done (overflow=%d); counting groups",
+              int(overflow))
     n_groups = int(count_groups(labels, min_particles=min_particles))
+    _log.info("find_halos: %d groups >= %d particles; building catalog",
+              n_groups, min_particles)
     if max_halos is None:
         max_halos = max(256, 1 << max(n_groups - 1, 0).bit_length())
     elif n_groups > max_halos:

@@ -239,7 +239,14 @@ def evolve_phase(small: bool, record_path: str) -> dict:
     cfg.forces.type = "treepm_fast"
     cfg.forces.softening_length = softening
     cfg.forces.pm_grid_size = pm_grid
-    cfg.forces.bucket_capacity = g["bucket_capacity"]
+    # pre-size ONLY on TPU: vpu5's occupancy-windowed costs make a big
+    # static cap ~free there and a mid-run growth rung costs a ~5 min
+    # tunnel recompile — but the CPU jnp short-range grinds every
+    # padded slot (C*K*27*K), so cap 2048 at the smoke geometry is
+    # ~5.8e10 pair-slots PER STEP (~10 min/step; measured, round 5).
+    # CPU smokes take the auto plan + cheap grow-ladder instead.
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    cfg.forces.bucket_capacity = g["bucket_capacity"] if on_tpu else 0
     # big pre-sized capacities make the rebucket pass expensive; the
     # engine's vmax drift guard SHRINKS the cadence whenever safety
     # requires, so the config value is just the amortization ceiling
@@ -612,9 +619,22 @@ def analyze_phase(rec: dict) -> dict:
     t0 = time.perf_counter()
     t_fof = 0.0
     hmf = {}
+    # LCDM_SCIENCE_FOF_PLAN="ncell,capacity" pins the FoF lattice plan
+    # (e.g. "32,1024": the Pallas-hook geometry with merged-cell
+    # overflow adoption) — the escape hatch when the auto plan's exact
+    # jnp-lattice program outruns the remote compiler's patience
+    fof_plan_env = os.environ.get("LCDM_SCIENCE_FOF_PLAN", "")
+    fof_plan_override = None
+    if fof_plan_env:
+        nc_s, cap_s = fof_plan_env.split(",")
+        fof_plan_override = {"ncell": int(nc_s), "capacity": int(cap_s)}
     try:
         cat = halo_finder.find_halos(
-            pos_f, vel_f, masses, box, min_particles=20)
+            pos_f, vel_f, masses, box, min_particles=20,
+            plan=fof_plan_override,
+            # LCDM_SCIENCE_FOF_HOOK=jnp forces the scanned-lattice hook
+            # (wedge-safe: no Pallas) when the kernel path misbehaves
+            hook=os.environ.get("LCDM_SCIENCE_FOF_HOOK", "auto"))
         n_h = int(cat.num_halos)
         t_fof = time.perf_counter() - t0
         log(f"  {n_h} halos >= 20 particles in {t_fof:.1f} s "
@@ -735,6 +755,14 @@ def main():
     out_path = os.path.join(ROOT, f"SCIENCE{suffix}.json")
     record_path = os.path.join(ROOT, f"science_record{suffix}.npz")
     if analyze_only:
+        # the evolve phase configures the package logger through the
+        # engine; analyze-only has no engine, so INFO diagnostics from
+        # the analysis stack (find_halos stage markers) would vanish
+        import logging
+        logging.basicConfig(level=logging.INFO,
+                            format="%(asctime)s %(levelname)s "
+                                   "%(name)s: %(message)s",
+                            stream=sys.stderr)
         # optional explicit path: --analyze-only <file.npz>
         idx = sys.argv.index("--analyze-only")
         if idx + 1 < len(sys.argv) and sys.argv[idx + 1].endswith(".npz"):
