@@ -812,7 +812,8 @@ def find_halos(positions, velocities, masses, box_size, *,
                overdensity: float = 200.0,
                g_const: float = 43.0071057317063,
                n_slabs: int = 0, plan: dict | None = None,
-               hook: str = "auto") -> HaloCatalog:
+               hook: str = "auto",
+               windowed: bool | None = None) -> HaloCatalog:
     """One-call FoF + SO catalog (reference:
     FriendsOfFriends::find_halos, halo_finder.cpp:15-45).
 
@@ -866,8 +867,14 @@ def find_halos(positions, velocities, masses, box_size, *,
             "max_halos=%d -- the catalog keeps only the %d most massive "
             "(pass max_halos=None to auto-size)",
             n_groups, min_particles, max_halos, max_halos)
+    # `windowed` False forces the exact O(N)-per-halo profile path —
+    # a simpler program than the bucketed-window one (whose execution
+    # has been observed to hang on the tunnel-attached TPU at the 1M
+    # z=0 geometry; the exact path is ~46 ms/halo of segment_sum there)
+    if windowed is None:
+        windowed = n >= 200_000
     window = (catalog_window_plan(positions, box_size, live=masses > 0)
-              if n >= 200_000 else None)
+              if windowed else None)
     cat = catalog_from_labels(
         positions, velocities, masses, labels, box_size,
         max_halos=max_halos, min_particles=min_particles,

@@ -628,34 +628,71 @@ def analyze_phase(rec: dict) -> dict:
     if fof_plan_env:
         nc_s, cap_s = fof_plan_env.split(",")
         fof_plan_override = {"ncell": int(nc_s), "capacity": int(cap_s)}
+    # LCDM_SCIENCE_HMF_MODE=labels: HMF/percolation checks straight
+    # from FoF labels (host-side numpy group sizes) with NO catalog
+    # program — every cert check below is a function of group sizes
+    # and m_p alone (SO radii/vmax/spin are extra science the cert
+    # does not assert), and the label pass is compile-cached. The
+    # escape hatch for the catalog-program compile/execution stalls
+    # observed on the tunnel TPU (CLAUDE.md round-5 findings).
+    hmf_mode = os.environ.get("LCDM_SCIENCE_HMF_MODE", "catalog")
     try:
-        cat = halo_finder.find_halos(
-            pos_f, vel_f, masses, box, min_particles=20,
-            plan=fof_plan_override,
-            # LCDM_SCIENCE_FOF_HOOK=jnp forces the scanned-lattice hook
-            # (wedge-safe: no Pallas) when the kernel path misbehaves
-            hook=os.environ.get("LCDM_SCIENCE_FOF_HOOK", "auto"))
-        n_h = int(cat.num_halos)
-        t_fof = time.perf_counter() - t0
-        log(f"  {n_h} halos >= 20 particles in {t_fof:.1f} s "
-            f"(catalog capacity {int(cat.mass.shape[0])})")
+        if hmf_mode == "labels":
+            cat = None
+            b_link = 0.2 * box / n ** (1.0 / 3.0)
+            fp = fof_plan_override or halo_finder.fof_plan(
+                n, float(box), float(b_link), positions=pos_f,
+                live=masses > 0)
+            labels, fof_overflow = halo_finder.fof_labels(
+                pos_f, box, b_link, ncell=fp["ncell"],
+                capacity=fp["capacity"], live=masses > 0,
+                hook=os.environ.get("LCDM_SCIENCE_FOF_HOOK", "auto"))
+            lab_np = np.asarray(labels)[np.asarray(masses) > 0]
+            _, sizes = np.unique(lab_np, return_counts=True)
+            sizes = np.sort(sizes[sizes >= 20])[::-1]
+            n_h = int(sizes.size)
+            t_fof = time.perf_counter() - t0
+            log(f"  {n_h} halos >= 20 particles in {t_fof:.1f} s "
+                f"(labels-only mode; fof overflow "
+                f"{int(fof_overflow)} merged)")
+        else:
+            cat = halo_finder.find_halos(
+                pos_f, vel_f, masses, box, min_particles=20,
+                plan=fof_plan_override,
+                # LCDM_SCIENCE_FOF_HOOK=jnp forces the scanned-lattice
+                # hook (wedge-safe) when the kernel path misbehaves
+                hook=os.environ.get("LCDM_SCIENCE_FOF_HOOK", "auto"),
+                # LCDM_SCIENCE_FOF_WINDOWED=0: exact SO profiles (the
+                # windowed program's execution has hung the tunnel TPU)
+                windowed=(None if "LCDM_SCIENCE_FOF_WINDOWED"
+                          not in os.environ else
+                          os.environ["LCDM_SCIENCE_FOF_WINDOWED"]
+                          == "1"))
+            n_h = int(cat.num_halos)
+            sizes = np.sort(np.asarray(cat.n_particles)[:n_h])[::-1]
+            t_fof = time.perf_counter() - t0
+            log(f"  {n_h} halos >= 20 particles in {t_fof:.1f} s "
+                f"(catalog capacity {int(cat.mass.shape[0])})")
+            check("catalog_not_truncated", int(cat.mass.shape[0]),
+                  n_h < int(cat.mass.shape[0]), "num_halos < capacity")
         check_z0("num_halos", n_h, n_h >= (10 if small else 500),
                  ">= 500 at 1M (>= 10 small)")
-        check("catalog_not_truncated", int(cat.mass.shape[0]),
-              n_h < int(cat.mass.shape[0]), "num_halos < capacity")
-        biggest = int(jnp.max(cat.n_particles)) if n_h else 0
+        biggest = int(sizes[0]) if n_h else 0
         check_z0("no_percolation", biggest, 0 < biggest < 0.2 * n,
                  "largest halo < 20% of box")
 
+        # HMF from FoF group masses (count x m_p — identical in both
+        # modes; equal-mass particles make cat.mass == n_particles*m_p)
         z_f = max(1.0 / a_f - 1.0, 0.0)
+        h_masses = sizes.astype(np.float64) * m_p
         m_lo = 32.0 * m_p
-        m_hi = float(jnp.max(cat.mass)) * (1 + 1e-5) if n_h \
-            else m_lo * 10
-        centers, dn_dlog10, counts = halo_finder.mass_function(
-            cat, box, num_bins=8, m_min=m_lo, m_max=m_hi)
-        centers = np.asarray(centers)
-        measured = np.asarray(dn_dlog10)
-        counts = np.asarray(counts)
+        m_hi = float(h_masses[0]) * (1 + 1e-5) if n_h else m_lo * 10
+        nbins_h = 8
+        edges = np.logspace(np.log10(m_lo), np.log10(m_hi), nbins_h + 1)
+        counts, _ = np.histogram(h_masses, bins=edges)
+        centers = np.sqrt(edges[:-1] * edges[1:])
+        dlog10 = np.log10(edges[1] / edges[0])
+        measured = counts / (box ** 3 * dlog10)
         theory = np.asarray(st_mass_function(
             params, jnp.asarray(centers), z=z_f)) * math.log(10.0)
         ok_bins = counts >= 8
