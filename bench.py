@@ -463,15 +463,25 @@ def section_accuracy(n, box):
     pk_tpu = measure_power_spectrum(pos, box, ng=256, num_bins=64)
     ref = _cpu_ref("pk", {"positions": np.asarray(pos), "box": box,
                           "ng": 256, "num_bins": 64})
-    good = (ref["counts"] > 0) & (np.asarray(pk_tpu.counts) > 0) \
+    cnt_tpu = np.asarray(pk_tpu.counts)
+    # compare only bins whose MODE COUNTS agree across backends: a
+    # mode whose |k| sits on a bin edge lands in different bins under
+    # f32 vs f64 rounding — a binning artifact, not a power error
+    # (measured: 2/64 flipped bins carry 3-5e-3 "error" while every
+    # same-count bin agrees to 4e-4 even f32-vs-f64 on one backend).
+    # Flipped bins are counted and reported, never silently dropped.
+    flipped = (ref["counts"] > 0) & (cnt_tpu != ref["counts"])
+    good = (ref["counts"] > 0) & (cnt_tpu == ref["counts"]) \
         & (np.abs(ref["power"]) > 1e-12 * np.max(np.abs(ref["power"])))
     rel = np.abs(np.asarray(pk_tpu.power)[good] - ref["power"][good]) \
         / np.abs(ref["power"][good])
     pk_err = float(np.max(rel))
     out["acc_pk_max_rel_err"] = round(pk_err, 8)
-    out["acc_pk_pass"] = bool(pk_err < 1e-3)
+    out["acc_pk_flipped_bins"] = int(flipped.sum())
+    out["acc_pk_pass"] = bool(pk_err < 1e-3 and flipped.sum() <= 4)
     log(f"accuracy/pk: max rel err {pk_err:.2e} over {int(good.sum())} "
-        f"bins [{'PASS' if out['acc_pk_pass'] else 'FAIL'} < 1e-3]")
+        f"same-count bins ({int(flipped.sum())} edge-flipped bins "
+        f"excluded) [{'PASS' if out['acc_pk_pass'] else 'FAIL'} < 1e-3]")
 
     # -- 3) traced lensing map (windowed TPU) vs the CPU path -------------
     ngl, n_planes, n_side = 256, 8, 128
