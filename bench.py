@@ -476,12 +476,38 @@ def section_accuracy(n, box):
     rel = np.abs(np.asarray(pk_tpu.power)[good] - ref["power"][good]) \
         / np.abs(ref["power"][good])
     pk_err = float(np.max(rel))
+    # Flipped bins: modes whose |k| sits on a log-bin edge move to the
+    # ADJACENT bin under the other backend's f32 rounding (a whole
+    # degenerate integer shell can move together — measured 150 modes
+    # = 15% of a low-k bin's count). The assignment-invariant check:
+    # over each maximal RUN of adjacent flipped bins, total mode count
+    # must be conserved and the count-weighted power sum must agree —
+    # edge assignment cancels inside the merged run.
+    p_tpu = np.asarray(pk_tpu.power)
+    merged_err = 0.0
+    merged_ok = True
+    idx = np.nonzero(flipped)[0]
+    if idx.size:
+        splits = np.nonzero(np.diff(idx) > 1)[0] + 1
+        for run in np.split(idx, splits):
+            ct, cc = cnt_tpu[run], ref["counts"][run]
+            if int(ct.sum()) != int(cc.sum()):
+                merged_ok = False      # modes leaked outside the run
+                continue
+            wt = float(np.sum(ct * p_tpu[run]))
+            wc = float(np.sum(cc * ref["power"][run]))
+            scale = float(np.sum(cc * np.abs(ref["power"][run]))) + 1e-30
+            merged_err = max(merged_err, abs(wt - wc) / scale)
     out["acc_pk_max_rel_err"] = round(pk_err, 8)
     out["acc_pk_flipped_bins"] = int(flipped.sum())
-    out["acc_pk_pass"] = bool(pk_err < 1e-3 and flipped.sum() <= 4)
+    out["acc_pk_merged_run_rel_err"] = round(merged_err, 8)
+    out["acc_pk_pass"] = bool(pk_err < 1e-3 and merged_ok
+                              and merged_err < 1e-3)
     log(f"accuracy/pk: max rel err {pk_err:.2e} over {int(good.sum())} "
-        f"same-count bins ({int(flipped.sum())} edge-flipped bins "
-        f"excluded) [{'PASS' if out['acc_pk_pass'] else 'FAIL'} < 1e-3]")
+        f"same-count bins; {int(flipped.sum())} edge-flipped bins "
+        f"merged-run err {merged_err:.2e} (counts conserved: "
+        f"{merged_ok}) [{'PASS' if out['acc_pk_pass'] else 'FAIL'} "
+        f"< 1e-3]")
 
     # -- 3) traced lensing map (windowed TPU) vs the CPU path -------------
     ngl, n_planes, n_side = 256, 8, 128
