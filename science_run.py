@@ -636,6 +636,18 @@ def analyze_phase(rec: dict) -> dict:
     # escape hatch for the catalog-program compile/execution stalls
     # observed on the tunnel TPU (CLAUDE.md round-5 findings).
     hmf_mode = os.environ.get("LCDM_SCIENCE_HMF_MODE", "catalog")
+    # proven-safe TPU defaults (overridable by env): on the real 1M
+    # z=0 cosmic web the Pallas FoF hook and the windowed catalog
+    # program both hung the tunnel TPU (CLAUDE.md round-5); the
+    # scanned-jnp hook (21 x 4.9 s) and the exact profiles completed.
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    fof_hook = os.environ.get("LCDM_SCIENCE_FOF_HOOK",
+                              "jnp" if on_tpu else "auto")
+    fof_windowed = (None if "LCDM_SCIENCE_FOF_WINDOWED"
+                    not in os.environ else
+                    os.environ["LCDM_SCIENCE_FOF_WINDOWED"] == "1")
+    if fof_windowed is None and on_tpu:
+        fof_windowed = False
     try:
         if hmf_mode == "labels":
             cat = None
@@ -646,7 +658,7 @@ def analyze_phase(rec: dict) -> dict:
             labels, fof_overflow = halo_finder.fof_labels(
                 pos_f, box, b_link, ncell=fp["ncell"],
                 capacity=fp["capacity"], live=masses > 0,
-                hook=os.environ.get("LCDM_SCIENCE_FOF_HOOK", "auto"))
+                hook=fof_hook)
             lab_np = np.asarray(labels)[np.asarray(masses) > 0]
             _, sizes = np.unique(lab_np, return_counts=True)
             sizes = np.sort(sizes[sizes >= 20])[::-1]
@@ -658,16 +670,8 @@ def analyze_phase(rec: dict) -> dict:
         else:
             cat = halo_finder.find_halos(
                 pos_f, vel_f, masses, box, min_particles=20,
-                plan=fof_plan_override,
-                # LCDM_SCIENCE_FOF_HOOK=jnp forces the scanned-lattice
-                # hook (wedge-safe) when the kernel path misbehaves
-                hook=os.environ.get("LCDM_SCIENCE_FOF_HOOK", "auto"),
-                # LCDM_SCIENCE_FOF_WINDOWED=0: exact SO profiles (the
-                # windowed program's execution has hung the tunnel TPU)
-                windowed=(None if "LCDM_SCIENCE_FOF_WINDOWED"
-                          not in os.environ else
-                          os.environ["LCDM_SCIENCE_FOF_WINDOWED"]
-                          == "1"))
+                plan=fof_plan_override, hook=fof_hook,
+                windowed=fof_windowed)
             n_h = int(cat.num_halos)
             sizes = np.sort(np.asarray(cat.n_particles)[:n_h])[::-1]
             t_fof = time.perf_counter() - t0
