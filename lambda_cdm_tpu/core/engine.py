@@ -1152,7 +1152,18 @@ class SimulationEngine:
                     import math
                     to_final = math.log(a_final / a) / dloga_est
                     if to_final < n:
-                        n = max(1, int(math.ceil(to_final)))
+                        need = max(1, int(math.ceil(to_final)))
+                        # quantize the clamped chunk to a POWER OF TWO,
+                        # rounded down: every novel chunk length is a
+                        # fresh XLA program (~40-120 s over the axon
+                        # tunnel), and ceil(to_final) minted a new
+                        # length nearly every final-approach chunk. At
+                        # most log2(cadence) quantized sizes exist,
+                        # they recur across runs (persistent cache),
+                        # and rounding DOWN strictly reduces the
+                        # a_final overshoot (the tail finishes in
+                        # 1-step chunks instead of one ceil'd chunk).
+                        n = 1 << (need.bit_length() - 1)
                 self.observers.notify("on_step_start", self,
                                       int(self._state.step))
                 t_chunk0 = time.perf_counter()

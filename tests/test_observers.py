@@ -119,10 +119,24 @@ class TestBuildFromConfig:
         cfg.io.analysis.power_spectrum.enabled = True
         cfg.io.analysis.halo_finder.enabled = True
         cfg.io.diagnostics.energy_conservation = True
+        cfg.io.diagnostics.particle_statistics = False
         obs = build_observers_from_config(cfg)
         kinds = {type(o).__name__ for o in obs}
         assert kinds == {"SnapshotObserver", "PowerSpectrumObserver",
                          "HaloFinderObserver", "ConservationObserver"}
+
+    def test_particle_statistics_default_on(self):
+        # io.diagnostics.particle_statistics defaults True (reference
+        # config parity: basic_lambda_cdm.json's diagnostics block) and
+        # builds a real observer since the round-4 config wiring
+        cfg = tiny_config()
+        cfg.io.snapshots.enabled = False
+        cfg.io.analysis.enabled = False
+        cfg.io.diagnostics.energy_conservation = False
+        cfg.io.diagnostics.momentum_conservation = False
+        kinds = {type(o).__name__
+                 for o in build_observers_from_config(cfg)}
+        assert kinds == {"ParticleStatisticsObserver"}
 
     def test_disabled_yields_none(self):
         cfg = tiny_config()
@@ -130,6 +144,7 @@ class TestBuildFromConfig:
         cfg.io.analysis.enabled = False
         cfg.io.diagnostics.energy_conservation = False
         cfg.io.diagnostics.momentum_conservation = False
+        cfg.io.diagnostics.particle_statistics = False
         assert build_observers_from_config(cfg) == []
 
 
